@@ -1,0 +1,390 @@
+"""FLUX.1 rectified-flow DiT, TPU-native.
+
+Functional re-design of the capabilities of the reference's conditioned
+FLUX forward (`/root/reference/train_flux/flux/transformer.py:47`,
+`/root/reference/train_flux/flux/block.py:7,173,275`):
+
+  * 19 double-stream (img/txt) MMDiT blocks + 38 single-stream blocks;
+  * AdaLN-Zero modulation from (timestep, guidance, pooled-CLIP) embedding;
+  * optional third **condition** token stream that shares all image-stream
+    weights, gets its own timestep embedding at `c_t` (default 0, guidance
+    forced to 1.0) and its own RoPE ids with a position delta;
+  * `union_cond_attn` / `add_cond_attn` / `c_factor` semantics of
+    `block.py:106-125,224-228`.
+
+TPU-first choices (not in the reference):
+  * params are stacked per block family and the block loop is a
+    `lax.scan` — one compiled block body per family instead of 57 inlined
+    blocks (faster compiles, uniform sharding annotations);
+  * the three QKV projections + joint attention run per block as one fused
+    region; attention is `ops.joint_attention` (XLA fused softmax or Pallas
+    flash kernel);
+  * `remat="block"` wraps the scan bodies in `jax.checkpoint` for training.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ...config import FluxDiTConfig
+from ...ops.attention import cond_attention_bias, joint_attention
+from ...ops.norms import adaln_modulate, layer_norm, rms_norm
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def _linear_init(key, d_in, d_out, dtype):
+    kw, _ = jax.random.split(key)
+    scale = 1.0 / jnp.sqrt(d_in)
+    return {
+        "w": (jax.random.normal(kw, (d_in, d_out)) * scale).astype(dtype),
+        "b": jnp.zeros((d_out,), dtype),
+    }
+
+
+def linear(p, x):
+    return x @ p["w"] + p["b"]
+
+
+def _mlp_embed_init(key, d_in, d_hidden, dtype):
+    k1, k2 = jax.random.split(key)
+    return {"fc1": _linear_init(k1, d_in, d_hidden, dtype), "fc2": _linear_init(k2, d_hidden, d_hidden, dtype)}
+
+
+def _mlp_embed(p, x):
+    return linear(p["fc2"], jax.nn.silu(linear(p["fc1"], x)))
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int, max_period: float = 10000.0) -> jnp.ndarray:
+    """Sinusoidal features, cos-first ordering (matches the convention of the
+    weights this model loads). t: (B,) already scaled by 1000."""
+    half = dim // 2
+    freqs = jnp.exp(-jnp.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+def gelu_tanh(x):
+    return jax.nn.gelu(x, approximate=True)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+
+def _attn_init(key, cfg: FluxDiTConfig, dual: bool, dtype):
+    H = cfg.hidden_size
+    D = cfg.head_dim
+    ks = jax.random.split(key, 12)
+    p = {
+        "q": _linear_init(ks[0], H, H, dtype),
+        "k": _linear_init(ks[1], H, H, dtype),
+        "v": _linear_init(ks[2], H, H, dtype),
+        "q_norm": {"scale": jnp.ones((D,), dtype)},
+        "k_norm": {"scale": jnp.ones((D,), dtype)},
+    }
+    if dual:
+        p.update(
+            {
+                "txt_q": _linear_init(ks[3], H, H, dtype),
+                "txt_k": _linear_init(ks[4], H, H, dtype),
+                "txt_v": _linear_init(ks[5], H, H, dtype),
+                "txt_q_norm": {"scale": jnp.ones((D,), dtype)},
+                "txt_k_norm": {"scale": jnp.ones((D,), dtype)},
+                "out": _linear_init(ks[6], H, H, dtype),
+                "txt_out": _linear_init(ks[7], H, H, dtype),
+            }
+        )
+    return p
+
+
+def _double_block_init(key, cfg: FluxDiTConfig, dtype):
+    H, M = cfg.hidden_size, cfg.mlp_hidden
+    ks = jax.random.split(key, 8)
+    return {
+        "img_mod": _linear_init(ks[0], H, 6 * H, dtype),
+        "txt_mod": _linear_init(ks[1], H, 6 * H, dtype),
+        "attn": _attn_init(ks[2], cfg, dual=True, dtype=dtype),
+        "img_mlp": {"fc1": _linear_init(ks[3], H, M, dtype), "fc2": _linear_init(ks[4], M, H, dtype)},
+        "txt_mlp": {"fc1": _linear_init(ks[5], H, M, dtype), "fc2": _linear_init(ks[6], M, H, dtype)},
+    }
+
+
+def _single_block_init(key, cfg: FluxDiTConfig, dtype):
+    H, M = cfg.hidden_size, cfg.mlp_hidden
+    ks = jax.random.split(key, 5)
+    return {
+        "mod": _linear_init(ks[0], H, 3 * H, dtype),
+        "attn": _attn_init(ks[1], cfg, dual=False, dtype=dtype),
+        "mlp_in": _linear_init(ks[2], H, M, dtype),
+        # proj_out consumes concat([attn_out, gelu(mlp)], -1)
+        "out": _linear_init(ks[3], H + M, H, dtype),
+    }
+
+
+def flux_dit_init(key, cfg: FluxDiTConfig, dtype=jnp.float32):
+    H = cfg.hidden_size
+    ks = jax.random.split(key, 10)
+    params = {
+        "img_in": _linear_init(ks[0], cfg.in_channels, H, dtype),
+        "txt_in": _linear_init(ks[1], cfg.text_dim, H, dtype),
+        "time_in": _mlp_embed_init(ks[2], cfg.time_freq_dim, H, dtype),
+        "vector_in": _mlp_embed_init(ks[3], cfg.pooled_dim, H, dtype),
+        "final_mod": _linear_init(ks[5], H, 2 * H, dtype),
+        "final_proj": _linear_init(ks[6], H, cfg.in_channels, dtype),
+        "double_blocks": jax.vmap(lambda k: _double_block_init(k, cfg, dtype))(
+            jax.random.split(ks[7], cfg.num_double_blocks)
+        ),
+        "single_blocks": jax.vmap(lambda k: _single_block_init(k, cfg, dtype))(
+            jax.random.split(ks[8], cfg.num_single_blocks)
+        ),
+    }
+    if cfg.guidance_embeds:
+        params["guidance_in"] = _mlp_embed_init(ks[4], cfg.time_freq_dim, H, dtype)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _heads(cfg: FluxDiTConfig, x: jnp.ndarray) -> jnp.ndarray:
+    B, L, _ = x.shape
+    return x.reshape(B, L, cfg.num_heads, cfg.head_dim)
+
+
+def _unheads(x: jnp.ndarray) -> jnp.ndarray:
+    B, L, nH, D = x.shape
+    return x.reshape(B, L, nH * D)
+
+
+def _qkv(attn_p, cfg, x, prefix=""):
+    q = rms_norm(_heads(cfg, linear(attn_p[prefix + "q"], x)), attn_p[prefix + "q_norm"]["scale"])
+    k = rms_norm(_heads(cfg, linear(attn_p[prefix + "k"], x)), attn_p[prefix + "k_norm"]["scale"])
+    v = _heads(cfg, linear(attn_p[prefix + "v"], x))
+    return q, k, v
+
+
+def _mod(p, temb, n):
+    out = linear(p, jax.nn.silu(temb))
+    return jnp.split(out, n, axis=-1)
+
+
+def _rope_qk(q, k, tables):
+    from .rope import apply_rope
+
+    cos, sin = tables
+    return apply_rope(q, cos, sin), apply_rope(k, cos, sin)
+
+
+def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rope_cond, bias, flags, attn_impl, bp_c=None):
+    bp_c = bp if bp_c is None else bp_c
+    use_cond = cond is not None
+    # modulation (img-side params are shared with the cond stream)
+    i_sh1, i_sc1, i_g1, i_sh2, i_sc2, i_g2 = _mod(bp["img_mod"], temb, 6)
+    t_sh1, t_sc1, t_g1, t_sh2, t_sc2, t_g2 = _mod(bp["txt_mod"], temb, 6)
+    img_n = adaln_modulate(img, i_sh1, i_sc1)
+    txt_n = adaln_modulate(txt, t_sh1, t_sc1)
+
+    ap = bp["attn"]
+    img_q, img_k, img_v = _qkv(ap, cfg, img_n)
+    txt_q, txt_k, txt_v = _qkv(ap, cfg, txt_n, prefix="txt_")
+    # RoPE covers [txt|img] jointly; cond has its own tables
+    q = jnp.concatenate([txt_q, img_q], axis=1)
+    k = jnp.concatenate([txt_k, img_k], axis=1)
+    q, k = _rope_qk(q, k, rope_main)
+    v = jnp.concatenate([txt_v, img_v], axis=1)
+
+    streams_q, streams_k, streams_v = [q], [k], [v]
+    if use_cond:
+        # cond stream reads the (possibly LoRA-folded) bp_c weights
+        c_sh1, c_sc1, c_g1, c_sh2, c_sc2, c_g2 = _mod(bp_c["img_mod"], cond_temb, 6)
+        cond_n = adaln_modulate(cond, c_sh1, c_sc1)
+        cond_q, cond_k, cond_v = _qkv(bp_c["attn"], cfg, cond_n)
+        cond_q, cond_k = _rope_qk(cond_q, cond_k, rope_cond)
+        streams_q.append(cond_q)
+        streams_k.append(cond_k)
+        streams_v.append(cond_v)
+
+    outs = joint_attention(streams_q, streams_k, streams_v, bias=bias, impl=attn_impl)
+    joint = outs[0]
+    txt_len = txt.shape[1]
+    txt_attn, img_attn = joint[:, :txt_len], joint[:, txt_len:]
+    img_attn = linear(ap["out"], _unheads(img_attn))
+    txt_attn = linear(ap["txt_out"], _unheads(txt_attn))
+
+    img = img + i_g1[:, None, :] * img_attn
+    txt = txt + t_g1[:, None, :] * txt_attn
+    if use_cond:
+        cond_attn = linear(bp_c["attn"]["out"], _unheads(outs[1]))
+        gated_cond_attn = c_g1[:, None, :] * cond_attn
+        cond = cond + gated_cond_attn
+        if flags.get("add_cond_attn", False):
+            # only meaningful when cond and img grids match (same constraint
+            # as the reference's in-place add)
+            assert cond.shape[1] == img.shape[1], "add_cond_attn requires L_cond == L_img"
+            img = img + gated_cond_attn
+
+    # feed-forward (img-stream MLP shared with cond)
+    img_m = adaln_modulate(img, i_sh2, i_sc2)
+    img = img + i_g2[:, None, :] * linear(bp["img_mlp"]["fc2"], gelu_tanh(linear(bp["img_mlp"]["fc1"], img_m)))
+    txt_m = adaln_modulate(txt, t_sh2, t_sc2)
+    txt = txt + t_g2[:, None, :] * linear(bp["txt_mlp"]["fc2"], gelu_tanh(linear(bp["txt_mlp"]["fc1"], txt_m)))
+    if use_cond:
+        cond_m = adaln_modulate(cond, c_sh2, c_sc2)
+        cond = cond + c_g2[:, None, :] * linear(
+            bp_c["img_mlp"]["fc2"], gelu_tanh(linear(bp_c["img_mlp"]["fc1"], cond_m))
+        )
+    return img, txt, cond
+
+
+def _single_block_apply(bp, cfg, hidden, cond, temb, cond_temb, rope_main, rope_cond, bias, flags, attn_impl, bp_c=None):
+    bp_c = bp if bp_c is None else bp_c
+    use_cond = cond is not None
+    sh, sc, gate = _mod(bp["mod"], temb, 3)
+    h_n = adaln_modulate(hidden, sh, sc)
+    mlp = gelu_tanh(linear(bp["mlp_in"], h_n))
+    q, k, v = _qkv(bp["attn"], cfg, h_n)
+    q, k = _rope_qk(q, k, rope_main)
+    streams_q, streams_k, streams_v = [q], [k], [v]
+    if use_cond:
+        c_sh, c_sc, c_gate = _mod(bp_c["mod"], cond_temb, 3)
+        cond_n = adaln_modulate(cond, c_sh, c_sc)
+        cond_mlp = gelu_tanh(linear(bp_c["mlp_in"], cond_n))
+        cq, ck, cv = _qkv(bp_c["attn"], cfg, cond_n)
+        cq, ck = _rope_qk(cq, ck, rope_cond)
+        streams_q.append(cq)
+        streams_k.append(ck)
+        streams_v.append(cv)
+    outs = joint_attention(streams_q, streams_k, streams_v, bias=bias, impl=attn_impl)
+    hidden = hidden + gate[:, None, :] * linear(bp["out"], jnp.concatenate([_unheads(outs[0]), mlp], axis=-1))
+    if use_cond:
+        cond = cond + c_gate[:, None, :] * linear(
+            bp_c["out"], jnp.concatenate([_unheads(outs[1]), cond_mlp], axis=-1)
+        )
+    return hidden, cond
+
+
+def flux_dit_apply(
+    params,
+    cfg: FluxDiTConfig,
+    img: jnp.ndarray,  # (B, L_img, in_channels) packed latents
+    txt: jnp.ndarray,  # (B, L_txt, text_dim) T5 states
+    pooled: jnp.ndarray,  # (B, pooled_dim) CLIP pooled
+    timestep: jnp.ndarray,  # (B,) in [0, 1]
+    img_ids: jnp.ndarray,  # (L_img, 3)
+    txt_ids: jnp.ndarray,  # (L_txt, 3)
+    guidance: jnp.ndarray | None = None,  # (B,) distilled-guidance scale
+    cond: jnp.ndarray | None = None,  # (B, L_cond, in_channels)
+    cond_ids: jnp.ndarray | None = None,  # (L_cond, 3)
+    c_t: float = 0.0,
+    union_cond_attn: bool = True,
+    add_cond_attn: bool = False,
+    c_factor: float | None = None,
+    attn_impl: str = "xla",
+    remat: bool = False,
+    cond_params=None,
+) -> jnp.ndarray:
+    """Predict rectified-flow velocity for the packed image tokens.
+
+    Returns (B, L_img, in_channels)."""
+    from .rope import rope_tables
+
+    use_cond = cond is not None
+    flags = {"add_cond_attn": add_cond_attn}
+    dtype = img.dtype
+
+    img = linear(params["img_in"], img)
+    txt = linear(params["txt_in"], txt)
+    cp = params if cond_params is None else cond_params
+    cond_h = linear(cp["img_in"], cond) if use_cond else None
+
+    t_feat = timestep_embedding(timestep * 1000.0, cfg.time_freq_dim)
+    temb = _mlp_embed(params["time_in"], t_feat.astype(dtype))
+    temb = temb + _mlp_embed(params["vector_in"], pooled.astype(dtype))
+    if cfg.guidance_embeds:
+        assert guidance is not None, "FLUX.1-dev requires a guidance scale"
+        g_feat = timestep_embedding(guidance * 1000.0, cfg.time_freq_dim)
+        temb = temb + _mlp_embed(params["guidance_in"], g_feat.astype(dtype))
+
+    cond_temb = None
+    if use_cond:
+        ct = jnp.full_like(timestep, c_t)
+        cond_temb = _mlp_embed(params["time_in"], timestep_embedding(ct * 1000.0, cfg.time_freq_dim).astype(dtype))
+        cond_temb = cond_temb + _mlp_embed(params["vector_in"], pooled.astype(dtype))
+        if cfg.guidance_embeds:
+            ones = jnp.ones_like(timestep)
+            cond_temb = cond_temb + _mlp_embed(
+                params["guidance_in"], timestep_embedding(ones * 1000.0, cfg.time_freq_dim).astype(dtype)
+            )
+
+    main_ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+    rope_main = rope_tables(main_ids, cfg.axes_dims_rope, cfg.rope_theta)
+    rope_cond = rope_tables(cond_ids, cfg.axes_dims_rope, cfg.rope_theta) if use_cond else None
+
+    L_main = img.shape[1] + txt.shape[1]
+    L_cond = cond_h.shape[1] if use_cond else 0
+    bias = cond_attention_bias(L_main + L_cond, L_cond, union_cond_attn, c_factor) if use_cond else None
+
+    # --- double-stream blocks (scan over stacked params) ---
+    def double_body(carry, bps):
+        bp, bp_c = bps
+        img, txt, cond_h = carry
+        img, txt, cond_h = _double_block_apply(
+            bp, cfg, img, txt, cond_h, temb, cond_temb, rope_main, rope_cond, bias, flags, attn_impl,
+            bp_c=bp_c,
+        )
+        return (img, txt, cond_h), None
+
+    body_d = jax.checkpoint(double_body) if remat else double_body
+    if use_cond:
+        (img, txt, cond_h), _ = jax.lax.scan(
+            body_d, (img, txt, cond_h), (params["double_blocks"], cp["double_blocks"])
+        )
+    else:
+        def double_body_nc(carry, bp):
+            (i, t), _ = carry, None
+            i2, t2, _ = _double_block_apply(bp, cfg, i, t, None, temb, None, rope_main, None, None, flags, attn_impl)
+            return (i2, t2), None
+
+        body_d = jax.checkpoint(double_body_nc) if remat else double_body_nc
+        (img, txt), _ = jax.lax.scan(body_d, (img, txt), params["double_blocks"])
+
+    hidden = jnp.concatenate([txt, img], axis=1)
+
+    # --- single-stream blocks ---
+    if use_cond:
+        def single_body(carry, bps):
+            bp, bp_c = bps
+            h, c = carry
+            h, c = _single_block_apply(
+                bp, cfg, h, c, temb, cond_temb, rope_main, rope_cond, bias, flags, attn_impl, bp_c=bp_c
+            )
+            return (h, c), None
+
+        body_s = jax.checkpoint(single_body) if remat else single_body
+        (hidden, cond_h), _ = jax.lax.scan(
+            body_s, (hidden, cond_h), (params["single_blocks"], cp["single_blocks"])
+        )
+    else:
+        def single_body_nc(h, bp):
+            h, _ = _single_block_apply(bp, cfg, h, None, temb, None, rope_main, None, None, flags, attn_impl)
+            return h, None
+
+        body_s = jax.checkpoint(single_body_nc) if remat else single_body_nc
+        hidden, _ = jax.lax.scan(body_s, hidden, params["single_blocks"])
+
+    img = hidden[:, txt.shape[1] :]
+    # final AdaLN (scale-first chunk order, matching loaded weights)
+    sc, sh = _mod(params["final_mod"], temb, 2)
+    img = layer_norm(img) * (1.0 + sc[:, None, :]) + sh[:, None, :]
+    return linear(params["final_proj"], img)

@@ -1,0 +1,105 @@
+"""Joint multi-stream attention.
+
+The FLUX hot op: one attention over the concatenated [txt | img | cond]
+token streams (~512 + 4096 + 1024 tokens at 1024px/512px-cond), with two
+optional modifiers reproducing the semantics of
+`/root/reference/train_flux/flux/block.py:106-125`:
+
+  * `union_cond_attn=False` -> block-diagonal mask: cond tokens and
+    (txt+img) tokens do not attend to each other;
+  * `c_factor != 1`        -> additive bias log(c_factor) on the
+    cond<->(txt+img) cross blocks.
+
+The XLA path below is a single fused SDPA (XLA:TPU emits a flash-style
+fused softmax-matmul chain for this pattern). A hand-written Pallas flash
+kernel lives in `ops.pallas_attention` and is selected via `impl=`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Scaled dot-product attention.
+
+    Args:
+      q, k, v: (B, L, H, D) — length-major layout, heads second-to-last so
+        the (L, D) matmul panels tile onto the MXU.
+      bias: optional additive bias broadcastable to (B, H, Lq, Lk); -inf
+        entries mask.
+
+    Returns (B, L, H, D), same dtype as q.
+    """
+    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    logits = logits * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+@functools.lru_cache(maxsize=64)
+def _cond_bias_template(total_len: int, cond_len: int, masked: bool) -> jnp.ndarray:
+    """(1, 1, L, L) bias separating the last `cond_len` tokens from the rest.
+
+    masked=True  -> -inf on the cross blocks (union_cond_attn=False)
+    masked=False -> returns zeros template to be scaled by log(c_factor).
+    """
+    main_len = total_len - cond_len
+    is_cond = jnp.arange(total_len) >= main_len
+    cross = is_cond[:, None] != is_cond[None, :]
+    fill = jnp.float32(-jnp.inf if masked else 1.0)
+    bias = jnp.where(cross, fill, 0.0).astype(jnp.float32)
+    return bias[None, None]
+
+
+def cond_attention_bias(
+    total_len: int,
+    cond_len: int,
+    union_cond_attn: bool = True,
+    c_factor: float | jnp.ndarray | None = None,
+) -> jnp.ndarray | None:
+    """Build the (1,1,L,L) additive bias for the joint attention, or None."""
+    if cond_len == 0:
+        return None
+    if not union_cond_attn:
+        return _cond_bias_template(total_len, cond_len, masked=True)
+    if c_factor is not None:
+        log_c = jnp.log(jnp.asarray(c_factor, jnp.float32))
+        return _cond_bias_template(total_len, cond_len, masked=False) * log_c
+    return None
+
+
+def joint_attention(
+    streams_q: list[jnp.ndarray],
+    streams_k: list[jnp.ndarray],
+    streams_v: list[jnp.ndarray],
+    bias: jnp.ndarray | None = None,
+    impl: str = "xla",
+) -> list[jnp.ndarray]:
+    """Attention over concatenated streams, outputs re-split per stream.
+
+    Each stream tensor is (B, L_i, H, D). Concat order is the caller's
+    responsibility (FLUX: [txt, img] then [txt, img, cond]).
+    """
+    lens = [s.shape[1] for s in streams_q]
+    q = jnp.concatenate(streams_q, axis=1) if len(streams_q) > 1 else streams_q[0]
+    k = jnp.concatenate(streams_k, axis=1) if len(streams_k) > 1 else streams_k[0]
+    v = jnp.concatenate(streams_v, axis=1) if len(streams_v) > 1 else streams_v[0]
+    if impl == "pallas":
+        from .pallas_attention import flash_attention
+
+        out = flash_attention(q, k, v, bias=bias)
+    else:
+        out = sdpa(q, k, v, bias=bias)
+    outs = []
+    off = 0
+    for L in lens:
+        outs.append(out[:, off : off + L])
+        off += L
+    return outs

@@ -1,0 +1,86 @@
+"""Reflection generators.
+
+Capability parity with the reference's two reflection backends
+(`/root/reference/tts/tts_reflectionflow.py:196-239`): GPT-4o via the
+OpenAI API, or a finetuned Qwen2.5-VL served over HTTP. Here:
+
+  * `openai` — any OpenAI-compatible endpoint (incl. a local server);
+  * `local_qwen` — the colocated JAX Qwen2.5-VL generation graph
+    (`models.qwen_vl`) — no HTTP round-trip;
+  * `fake` — deterministic strings for hermetic tests.
+
+All backends preserve input order and never drop entries (failures return
+empty-string reflections + a warning, not a shorter list).
+"""
+
+from __future__ import annotations
+
+import abc
+import hashlib
+from typing import Sequence
+
+import numpy as np
+
+
+class Reflector(abc.ABC):
+    @abc.abstractmethod
+    def generate(
+        self,
+        images: Sequence[np.ndarray],
+        original_prompts: Sequence[str],
+        current_prompts: Sequence[str],
+        prev_reflections: Sequence[str] | None = None,
+        evaluations: Sequence[str] | None = None,
+        max_new_tokens: int | None = None,
+    ) -> list[str]:
+        ...
+
+
+class FakeReflector(Reflector):
+    def generate(self, images, original_prompts, current_prompts, prev_reflections=None, evaluations=None, max_new_tokens=None):
+        out = []
+        for img, prompt in zip(images, original_prompts):
+            h = hashlib.sha1(np.ascontiguousarray(img).tobytes() + prompt.encode()).hexdigest()[:8]
+            out.append(f"The image misses details of '{prompt}'; emphasize them next round (ref {h}).")
+        return out
+
+
+class OpenAIReflector(Reflector):
+    def __init__(self, **kw):
+        from ..verifiers.openai_backend import OpenAICompatVerifier
+
+        self.backend = OpenAICompatVerifier(**kw)
+
+    def generate(self, images, original_prompts, current_prompts, prev_reflections=None, evaluations=None, max_new_tokens=None):
+        return self.backend.generate_reflections(
+            images, original_prompts, current_prompts, prev_reflections, evaluations, max_new_tokens
+        )
+
+
+class LocalQwenReflector(Reflector):
+    """Colocated JAX Qwen2.5-VL reflection generator (replaces the
+    llamafactory HTTP server at `tts_reflectionflow.py:24,231`)."""
+
+    def __init__(self, model, max_new_tokens: int = 256):
+        self.model = model  # models.qwen_vl.QwenVLGenerator
+        self.max_new_tokens = max_new_tokens
+
+    def generate(self, images, original_prompts, current_prompts, prev_reflections=None, evaluations=None, max_new_tokens=None):
+        prompts = [
+            (
+                f"You generated an image for the prompt: '{orig}'. Identify what is wrong or "
+                "missing in the image relative to the prompt and give concrete instructions to fix it."
+            )
+            for orig in original_prompts
+        ]
+        return self.model.generate(images=list(images), prompts=prompts, max_new_tokens=max_new_tokens or self.max_new_tokens)
+
+
+def load_reflector(backend: str, **kw) -> Reflector:
+    if backend == "fake":
+        return FakeReflector()
+    if backend == "openai":
+        return OpenAIReflector(**kw)
+    if backend == "local_qwen":
+        return LocalQwenReflector(**kw)
+    raise ValueError(f"unknown reflector backend: {backend}")

@@ -1,0 +1,172 @@
+"""FluxPipeline: weights + tokenizers + the jitted sampling core.
+
+The user-facing object with capability parity to the reference's
+diffusers `FluxPipeline` usage plus the conditioned `generate()`
+(`/root/reference/train_flux/flux/generate.py:75`): text encoding (T5
+sequence + CLIP pooled), packed-latent preparation, dynamic-shift schedule,
+conditioned Euler loop, VAE decode. Prompt suffixing for reflections
+(`"{prompt} [Reflexion]: {reflection}"`) happens in the search layer.
+
+All heavy compute is jitted with shapes fixed per (resolution, steps,
+batch) triple, so round k>1 reuses the compiled executable.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CLIPTextConfig, FluxDiTConfig, FluxVAEConfig, T5Config
+from ..models.flux.dit import flux_dit_init
+from ..models.flux.latents import draw_packed_noise, latent_tokens, unpack_latents
+from ..models.flux.rope import make_image_ids, make_text_ids
+from ..models.flux.text import clip_text_encode, clip_text_init, t5_encode, t5_encoder_init
+from ..models.flux.vae import vae_decode, vae_init
+from ..utils.tokenizers import load_tokenizer
+from .condition import Condition, encode_conditions
+from .generate import denoise, make_schedule
+
+
+@dataclass
+class FluxPipeline:
+    dit_cfg: FluxDiTConfig
+    vae_cfg: FluxVAEConfig
+    t5_cfg: T5Config
+    clip_cfg: CLIPTextConfig
+    params: dict  # {"dit":..., "vae":..., "t5":..., "clip":...}
+    t5_tokenizer: Any
+    clip_tokenizer: Any
+    dtype: Any = jnp.bfloat16
+    model_flags: dict = field(default_factory=dict)  # union_cond_attn / add_cond_attn
+    attn_impl: str = "xla"
+
+    # -- construction -------------------------------------------------------
+
+    @classmethod
+    def random_init(
+        cls,
+        key: jax.Array,
+        dit_cfg: FluxDiTConfig | None = None,
+        vae_cfg: FluxVAEConfig | None = None,
+        t5_cfg: T5Config | None = None,
+        clip_cfg: CLIPTextConfig | None = None,
+        dtype=jnp.bfloat16,
+        tokenizer_path: str | None = None,
+    ) -> "FluxPipeline":
+        """Random weights at the given configs (tests / synthetic benchmarks)."""
+        dit_cfg = dit_cfg or FluxDiTConfig()
+        vae_cfg = vae_cfg or FluxVAEConfig()
+        t5_cfg = t5_cfg or T5Config()
+        clip_cfg = clip_cfg or CLIPTextConfig()
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        params = {
+            "dit": flux_dit_init(k1, dit_cfg, dtype),
+            "vae": vae_init(k2, vae_cfg, dtype),
+            "t5": t5_encoder_init(k3, t5_cfg, dtype),
+            "clip": clip_text_init(k4, clip_cfg, dtype),
+        }
+        return cls(
+            dit_cfg=dit_cfg,
+            vae_cfg=vae_cfg,
+            t5_cfg=t5_cfg,
+            clip_cfg=clip_cfg,
+            params=params,
+            t5_tokenizer=load_tokenizer(tokenizer_path, "t5", t5_cfg.vocab_size, 1),
+            clip_tokenizer=load_tokenizer(tokenizer_path, "clip", clip_cfg.vocab_size, clip_cfg.eos_token_id),
+            dtype=dtype,
+        )
+
+    @classmethod
+    def from_pretrained(cls, model_dir: str, dtype=jnp.bfloat16, **kw) -> "FluxPipeline":
+        """Load a local HF FLUX snapshot (safetensors) — see utils.hf_loader."""
+        from ..utils.hf_loader import load_flux_pipeline
+
+        return load_flux_pipeline(cls, model_dir, dtype=dtype, **kw)
+
+    # -- text ---------------------------------------------------------------
+
+    def encode_prompts(self, prompts: Sequence[str], max_sequence_length: int = 512):
+        """-> (txt (B, L, text_dim), pooled (B, pooled_dim)), on device.
+
+        T5 for the sequence stream, CLIP for the pooled AdaLN vector —
+        semantics of `pipeline_tools.prepare_text_input`
+        (/root/reference/train_flux/flux/pipeline_tools.py:33-52)."""
+        t5_in = self.t5_tokenizer(list(prompts), max_length=max_sequence_length)
+        txt = t5_encode(self.params["t5"], self.t5_cfg, jnp.asarray(t5_in["input_ids"]))
+        clip_in = self.clip_tokenizer(list(prompts), max_length=self.clip_cfg.max_position_embeddings)
+        _, pooled = clip_text_encode(self.params["clip"], self.clip_cfg, jnp.asarray(clip_in["input_ids"]))
+        return txt.astype(self.dtype), pooled.astype(self.dtype)
+
+    # -- generation ---------------------------------------------------------
+
+    def generate(
+        self,
+        prompts: Sequence[str],
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: int = 30,
+        guidance_scale: float = 3.5,
+        max_sequence_length: int = 512,
+        seed: int | None = 0,
+        latents: jnp.ndarray | None = None,
+        conditions: list[Condition] | None = None,
+        condition_scale: float = 1.0,
+        image_guidance_scale: float = 1.0,
+        output_type: str = "np",
+    ):
+        """Sample images. Returns uint8 images (B, H, W, 3) for 'np', raw
+        packed latents for 'latent'.
+
+        `latents` injection (packed (B, L, C)) bypasses seeding — the
+        determinism contract: same latents -> same images."""
+        B = len(prompts)
+        down = self.vae_cfg.downscale
+        ty, tx = latent_tokens(height, width, down)
+        if latents is None:
+            latents = draw_packed_noise(
+                jax.random.PRNGKey(seed), B, height, width, self.vae_cfg.latent_channels, self.dtype,
+                vae_downscale=down,
+            )
+        txt, pooled = self.encode_prompts(prompts, max_sequence_length)
+        img_ids = jnp.asarray(make_image_ids(ty, tx))
+        txt_ids = jnp.asarray(make_text_ids(txt.shape[1]))
+        sigmas = make_schedule(num_inference_steps, ty * tx)
+
+        cond = cond_ids = cond_empty = None
+        if conditions:
+            cond, cond_ids = encode_conditions(conditions, self.params["vae"], self.vae_cfg, self.dtype)
+            if image_guidance_scale != 1.0:
+                cond_empty, _ = encode_conditions(
+                    conditions, self.params["vae"], self.vae_cfg, self.dtype, empty=True
+                )
+
+        final = denoise(
+            self.params["dit"],
+            self.dit_cfg,
+            latents.astype(self.dtype),
+            txt,
+            pooled,
+            img_ids,
+            txt_ids,
+            sigmas,
+            jnp.asarray(guidance_scale, jnp.float32),
+            num_inference_steps,
+            cond=cond,
+            cond_ids=cond_ids,
+            cond_empty=cond_empty,
+            image_guidance_scale=image_guidance_scale,
+            c_factor=None if condition_scale == 1.0 else jnp.asarray(condition_scale, jnp.float32),
+            union_cond_attn=self.model_flags.get("union_cond_attn", True),
+            add_cond_attn=self.model_flags.get("add_cond_attn", False),
+            attn_impl=self.attn_impl,
+        )
+        if output_type == "latent":
+            return final
+        grid = unpack_latents(final, ty, tx)
+        images = vae_decode(self.params["vae"]["decoder"], self.vae_cfg, grid)
+        images = jnp.clip((images.astype(jnp.float32) + 1.0) * 127.5, 0, 255)
+        return np.asarray(jax.device_get(images)).astype(np.uint8)

@@ -1,0 +1,55 @@
+"""Structured per-phase timing spans.
+
+Replaces the reference's ad-hoc `time.time()` prints
+(`/root/reference/tts/tts_reflectionflow.py:142,171-172`) with a span
+recorder that can be summarized (p50/p90) and dumped as JSON, and hooks into
+`jax.profiler` traces when requested.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+
+@dataclass
+class PhaseTimer:
+    spans: dict[str, list[float]] = field(default_factory=lambda: defaultdict(list))
+    trace: bool = False
+
+    @contextlib.contextmanager
+    def span(self, name: str):
+        ctx = contextlib.nullcontext()
+        if self.trace:
+            import jax
+
+            ctx = jax.profiler.TraceAnnotation(name)
+        t0 = time.perf_counter()
+        with ctx:
+            yield
+        self.spans[name].append(time.perf_counter() - t0)
+
+    def percentile(self, name: str, q: float) -> float:
+        xs = sorted(self.spans.get(name, []))
+        if not xs:
+            return float("nan")
+        idx = min(len(xs) - 1, int(round(q / 100.0 * (len(xs) - 1))))
+        return xs[idx]
+
+    def summary(self) -> dict:
+        return {
+            name: {
+                "count": len(xs),
+                "total_s": sum(xs),
+                "p50_s": self.percentile(name, 50),
+                "p90_s": self.percentile(name, 90),
+            }
+            for name, xs in self.spans.items()
+        }
+
+    def dump(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.summary(), f, indent=2)

@@ -1,0 +1,132 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reflectionflow_tpu.config import FluxDiTConfig
+from reflectionflow_tpu.lora import (
+    corrector_target_paths,
+    fold_lora,
+    lora_init,
+    lora_param_count,
+    make_dit_param_views,
+)
+from reflectionflow_tpu.lora.lora import convert_diffusers_lora
+from reflectionflow_tpu.models.flux.dit import flux_dit_apply, flux_dit_init
+from reflectionflow_tpu.models.flux.rope import make_image_ids, make_text_ids
+
+CFG = FluxDiTConfig.tiny()
+
+
+def _inputs(B=1, Lt=4, Li=16):
+    return dict(
+        img=jax.random.normal(jax.random.PRNGKey(1), (B, Li, CFG.in_channels)),
+        txt=jax.random.normal(jax.random.PRNGKey(2), (B, Lt, CFG.text_dim)),
+        pooled=jax.random.normal(jax.random.PRNGKey(3), (B, CFG.pooled_dim)),
+        timestep=jnp.array([0.5] * B),
+        img_ids=jnp.asarray(make_image_ids(4, 4)),
+        txt_ids=jnp.asarray(make_text_ids(Lt)),
+        guidance=jnp.array([3.5] * B),
+    )
+
+
+def test_init_covers_targets_and_zero_effect(key):
+    params = flux_dit_init(jax.random.PRNGKey(0), CFG)
+    lora = lora_init(key, params, r=4, alpha=4)
+    assert len(lora["adapters"]) == len(corrector_target_paths())
+    assert lora_param_count(lora) > 0
+    # B = 0 -> fold is identity
+    folded = fold_lora(params, lora)
+    for (p1, a), (p2, b) in zip(
+        jax.tree_util.tree_flatten_with_path(params)[0][:5],
+        jax.tree_util.tree_flatten_with_path(folded)[0][:5],
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def _nonzero_lora(params, key):
+    lora = lora_init(key, params, r=4, alpha=4)
+    lora["adapters"] = jax.tree.map(
+        lambda x: x + 0.05 * jax.random.normal(key, x.shape), lora["adapters"]
+    )
+    return lora
+
+
+def test_fold_changes_only_targets(key):
+    params = flux_dit_init(jax.random.PRNGKey(0), CFG)
+    lora = _nonzero_lora(params, key)
+    folded = fold_lora(params, lora)
+    # txt-side weights untouched
+    np.testing.assert_array_equal(
+        np.asarray(params["double_blocks"]["attn"]["txt_q"]["w"]),
+        np.asarray(folded["double_blocks"]["attn"]["txt_q"]["w"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(params["txt_in"]["w"]), np.asarray(folded["txt_in"]["w"])
+    )
+    # img-side adapted
+    assert not np.array_equal(
+        np.asarray(params["double_blocks"]["attn"]["q"]["w"]),
+        np.asarray(folded["double_blocks"]["attn"]["q"]["w"]),
+    )
+    assert not np.array_equal(np.asarray(params["img_in"]["w"]), np.asarray(folded["img_in"]["w"]))
+
+
+def test_latent_lora_false_img_stream_unaffected(key):
+    """With latent_lora=False the adapter must act ONLY through the condition
+    stream: a no-cond forward is identical to base."""
+    params = flux_dit_init(jax.random.PRNGKey(0), CFG)
+    lora = _nonzero_lora(params, key)
+    main, cond_view = make_dit_param_views(params, lora, latent_lora=False)
+    inputs = _inputs()
+    base = flux_dit_apply(params, CFG, **inputs)
+    adapted = flux_dit_apply(main, CFG, **inputs, cond_params=cond_view)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(adapted), atol=1e-6)
+
+    # but WITH a condition the adapter changes the output
+    cond = jax.random.normal(jax.random.PRNGKey(7), (1, 4, CFG.in_channels))
+    cond_ids = jnp.asarray(make_image_ids(2, 2, position_delta=(0, -2)))
+    out_base = flux_dit_apply(params, CFG, **inputs, cond=cond, cond_ids=cond_ids)
+    out_adapted = flux_dit_apply(
+        main, CFG, **inputs, cond=cond, cond_ids=cond_ids, cond_params=cond_view
+    )
+    assert not np.allclose(np.asarray(out_base), np.asarray(out_adapted), atol=1e-5)
+
+
+def test_latent_lora_true_affects_everything(key):
+    params = flux_dit_init(jax.random.PRNGKey(0), CFG)
+    lora = _nonzero_lora(params, key)
+    main, cond_view = make_dit_param_views(params, lora, latent_lora=True)
+    inputs = _inputs()
+    base = flux_dit_apply(params, CFG, **inputs)
+    adapted = flux_dit_apply(main, CFG, **inputs, cond_params=cond_view)
+    assert not np.allclose(np.asarray(base), np.asarray(adapted), atol=1e-5)
+
+
+def test_lora_scale_linearity(key):
+    params = flux_dit_init(jax.random.PRNGKey(0), CFG)
+    lora = _nonzero_lora(params, key)
+    f1 = fold_lora(params, lora, scale=1.0)
+    f2 = fold_lora(params, lora, scale=2.0)
+    d1 = np.asarray(f1["img_in"]["w"]) - np.asarray(params["img_in"]["w"])
+    d2 = np.asarray(f2["img_in"]["w"]) - np.asarray(params["img_in"]["w"])
+    np.testing.assert_allclose(d2, 2 * d1, rtol=1e-5, atol=1e-7)
+
+
+def test_convert_diffusers_lora_roundtrip():
+    """Synthesize a diffusers-style LoRA state dict and convert."""
+    rng = np.random.default_rng(0)
+    r, H = 4, CFG.hidden_size
+    sd = {}
+    for i in range(CFG.num_double_blocks):
+        sd[f"transformer.transformer_blocks.{i}.attn.to_q.lora_A.weight"] = rng.normal(size=(r, H)).astype(np.float32)
+        sd[f"transformer.transformer_blocks.{i}.attn.to_q.lora_B.weight"] = rng.normal(size=(H, r)).astype(np.float32)
+    sd["transformer.x_embedder.lora_A.weight"] = rng.normal(size=(r, CFG.in_channels)).astype(np.float32)
+    sd["transformer.x_embedder.lora_B.weight"] = rng.normal(size=(H, r)).astype(np.float32)
+    lora = convert_diffusers_lora(sd, CFG.num_double_blocks, CFG.num_single_blocks, alpha=r)
+    assert lora["_r"] == r
+    A = lora["adapters"]["double_blocks/attn/q/w"]["A"]
+    assert A.shape == (CFG.num_double_blocks, H, r)
+    np.testing.assert_array_equal(
+        A[1], sd["transformer.transformer_blocks.1.attn.to_q.lora_A.weight"].T
+    )
+    assert lora["adapters"]["img_in/w"]["A"].shape == (CFG.in_channels, r)

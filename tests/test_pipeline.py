@@ -1,0 +1,85 @@
+"""End-to-end tiny-pipeline tests: determinism (same latents -> same images)
+and the conditioned/image-CFG paths — BASELINE config #1's hermetic analogue."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reflectionflow_tpu.config import CLIPTextConfig, FluxDiTConfig, FluxVAEConfig, T5Config
+from reflectionflow_tpu.sampler.condition import Condition, cot_position_delta
+from reflectionflow_tpu.sampler.pipeline import FluxPipeline
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    return FluxPipeline.random_init(
+        jax.random.PRNGKey(0),
+        dit_cfg=FluxDiTConfig.tiny(),
+        vae_cfg=FluxVAEConfig.tiny(),
+        t5_cfg=T5Config.tiny(),
+        clip_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+
+
+SIZE = 16  # tiny VAE downscale=2, so 16px -> 8x8 latent -> 4x4=16 tokens
+
+
+def test_generate_shapes_and_determinism(pipe):
+    imgs1 = pipe.generate(["a cat", "a dog"], height=SIZE, width=SIZE, num_inference_steps=2, seed=7)
+    imgs2 = pipe.generate(["a cat", "a dog"], height=SIZE, width=SIZE, num_inference_steps=2, seed=7)
+    assert imgs1.shape == (2, SIZE, SIZE, 3)
+    assert imgs1.dtype == np.uint8
+    np.testing.assert_array_equal(imgs1, imgs2)
+    imgs3 = pipe.generate(["a cat", "a dog"], height=SIZE, width=SIZE, num_inference_steps=2, seed=8)
+    assert not np.array_equal(imgs1, imgs3)
+
+
+def test_injected_latents_contract(pipe):
+    lat = pipe.generate(["x"], height=SIZE, width=SIZE, num_inference_steps=2, seed=3, output_type="latent")
+    assert lat.shape == (1, 16, 4 * pipe.vae_cfg.latent_channels)
+    from reflectionflow_tpu.models.flux.latents import draw_packed_noise
+
+    noise = draw_packed_noise(
+        jax.random.PRNGKey(3), 1, SIZE, SIZE, pipe.vae_cfg.latent_channels, jnp.float32,
+        vae_downscale=pipe.vae_cfg.downscale,
+    )
+    lat2 = pipe.generate(["x"], height=SIZE, width=SIZE, num_inference_steps=2, latents=noise, output_type="latent")
+    np.testing.assert_array_equal(np.asarray(lat), np.asarray(lat2))
+
+
+def test_conditioned_generation(pipe):
+    cond_img = (np.random.default_rng(0).random((8, 8, 3)) * 255).astype(np.uint8)
+    conds = [Condition("cot", cond_img, position_delta=cot_position_delta(8))]
+    base = pipe.generate(["x"], height=SIZE, width=SIZE, num_inference_steps=2, seed=1)
+    out = pipe.generate(["x"], height=SIZE, width=SIZE, num_inference_steps=2, seed=1, conditions=conds)
+    assert out.shape == base.shape
+    assert not np.array_equal(base, out)
+
+
+def test_image_cfg_path(pipe):
+    cond_img = (np.random.default_rng(0).random((8, 8, 3)) * 255).astype(np.uint8)
+    conds = [Condition("cot", cond_img, position_delta=cot_position_delta(8))]
+    out1 = pipe.generate(["x"], height=SIZE, width=SIZE, num_inference_steps=2, seed=1, conditions=conds)
+    out2 = pipe.generate(
+        ["x"], height=SIZE, width=SIZE, num_inference_steps=2, seed=1, conditions=conds,
+        image_guidance_scale=1.5,
+    )
+    assert not np.array_equal(out1, out2)
+    # igs -> 1.0 in the doubled-batch path must reduce to the conditional pred
+    out3 = pipe.generate(
+        ["x"], height=SIZE, width=SIZE, num_inference_steps=2, seed=1, conditions=conds,
+        image_guidance_scale=1.0 + 1e-9,
+    )
+    np.testing.assert_allclose(out1.astype(np.int32), out3.astype(np.int32), atol=1)
+
+
+def test_condition_scale_c_factor(pipe):
+    cond_img = (np.random.default_rng(0).random((8, 8, 3)) * 255).astype(np.uint8)
+    conds = [Condition("cot", cond_img, position_delta=cot_position_delta(8))]
+    out1 = pipe.generate(["x"], height=SIZE, width=SIZE, num_inference_steps=2, seed=1, conditions=conds)
+    out2 = pipe.generate(
+        ["x"], height=SIZE, width=SIZE, num_inference_steps=2, seed=1, conditions=conds, condition_scale=2.0
+    )
+    assert not np.array_equal(out1, out2)
