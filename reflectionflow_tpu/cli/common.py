@@ -1,0 +1,128 @@
+"""Shared CLI plumbing for the tts_* entry points.
+
+Flag surface mirrors `/root/reference/tts/utils.py:24-67`
+(--pipeline_config_path / --start_index / --end_index / --imgpath /
+--output_dir / --meta_path) plus TPU-framework extras (--synthetic_weights
+for hermetic smoke runs, --seed, --mesh).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+
+from ..config import TTSConfig
+from ..reflect import load_reflector, load_refiner
+from ..sampler.pipeline import FluxPipeline
+from ..verifiers import load_verifier
+
+
+def build_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--pipeline_config_path", type=str, required=True)
+    p.add_argument("--start_index", type=int, default=0)
+    p.add_argument("--end_index", type=int, default=-1)
+    p.add_argument("--imgpath", type=str, default="")
+    p.add_argument("--output_dir", type=str, default=None)
+    p.add_argument("--meta_path", type=str, default="meta.jsonl", help="GenEval-style prompt metadata jsonl")
+    p.add_argument("--prompt", type=str, default=None, help="single prompt override (skips meta_path)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic_weights", action="store_true", help="random tiny weights (smoke runs, no model files)")
+    p.add_argument("--attn_impl", type=str, default="xla", choices=["xla", "pallas"])
+    return p
+
+
+def load_config(args) -> TTSConfig:
+    overrides = {}
+    if args.output_dir:
+        overrides["output_dir"] = args.output_dir
+    return TTSConfig.load(args.pipeline_config_path, overrides)
+
+
+def load_prompts(args) -> list[dict]:
+    if args.prompt is not None:
+        return [{"prompt": args.prompt, "tag": None}]
+    rows = []
+    with open(args.meta_path) as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                rows.append(json.loads(line))
+    end = args.end_index if args.end_index >= 0 else len(rows)
+    return rows[args.start_index : end]
+
+
+def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
+    if args.synthetic_weights:
+        from ..config import CLIPTextConfig, FluxDiTConfig, FluxVAEConfig, T5Config
+
+        pipe = FluxPipeline.random_init(
+            jax.random.PRNGKey(0),
+            dit_cfg=FluxDiTConfig.tiny(),
+            vae_cfg=FluxVAEConfig.tiny(),
+            t5_cfg=T5Config.tiny(),
+            clip_cfg=CLIPTextConfig.tiny(),
+            dtype=jnp.float32,
+        )
+    else:
+        pipe = FluxPipeline.from_pretrained(cfg.pretrained_model_name_or_path, dtype=cfg.pipeline_args.dtype)
+    pipe.model_flags = {
+        "union_cond_attn": cfg.model.union_cond_attn,
+        "add_cond_attn": cfg.model.add_cond_attn,
+    }
+    pipe.attn_impl = args.attn_impl
+    if cfg.pipeline_args.lora_path and not args.synthetic_weights:
+        from safetensors.numpy import load_file
+
+        from ..lora.lora import convert_diffusers_lora
+
+        sd = load_file(cfg.pipeline_args.lora_path)
+        lora = convert_diffusers_lora(
+            sd, pipe.dit_cfg.num_double_blocks, pipe.dit_cfg.num_single_blocks
+        )
+        from ..lora.lora import make_dit_param_views
+
+        main, cond_view = make_dit_param_views(pipe.params["dit"], lora, latent_lora=False)
+        pipe.params["dit"] = main
+        pipe.cond_dit_params = cond_view
+    return pipe
+
+
+def build_verifier(cfg: TTSConfig):
+    va = cfg.verifier_args
+    kw = {}
+    if va.name == "openai":
+        kw = dict(
+            verifier_prompt=va.verifier_prompt_relpath,
+            refine_prompt=va.refine_prompt_relpath,
+            reflexion_prompt=va.reflexion_prompt_relpath,
+            max_workers=va.max_workers,
+        )
+    elif va.name in ("qwen_rm", "image_verifier"):
+        kw = dict(model_path=va.model_path)
+    return load_verifier(va.name, **kw)
+
+
+def build_reflector(cfg: TTSConfig):
+    if not cfg.reflection_args.run_reflection:
+        return None
+    backend = cfg.reflection_args.backend
+    if backend == "openai":
+        return load_reflector("openai")
+    if backend == "local_qwen":
+        from ..models.qwen_vl import load_generator
+
+        return load_reflector("local_qwen", model=load_generator(cfg.verifier_args.model_path))
+    return load_reflector("fake")
+
+
+def build_refiner(cfg: TTSConfig):
+    if not cfg.prompt_refiner_args.run_refinement:
+        return None
+    backend = cfg.prompt_refiner_args.backend
+    if backend == "openai":
+        return load_refiner("openai")
+    return load_refiner("fake")

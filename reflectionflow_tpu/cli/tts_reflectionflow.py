@@ -1,0 +1,61 @@
+"""Full ReflectionFlow CLI (config #4 of BASELINE.json).
+
+Usage mirrors `/root/reference/tts/tts_reflectionflow.py`: consumes a
+stage-1 output directory via --imgpath (round-0 candidates per prompt) or
+bootstraps round 0 itself when --imgpath is omitted.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from ..search.reflectionflow import run_reflectionflow_prompt
+from ..utils.timing import PhaseTimer
+from .common import (
+    build_parser,
+    build_refiner,
+    build_reflector,
+    build_verifier,
+    load_config,
+    load_pipeline,
+    load_prompts,
+)
+
+
+def stage1_round0(imgpath: str, prompt_index: int) -> list[str] | None:
+    if not imgpath:
+        return None
+    d = os.path.join(imgpath, f"{prompt_index:05d}", "samples")
+    imgs = sorted(glob.glob(os.path.join(d, "1_round@*.png")))
+    return imgs or None
+
+
+def main(argv=None):
+    args = build_parser(__doc__).parse_args(argv)
+    cfg = load_config(args)
+    prompts = load_prompts(args)
+    pipe = load_pipeline(cfg, args)
+    verifier = build_verifier(cfg)
+    reflector = build_reflector(cfg)
+    refiner = build_refiner(cfg)
+    timer = PhaseTimer()
+    for offset, row in enumerate(prompts):
+        idx = args.start_index + offset
+        prompt = row["prompt"] if isinstance(row, dict) else row
+        tag = row.get("tag") if isinstance(row, dict) else None
+        run_reflectionflow_prompt(
+            pipe, verifier, reflector, refiner, cfg,
+            prompt_index=idx, original_prompt=prompt, tag=tag,
+            output_root=cfg.output_dir,
+            round0_images=stage1_round0(args.imgpath, idx),
+            run_seed=args.seed, timer=timer,
+        )
+    summary = timer.summary()
+    print(summary)
+    if "round" in summary:
+        print(f"p50 reflection-round latency: {summary['round']['p50_s']:.3f}s")
+
+
+if __name__ == "__main__":
+    main()

@@ -217,9 +217,10 @@ class QwenLMConfig:
 
     @staticmethod
     def tiny() -> "QwenLMConfig":
+        # head_dim = hidden/heads (HF convention); mrope sums to head_dim//2
         return QwenLMConfig(
-            vocab_size=256, hidden_size=32, intermediate_size=64, num_layers=2,
-            num_heads=4, num_kv_heads=2, head_dim=8, mrope_section=(2, 3, 3),
+            vocab_size=152000, hidden_size=32, intermediate_size=64, num_layers=2,
+            num_heads=4, num_kv_heads=2, head_dim=8, mrope_section=(1, 1, 2),
         )
 
 
@@ -255,24 +256,41 @@ class SearchArgs:
 
 @dataclass
 class VerifierArgs:
-    name: str = "fake"  # fake | qwen_rm | nvila | openai
+    name: str = "fake"  # fake | fake_nvila | qwen_rm | nvila | openai
     model_path: Optional[str] = None
+    model_name: Optional[str] = None
+    cache_dir: Optional[str] = None
     max_workers: int = 4
+    max_new_tokens: Optional[int] = None
     choice_of_metric: str = "overall_score"
+    # prompt-asset overrides (reference key names)
+    verifier_prompt_relpath: str = "verifier_prompt.txt"
+    refine_prompt_relpath: str = "refine_prompt.txt"
+    reflexion_prompt_relpath: str = "reflexion_prompt.txt"
 
 
 @dataclass
 class ReflectionArgs:
     run_reflection: bool = True
-    backend: str = "fake"  # fake | local_qwen | openai
+    name: str = "fake"  # backend: fake | local_qwen | openai
     max_retries: int = 5
     retry_delay_s: float = 2.0
+
+    @property
+    def backend(self) -> str:
+        return self.name
 
 
 @dataclass
 class RefineArgs:
     run_refinement: bool = True
-    backend: str = "fake"
+    name: str = "fake"
+    choice_of_metric: str = "overall_score"
+    max_new_tokens: Optional[int] = None
+
+    @property
+    def backend(self) -> str:
+        return self.name
 
 
 @dataclass
@@ -287,10 +305,12 @@ class TTSConfig:
     pipeline_args: PipelineArgs = field(default_factory=PipelineArgs)
     search_args: SearchArgs = field(default_factory=SearchArgs)
     verifier_args: VerifierArgs = field(default_factory=VerifierArgs)
+    refine_args: VerifierArgs = field(default_factory=VerifierArgs)  # refiner endpoint params
     reflection_args: ReflectionArgs = field(default_factory=ReflectionArgs)
     prompt_refiner_args: RefineArgs = field(default_factory=RefineArgs)
     model: ModelFlags = field(default_factory=ModelFlags)
     batch_size_for_img_gen: int = 8
+    use_low_gpu_vram: bool = False  # accepted for config compat; no TPU analogue
     output_dir: str = "output"
     pretrained_model_name_or_path: str = "black-forest-labs/FLUX.1-dev"
 
@@ -313,6 +333,7 @@ _FIELD_TYPES.update(
         (TTSConfig, "pipeline_args"): PipelineArgs,
         (TTSConfig, "search_args"): SearchArgs,
         (TTSConfig, "verifier_args"): VerifierArgs,
+        (TTSConfig, "refine_args"): VerifierArgs,
         (TTSConfig, "reflection_args"): ReflectionArgs,
         (TTSConfig, "prompt_refiner_args"): RefineArgs,
         (TTSConfig, "model"): ModelFlags,

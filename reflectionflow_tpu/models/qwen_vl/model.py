@@ -1,0 +1,127 @@
+"""Qwen2.5-VL combined model: vision embeds scattered into the token stream
++ 3D M-RoPE position ids.
+
+`get_rope_index` reproduces Qwen2.5-VL's position assignment: text tokens
+advance all three (t, h, w) streams together; each image's tokens get grid
+positions (t offset constant, h/w from the merged grid), and the stream
+resumes after the image at max_position + 1.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...config import QwenLMConfig, QwenVLVisionConfig
+from .lm import qwen_lm_apply
+from .vision import image_to_patches, qwen_vision_apply
+
+
+@dataclass(frozen=True)
+class QwenVLSpecialTokens:
+    image_pad: int = 151655
+    vision_start: int = 151652
+    vision_end: int = 151653
+    im_start: int = 151644
+    im_end: int = 151645
+    endoftext: int = 151643
+
+
+def get_rope_index(
+    input_ids: np.ndarray,  # (L,) one sequence
+    image_grids: list[tuple[int, int, int]],
+    spatial_merge_size: int,
+    image_pad_id: int,
+) -> np.ndarray:
+    """-> (3, L) position ids for one sequence (host-side, numpy)."""
+    L = len(input_ids)
+    pos = np.zeros((3, L), np.int64)
+    img_iter = iter(image_grids)
+    i = 0
+    next_pos = 0
+    while i < L:
+        if input_ids[i] == image_pad_id:
+            t, h, w = next(img_iter)
+            gh, gw = h // spatial_merge_size, w // spatial_merge_size
+            n = t * gh * gw
+            t_idx = np.repeat(np.arange(t), gh * gw)
+            h_idx = np.tile(np.repeat(np.arange(gh), gw), t)
+            w_idx = np.tile(np.arange(gw), t * gh)
+            pos[0, i : i + n] = next_pos + t_idx
+            pos[1, i : i + n] = next_pos + h_idx
+            pos[2, i : i + n] = next_pos + w_idx
+            next_pos = next_pos + max(t, gh, gw)
+            i += n
+        else:
+            pos[:, i] = next_pos
+            next_pos += 1
+            i += 1
+    return pos
+
+
+class QwenVLModel:
+    """Weights + configs for the combined model (verifier/reflector base)."""
+
+    def __init__(self, lm_params, vision_params, lm_cfg: QwenLMConfig, vis_cfg: QwenVLVisionConfig,
+                 tokens: QwenVLSpecialTokens = QwenVLSpecialTokens(), dtype=jnp.bfloat16):
+        self.lm_params = lm_params
+        self.vision_params = vision_params
+        self.lm_cfg = lm_cfg
+        self.vis_cfg = vis_cfg
+        self.tokens = tokens
+        self.dtype = dtype
+
+    @classmethod
+    def random_init(cls, key, lm_cfg=None, vis_cfg=None, dtype=jnp.float32, tokens=None):
+        from .lm import qwen_lm_init
+        from .vision import qwen_vision_init
+
+        lm_cfg = lm_cfg or QwenLMConfig.tiny()
+        vis_cfg = vis_cfg or QwenVLVisionConfig.tiny()
+        k1, k2 = jax.random.split(key)
+        return cls(
+            qwen_lm_init(k1, lm_cfg, dtype),
+            qwen_vision_init(k2, vis_cfg, dtype),
+            lm_cfg,
+            vis_cfg,
+            tokens or QwenVLSpecialTokens(),
+            dtype,
+        )
+
+    def embed_sequence(self, input_ids: np.ndarray, images: list[np.ndarray]):
+        """One sequence: token embeds with image-pad positions replaced by
+        vision embeds. Returns (embeds (1, L, H), position_ids (3, 1, L))."""
+        grids = []
+        vision_embeds = []
+        for img in images:
+            patches, grid = image_to_patches(img, self.vis_cfg)
+            emb = qwen_vision_apply(
+                self.vision_params, self.vis_cfg, jnp.asarray(patches, self.dtype), grid
+            )
+            grids.append(grid)
+            vision_embeds.append(emb)
+        ids = jnp.asarray(input_ids[None])
+        embeds = jnp.asarray(self.lm_params["embed"])[ids]  # (1, L, H)
+        if vision_embeds:
+            vis = jnp.concatenate(vision_embeds, axis=0).astype(embeds.dtype)  # (n_img_tokens, H)
+            is_pad = input_ids == self.tokens.image_pad
+            assert int(is_pad.sum()) == vis.shape[0], (
+                f"image token count mismatch: {int(is_pad.sum())} pads vs {vis.shape[0]} embeds"
+            )
+            idx = np.nonzero(is_pad)[0]
+            embeds = embeds.at[0, jnp.asarray(idx)].set(vis)
+        pos = get_rope_index(input_ids, grids, self.vis_cfg.spatial_merge_size, self.tokens.image_pad)
+        return embeds, jnp.asarray(pos[:, None, :])
+
+    def forward_hidden(self, input_ids: np.ndarray, images: list[np.ndarray]):
+        embeds, pos = self.embed_sequence(input_ids, images)
+        hidden, _ = qwen_lm_apply(self.lm_params, self.lm_cfg, embeds, pos, return_hidden=True)
+        return hidden  # (1, L, H)
+
+    def forward_logits(self, input_ids: np.ndarray, images: list[np.ndarray]):
+        embeds, pos = self.embed_sequence(input_ids, images)
+        logits, _ = qwen_lm_apply(self.lm_params, self.lm_cfg, embeds, pos)
+        return logits

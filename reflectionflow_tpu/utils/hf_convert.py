@@ -262,3 +262,77 @@ def convert_flux_vae_state(sd: dict[str, np.ndarray], cfg: FluxVAEConfig) -> dic
             "conv_out": _conv(sd, "decoder.conv_out"),
         },
     }
+
+
+# ---------------------------------------------------------------------------
+# Qwen2.5-VL (language model + vision tower)
+# ---------------------------------------------------------------------------
+
+
+def _normalize_qwen_keys(sd: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Accept both transformers layouts: `model.layers...`/`visual...` and
+    the newer `model.language_model.layers...`/`model.visual...`."""
+    out = {}
+    for k, v in sd.items():
+        k = k.replace("model.language_model.", "model.")
+        k = k.replace("model.visual.", "visual.")
+        out[k] = v
+    return out
+
+
+def convert_qwen_lm_state(sd: dict[str, np.ndarray], cfg: QwenLMConfig) -> dict:
+    sd = _normalize_qwen_keys(sd)
+    blocks = []
+    for i in range(cfg.num_layers):
+        b = f"model.layers.{i}"
+        blocks.append(
+            {
+                "ln1": {"scale": sd[f"{b}.input_layernorm.weight"]},
+                "q": _lin(sd, f"{b}.self_attn.q_proj"),
+                "k": _lin(sd, f"{b}.self_attn.k_proj"),
+                "v": _lin(sd, f"{b}.self_attn.v_proj"),
+                "o": _lin_nobias(sd, f"{b}.self_attn.o_proj"),
+                "ln2": {"scale": sd[f"{b}.post_attention_layernorm.weight"]},
+                "gate": _lin_nobias(sd, f"{b}.mlp.gate_proj"),
+                "up": _lin_nobias(sd, f"{b}.mlp.up_proj"),
+                "down": _lin_nobias(sd, f"{b}.mlp.down_proj"),
+            }
+        )
+    params = {
+        "embed": sd["model.embed_tokens.weight"],
+        "blocks": _stack(blocks),
+        "final_ln": {"scale": sd["model.norm.weight"]},
+    }
+    if "lm_head.weight" in sd and not cfg.tie_word_embeddings:
+        params["lm_head"] = _lin_nobias(sd, "lm_head")
+    return params
+
+
+def convert_qwen_vision_state(sd: dict[str, np.ndarray], cfg: QwenVLVisionConfig) -> dict:
+    sd = _normalize_qwen_keys(sd)
+    # conv3d (O, 3, tp, ps, ps) -> (3*tp*ps*ps, O), feature order (c, t, h, w)
+    conv_w = sd["visual.patch_embed.proj.weight"]
+    patch_w = conv_w.reshape(conv_w.shape[0], -1).T
+    blocks = []
+    for i in range(cfg.depth):
+        b = f"visual.blocks.{i}"
+        blocks.append(
+            {
+                "ln1": {"scale": sd[f"{b}.norm1.weight"]},
+                "qkv": _lin(sd, f"{b}.attn.qkv"),
+                "proj": _lin(sd, f"{b}.attn.proj"),
+                "ln2": {"scale": sd[f"{b}.norm2.weight"]},
+                "gate": _lin(sd, f"{b}.mlp.gate_proj"),
+                "up": _lin(sd, f"{b}.mlp.up_proj"),
+                "down": _lin(sd, f"{b}.mlp.down_proj"),
+            }
+        )
+    return {
+        "patch_embed": {"w": np.ascontiguousarray(patch_w)},
+        "blocks": _stack(blocks),
+        "merger": {
+            "ln_q": {"scale": sd["visual.merger.ln_q.weight"]},
+            "fc1": _lin(sd, "visual.merger.mlp.0"),
+            "fc2": _lin(sd, "visual.merger.mlp.2"),
+        },
+    }

@@ -1,0 +1,106 @@
+"""CLI smoke tests: the public `tts_*.py`-equivalent surface, hermetic via
+--synthetic_weights + fake verifier config."""
+
+import glob
+import json
+import os
+
+import pytest
+
+
+def write_tiny_config(path, rounds=1, branch=2, verifier="fake"):
+    cfg = {
+        "pipeline_args": {
+            "torch_dtype": "fp32",
+            "height": 16,
+            "width": 16,
+            "condition_size": 8,
+            "max_sequence_length": 16,
+            "guidance_scale": 3.5,
+            "num_inference_steps": 2,
+        },
+        "verifier_args": {"name": verifier, "choice_of_metric": "overall_score"},
+        "search_args": {"search_branch": branch, "search_rounds": rounds},
+        "model": {"union_cond_attn": True, "add_cond_attn": False, "latent_lora": False},
+        "reflection_args": {"run_reflection": True, "name": "fake"},
+        "prompt_refiner_args": {"run_refinement": True, "name": "fake"},
+        "batch_size_for_img_gen": branch,
+    }
+    with open(path, "w") as f:
+        json.dump(cfg, f)
+    return path
+
+
+def write_meta(path, prompts):
+    with open(path, "w") as f:
+        for p in prompts:
+            f.write(json.dumps({"prompt": p, "tag": "colors"}) + "\n")
+    return path
+
+
+def test_noise_scaling_cli(tmp_path):
+    from reflectionflow_tpu.cli.tts_t2i_noise_scaling import main
+
+    cfg = write_tiny_config(str(tmp_path / "cfg.json"))
+    meta = write_meta(str(tmp_path / "meta.jsonl"), ["a red dot"])
+    out = str(tmp_path / "out")
+    main([
+        "--pipeline_config_path", cfg, "--meta_path", meta, "--output_dir", out,
+        "--synthetic_weights",
+    ])
+    assert len(glob.glob(os.path.join(out, "00000", "samples", "*.png"))) == 2
+
+
+def test_reflectionflow_cli_and_filter(tmp_path):
+    from reflectionflow_tpu.cli.tts_reflectionflow import main as rf_main
+    from reflectionflow_tpu.cli.verifier_filter import main as vf_main
+
+    cfg = write_tiny_config(str(tmp_path / "cfg.json"), rounds=2)
+    meta = write_meta(str(tmp_path / "meta.jsonl"), ["a blue dot"])
+    out = str(tmp_path / "out")
+    rf_main([
+        "--pipeline_config_path", cfg, "--meta_path", meta, "--output_dir", out,
+        "--synthetic_weights",
+    ])
+    # round-0 bootstrap (2) + 2 rounds x 2
+    assert len(glob.glob(os.path.join(out, "00000", "midimg", "*.png"))) == 6
+    assert os.path.exists(os.path.join(out, "00000", "samples_best", "00000.png"))
+
+    curve = str(tmp_path / "curve")
+    vf_main([
+        "--pipeline_config_path", cfg, "--meta_path", meta, "--output_dir", curve,
+        "--imgpath", out, "--nfes", "1", "2", "4", "--synthetic_weights",
+    ])
+    assert os.path.exists(os.path.join(curve, "nfe4", "00000.png"))
+
+
+def test_noise_prompt_scaling_cli(tmp_path):
+    from reflectionflow_tpu.cli.tts_t2i_noise_prompt_scaling import main
+
+    cfg = write_tiny_config(str(tmp_path / "cfg.json"), rounds=2)
+    meta = write_meta(str(tmp_path / "meta.jsonl"), ["a dot"])
+    out = str(tmp_path / "out")
+    main([
+        "--pipeline_config_path", cfg, "--meta_path", meta, "--output_dir", out,
+        "--synthetic_weights",
+    ])
+    assert len(glob.glob(os.path.join(out, "00000", "samples", "*.png"))) == 4
+
+
+def test_train_cli_synthetic(tmp_path):
+    from reflectionflow_tpu.cli.train import main
+
+    ckpt = str(tmp_path / "ckpt")
+    cfg = {
+        "max_steps": 2,
+        "save_interval": 2,
+        "checkpoint_dir": ckpt,
+        "lora": {"r": 2, "alpha": 2},
+        "optimizer": {"name": "adamw", "lr": 0.001},
+        "data": {"batch_size": 2, "target_size": 16, "condition_size": 8},
+    }
+    cfg_path = str(tmp_path / "train.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    main(["--config", cfg_path, "--synthetic_data", "--synthetic_weights"])
+    assert os.path.exists(os.path.join(ckpt, "latest"))
