@@ -31,7 +31,10 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--prompt", type=str, default=None, help="single prompt override (skips meta_path)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic_weights", action="store_true", help="random tiny weights (smoke runs, no model files)")
-    p.add_argument("--attn_impl", type=str, default="xla", choices=["xla", "pallas"])
+    p.add_argument(
+        "--attn_impl", type=str, default="xla",
+        choices=["xla", "pallas", "pallas_interpret"],
+    )
     return p
 
 

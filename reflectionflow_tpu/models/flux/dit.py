@@ -215,7 +215,7 @@ def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rop
         streams_k.append(cond_k)
         streams_v.append(cond_v)
 
-    outs = joint_attention(streams_q, streams_k, streams_v, bias=bias, impl=attn_impl)
+    outs = joint_attention(streams_q, streams_k, streams_v, impl=attn_impl, **bias)
     joint = outs[0]
     txt_len = txt.shape[1]
     txt_attn, img_attn = joint[:, :txt_len], joint[:, txt_len:]
@@ -265,7 +265,7 @@ def _single_block_apply(bp, cfg, hidden, cond, temb, cond_temb, rope_main, rope_
         streams_q.append(cq)
         streams_k.append(ck)
         streams_v.append(cv)
-    outs = joint_attention(streams_q, streams_k, streams_v, bias=bias, impl=attn_impl)
+    outs = joint_attention(streams_q, streams_k, streams_v, impl=attn_impl, **bias)
     hidden = hidden + gate[:, None, :] * linear(bp["out"], jnp.concatenate([_unheads(outs[0]), mlp], axis=-1))
     if use_cond:
         cond = cond + c_gate[:, None, :] * linear(
@@ -333,7 +333,18 @@ def flux_dit_apply(
 
     L_main = img.shape[1] + txt.shape[1]
     L_cond = cond_h.shape[1] if use_cond else 0
-    bias = cond_attention_bias(L_main + L_cond, L_cond, union_cond_attn, c_factor) if use_cond else None
+    # two equivalent bias forms: dense for the XLA path, structural for Pallas
+    if use_cond and attn_impl.startswith("pallas"):
+        if not union_cond_attn:
+            cross = -1e30
+        elif c_factor is not None:
+            cross = float(jnp.log(jnp.asarray(c_factor)))
+        else:
+            cross = 0.0
+        bias = {"cond_len": L_cond, "cross_bias": cross, "bias": None}
+    else:
+        dense = cond_attention_bias(L_main + L_cond, L_cond, union_cond_attn, c_factor) if use_cond else None
+        bias = {"bias": dense, "cond_len": 0, "cross_bias": 0.0}
 
     # --- double-stream blocks (scan over stacked params) ---
     def double_body(carry, bps):
@@ -353,7 +364,7 @@ def flux_dit_apply(
     else:
         def double_body_nc(carry, bp):
             (i, t), _ = carry, None
-            i2, t2, _ = _double_block_apply(bp, cfg, i, t, None, temb, None, rope_main, None, None, flags, attn_impl)
+            i2, t2, _ = _double_block_apply(bp, cfg, i, t, None, temb, None, rope_main, None, bias, flags, attn_impl)
             return (i2, t2), None
 
         body_d = jax.checkpoint(double_body_nc) if remat else double_body_nc
@@ -377,7 +388,7 @@ def flux_dit_apply(
         )
     else:
         def single_body_nc(h, bp):
-            h, _ = _single_block_apply(bp, cfg, h, None, temb, None, rope_main, None, None, flags, attn_impl)
+            h, _ = _single_block_apply(bp, cfg, h, None, temb, None, rope_main, None, bias, flags, attn_impl)
             return h, None
 
         body_s = jax.checkpoint(single_body_nc) if remat else single_body_nc

@@ -81,20 +81,29 @@ def joint_attention(
     streams_v: list[jnp.ndarray],
     bias: jnp.ndarray | None = None,
     impl: str = "xla",
+    cond_len: int = 0,
+    cross_bias: float = 0.0,
 ) -> list[jnp.ndarray]:
     """Attention over concatenated streams, outputs re-split per stream.
 
     Each stream tensor is (B, L_i, H, D). Concat order is the caller's
     responsibility (FLUX: [txt, img] then [txt, img, cond]).
+
+    The cond-stream modifiers come in two equivalent forms: `bias` (dense,
+    XLA path) and (`cond_len`, `cross_bias`) (structural, Pallas path) —
+    cross_bias is added to (cond x main) logits; -1e30 masks.
     """
     lens = [s.shape[1] for s in streams_q]
     q = jnp.concatenate(streams_q, axis=1) if len(streams_q) > 1 else streams_q[0]
     k = jnp.concatenate(streams_k, axis=1) if len(streams_k) > 1 else streams_k[0]
     v = jnp.concatenate(streams_v, axis=1) if len(streams_v) > 1 else streams_v[0]
-    if impl == "pallas":
+    if impl.startswith("pallas"):
         from .pallas_attention import flash_attention
 
-        out = flash_attention(q, k, v, bias=bias)
+        out = flash_attention(
+            q, k, v, main_len=q.shape[1] - cond_len, cross_bias=cross_bias,
+            interpret=impl == "pallas_interpret",
+        )
     else:
         out = sdpa(q, k, v, bias=bias)
     outs = []

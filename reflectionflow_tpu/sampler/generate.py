@@ -37,6 +37,7 @@ from .scheduler import FlowMatchSchedule
         "add_cond_attn",
         "attn_impl",
         "num_steps",
+        "c_factor",  # static so the Pallas path can burn log(c) into the kernel
     ),
 )
 def denoise(
@@ -54,7 +55,7 @@ def denoise(
     cond_ids: jnp.ndarray | None = None,
     cond_empty: jnp.ndarray | None = None,  # (B, L_c, C) black-image tokens
     image_guidance_scale: float | jnp.ndarray = 1.0,
-    c_factor: jnp.ndarray | None = None,
+    c_factor: float | None = None,
     union_cond_attn: bool = True,
     add_cond_attn: bool = False,
     attn_impl: str = "xla",

@@ -159,7 +159,7 @@ class FluxPipeline:
             cond_ids=cond_ids,
             cond_empty=cond_empty,
             image_guidance_scale=image_guidance_scale,
-            c_factor=None if condition_scale == 1.0 else jnp.asarray(condition_scale, jnp.float32),
+            c_factor=None if condition_scale == 1.0 else float(condition_scale),
             union_cond_attn=self.model_flags.get("union_cond_attn", True),
             add_cond_attn=self.model_flags.get("add_cond_attn", False),
             attn_impl=self.attn_impl,

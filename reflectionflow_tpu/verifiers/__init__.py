@@ -17,4 +17,8 @@ def load_verifier(name: str, **kw) -> "Verifier":
         from .qwen_verifier import QwenRewardVerifier
 
         return QwenRewardVerifier(**kw)
+    if name == "nvila":
+        from .nvila import NvilaVerifier
+
+        return NvilaVerifier(**kw)
     raise ValueError(f"unknown verifier: {name}")

@@ -1,0 +1,135 @@
+"""Colocated JAX Qwen2.5-VL Image-Verifier.
+
+The public verifier API of the reference's reward model
+(`ImageVLMRewardInference.reward`, `/root/reference/reward_modeling/
+test_reward.py:142-155` as advertised in its README): images + prompts ->
+z-normalized 'VQ' scalar scores. Runs on the same accelerator as the
+generator — no HTTP round-trips.
+
+Checkpoint reconstruction mirrors the reference contract: the training
+run's `model_config.json` (pooling mode, special token, score stats) sits
+next to the adapter/`rm_head` weights.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.qwen_vl.model import QwenVLModel, QwenVLSpecialTokens
+from ..models.qwen_vl.reward import QwenRewardModel, RewardHead
+from ..models.qwen_vl.vision import image_to_patches, smart_resize
+from .base import Verifier
+
+DEFAULT_TEMPLATE = (
+    "You are presented with a generated image and its associated text caption. "
+    "Your task is to analyze the image across multiple dimensions in relation to the caption. "
+    "Rate the overall quality of the image.\nCaption: {prompt}"
+)
+
+
+class QwenRewardVerifier(Verifier):
+    name = "qwen_rm"
+
+    def __init__(
+        self,
+        model_path: str | None = None,
+        model: QwenVLModel | None = None,
+        tokenizer=None,
+        head: RewardHead | None = None,
+        max_pixels: int = 448 * 448,
+        use_norm: bool = True,
+        **_,
+    ):
+        if model is None:
+            from ..utils.hf_loader import load_qwen_vl
+
+            model, tokenizer = load_qwen_vl(model_path)
+            head = head or self._load_head(model_path, model.lm_cfg.hidden_size)
+        assert head is not None, "QwenRewardVerifier needs a RewardHead"
+        self.rm = QwenRewardModel(model, head)
+        self.tokenizer = tokenizer
+        self.max_pixels = max_pixels
+        self.use_norm = use_norm
+
+    @staticmethod
+    def _load_head(model_path: str, hidden: int) -> RewardHead:
+        """Read rm_head + pooling config saved by rm_train (or the reference's
+        model_config.json + final_model layout)."""
+        cfg_path = os.path.join(model_path, "model_config.json")
+        cfg = {}
+        if os.path.exists(cfg_path):
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+        head_path = os.path.join(model_path, "rm_head.safetensors")
+        if os.path.exists(head_path):
+            from safetensors.numpy import load_file
+
+            w = jnp.asarray(load_file(head_path)["rm_head.weight"].T)
+        else:
+            w = jnp.zeros((hidden, cfg.get("output_dim", 1)), jnp.float32)
+        return RewardHead(
+            w=w,
+            pooling=cfg.get("logits_processing", cfg.get("pooling", "last")),
+            special_token_id=cfg.get("special_token_id"),
+            vq_mean=cfg.get("VQ_mean", 0.0),
+            vq_std=cfg.get("VQ_std", 1.0),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _prepare_ids(self, image: np.ndarray, prompt: str) -> tuple[np.ndarray, np.ndarray]:
+        """smart_resize the image, build the chat sequence with image pads."""
+        from PIL import Image
+
+        vis_cfg = self.rm.model.vis_cfg
+        factor = vis_cfg.patch_size * vis_cfg.spatial_merge_size
+        H, W = image.shape[:2]
+        nh, nw = smart_resize(H, W, factor=factor, max_pixels=self.max_pixels)
+        img = np.asarray(Image.fromarray(image).resize((nw, nh)))
+        _, (t, gh, gw) = image_to_patches(img, vis_cfg)
+        n_img = t * (gh // vis_cfg.spatial_merge_size) * (gw // vis_cfg.spatial_merge_size)
+        tokens = QwenVLSpecialTokens()
+        text = DEFAULT_TEMPLATE.format(prompt=prompt)
+        if self.tokenizer is not None:
+            prefix = self.tokenizer.encode("<|im_start|>user\n", add_special_tokens=False)
+            body = self.tokenizer.encode(text + "<|im_end|>", add_special_tokens=False)
+        else:  # hermetic fallback: hashed token ids
+            from ..utils.tokenizers import HashTokenizer
+
+            ht = HashTokenizer(vocab_size=self.rm.model.lm_cfg.vocab_size, append_eos=False)
+            prefix = [1]
+            body = [int(x) for x in ht([text], max_length=64)["input_ids"][0] if x != 0]
+        ids = np.asarray(
+            prefix + [tokens.vision_start] + [tokens.image_pad] * n_img + [tokens.vision_end] + body,
+            np.int64,
+        )
+        if self.rm.head.pooling == "special" and self.rm.head.special_token_id is not None:
+            ids = np.concatenate([ids, [self.rm.head.special_token_id]])
+        return ids, img
+
+    def raw_scores(self, images: Sequence[np.ndarray], prompts: Sequence[str]) -> list[float]:
+        out = []
+        for img, prompt in zip(images, prompts):
+            ids, resized = self._prepare_ids(np.asarray(img), prompt)
+            out.append(self.rm.score_sequence(ids, [resized]))
+        return out
+
+    def reward(self, images, prompts, use_norm: bool | None = None) -> list[dict]:
+        """Reference-compatible API: -> [{'VQ': score}] (test_reward.py:142)."""
+        use_norm = self.use_norm if use_norm is None else use_norm
+        raws = self.raw_scores(images, prompts)
+        return [{"VQ": self.rm.normalized(r) if use_norm else r} for r in raws]
+
+    def score(self, images, prompts, tag=None, max_new_tokens=None):
+        """Verifier interface: overall_score = z-normed VQ."""
+        rewards = self.reward(images, prompts)
+        return [
+            {"overall_score": {"score": r["VQ"], "explanation": "qwen_rm VQ"}, "VQ": r["VQ"]}
+            for r in rewards
+        ]

@@ -1,0 +1,53 @@
+"""Qwen reward-verifier scoring path, hermetic (random tiny weights)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reflectionflow_tpu.config import QwenLMConfig, QwenVLVisionConfig
+from reflectionflow_tpu.models.qwen_vl.model import QwenVLModel
+from reflectionflow_tpu.models.qwen_vl.reward import RewardHead
+from reflectionflow_tpu.verifiers.qwen_verifier import QwenRewardVerifier
+
+
+@pytest.fixture(scope="module")
+def verifier():
+    model = QwenVLModel.random_init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    head = RewardHead.random_init(jax.random.PRNGKey(1), model.lm_cfg.hidden_size, pooling="last")
+    head.vq_mean, head.vq_std = 0.5, 2.0
+    return QwenRewardVerifier(model=model, head=head, max_pixels=16 * 16)
+
+
+def test_reward_api(verifier):
+    rng = np.random.default_rng(0)
+    imgs = [rng.integers(0, 255, (32, 24, 3), dtype=np.uint8) for _ in range(2)]
+    out = verifier.reward(imgs, ["a cat", "a dog"])
+    assert len(out) == 2 and all("VQ" in o for o in out)
+    raw = verifier.reward(imgs, ["a cat", "a dog"], use_norm=False)
+    # z-norm applied: (raw - 0.5) / 2
+    np.testing.assert_allclose(
+        [o["VQ"] for o in out], [(o["VQ"] - 0.5) / 2.0 for o in raw], atol=1e-5
+    )
+    # deterministic
+    out2 = verifier.reward(imgs, ["a cat", "a dog"])
+    np.testing.assert_allclose([o["VQ"] for o in out], [o["VQ"] for o in out2], atol=1e-6)
+
+
+def test_score_interface_and_sensitivity(verifier):
+    rng = np.random.default_rng(1)
+    img_a = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    img_b = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    outs = verifier.score([img_a, img_b], ["x", "x"])
+    assert all("overall_score" in o for o in outs)
+    assert outs[0]["overall_score"]["score"] != outs[1]["overall_score"]["score"]
+
+
+def test_special_pooling_appends_token():
+    model = QwenVLModel.random_init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    head = RewardHead.random_init(
+        jax.random.PRNGKey(1), model.lm_cfg.hidden_size, pooling="special", special_token_id=77
+    )
+    v = QwenRewardVerifier(model=model, head=head, max_pixels=16 * 16)
+    ids, _ = v._prepare_ids(np.zeros((16, 16, 3), np.uint8), "p")
+    assert ids[-1] == 77
