@@ -3,14 +3,18 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
 
-Method (documented for the record): the flagship workload is the FLUX.1-dev
-DiT denoise loop at 1024px (4096 image tokens + 512 text tokens, 30 Euler
-steps, bf16). A single v5e chip (16 GB HBM) cannot hold the full 12B-param
-model in bf16, so we time the EXACT per-layer computation at full width
-(hidden 3072, 24 heads) on two reduced-depth variants, fit
-t_step = a + b_d * n_double + b_s * n_single, and extrapolate to the full
-19/38 depth. The extrapolation is linear in block count with measured
-fixed costs — conservative (no pipelining credit).
+Primary measurement: the FULL FLUX.1-dev-scale DiT (19 double + 38 single
+blocks, hidden 3072, 24 heads) denoising 1024px (4096 img + 512 txt tokens)
+for 30 Euler steps, **int8 weight-only quantized** — the single-chip
+serving configuration (12B params do not fit a 16 GB v5e in bf16; the int8
+path is the production config, `reflectionflow_tpu.ops.quant`).
+
+Fallback (if the full model OOMs): bf16 at full width with per-block-cost
+depth extrapolation.
+
+Timing notes: through the axon device tunnel `block_until_ready` is
+unreliable, so every timed call fetches a jitted scalar (sum) and the
+measured round-trip latency of a trivial fetch is subtracted.
 
 Baseline: the reference runs FLUX.1-dev (bs=1, 30 steps, 1024px) on H100;
 public measurements put this at ~10 s/image => 0.1 images/sec per H100
@@ -25,8 +29,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from reflectionflow_tpu.config import FluxDiTConfig
-from reflectionflow_tpu.models.flux.dit import flux_dit_apply, flux_dit_init
+from reflectionflow_tpu.models.flux.dit import flux_dit_init
 from reflectionflow_tpu.models.flux.rope import make_image_ids, make_text_ids
+from reflectionflow_tpu.ops.quant import quantize_dit_params
 from reflectionflow_tpu.sampler.generate import denoise
 from reflectionflow_tpu.sampler.scheduler import FlowMatchSchedule
 
@@ -37,9 +42,7 @@ TY = TX = 64  # 1024px -> 64x64 packed tokens
 LT = 512
 
 
-def build(depth_d: int, depth_s: int, attn_impl: str = "xla"):
-    cfg = FluxDiTConfig(num_double_blocks=depth_d, num_single_blocks=depth_s)
-    params = flux_dit_init(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+def build_runner(cfg: FluxDiTConfig, params, attn_impl: str = "xla"):
     img_ids = jnp.asarray(make_image_ids(TY, TX))
     txt_ids = jnp.asarray(make_text_ids(LT))
     sigmas = jnp.asarray(FlowMatchSchedule.create(NUM_STEPS, TY * TX).sigmas)
@@ -49,8 +52,6 @@ def build(depth_d: int, depth_s: int, attn_impl: str = "xla"):
 
     @jax.jit
     def run_sum():
-        # returning a scalar: the np.asarray() transfer forces execution to
-        # finish (block_until_ready is unreliable through the device tunnel)
         out = denoise(
             params, cfg, latents, txt, pooled, img_ids, txt_ids, sigmas,
             jnp.asarray(3.5, jnp.float32), NUM_STEPS, attn_impl=attn_impl,
@@ -61,10 +62,9 @@ def build(depth_d: int, depth_s: int, attn_impl: str = "xla"):
 
 
 def measure_rtt(reps: int = 3) -> float:
-    """Round-trip latency of a trivial jitted scalar fetch."""
     f = jax.jit(lambda x: jnp.sum(x))
     x = jnp.ones((8, 8), jnp.float32)
-    float(np.asarray(f(x)))  # compile
+    float(np.asarray(f(x)))
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -73,8 +73,7 @@ def measure_rtt(reps: int = 3) -> float:
     return min(times)
 
 
-def time_denoise(depth_d: int, depth_s: int, rtt: float, attn_impl: str = "xla", reps: int = 3) -> float:
-    run = build(depth_d, depth_s, attn_impl)
+def time_runner(run, rtt: float, reps: int = 3) -> float:
     float(np.asarray(run()))  # compile + warmup
     times = []
     for _ in range(reps):
@@ -84,35 +83,119 @@ def time_denoise(depth_d: int, depth_s: int, rtt: float, attn_impl: str = "xla",
     return max(min(times) - rtt, 1e-6)
 
 
-def main():
-    rtt = measure_rtt()
-    # two depth points at full width -> per-block costs
-    t_a = time_denoise(4, 8, rtt)
-    t_b = time_denoise(2, 4, rtt)
-    # blocks scale together (double ~ 2x single cost); solve linear model with
-    # the ratio pinned by (4,8) vs (2,4): t = fixed + k * units, units = 2*nd + ns
+def init_int8_full(cfg: FluxDiTConfig):
+    """Initialize block-by-block on host at fp32? Too big. Instead init in
+    bf16 on device per family then quantize — but full bf16 doesn't fit.
+    Trick: init directly quantized: draw int8 weights + scales (random
+    weights are for throughput only, not quality)."""
+    import jax.random as jr
+
+    def rand_qlin(key, shape_in, shape_out, stacked=None):
+        kq, ks = jr.split(key)
+        shape = ((stacked,) if stacked else ()) + (shape_in, shape_out)
+        w_q = jr.randint(kq, shape, -127, 128, jnp.int8)
+        scale_shape = ((stacked,) if stacked else ()) + (1, shape_out)
+        scale = jnp.full(scale_shape, (1.0 / np.sqrt(shape_in)) / 127.0, jnp.float32)
+        return {"w_q": w_q, "w_scale": scale, "b": jnp.zeros(((stacked,) if stacked else ()) + (shape_out,), jnp.bfloat16)}
+
+    H, M, D = cfg.hidden_size, cfg.mlp_hidden, cfg.head_dim
+    key = jax.random.PRNGKey(0)
+    ks = iter(jax.random.split(key, 64))
+    nd, ns = cfg.num_double_blocks, cfg.num_single_blocks
+
+    def small_lin(k, i, o, stacked=None):
+        shape = ((stacked,) if stacked else ()) + (i, o)
+        return {
+            "w": (jr.normal(k, shape, jnp.bfloat16) * (i ** -0.5)),
+            "b": jnp.zeros(((stacked,) if stacked else ()) + (o,), jnp.bfloat16),
+        }
+
+    def rms(stacked=None):
+        return {"scale": jnp.ones(((stacked,) if stacked else ()) + (D,), jnp.bfloat16)}
+
+    double = {
+        "img_mod": rand_qlin(next(ks), H, 6 * H, nd),
+        "txt_mod": rand_qlin(next(ks), H, 6 * H, nd),
+        "attn": {
+            "q": rand_qlin(next(ks), H, H, nd), "k": rand_qlin(next(ks), H, H, nd),
+            "v": rand_qlin(next(ks), H, H, nd), "out": rand_qlin(next(ks), H, H, nd),
+            "txt_q": rand_qlin(next(ks), H, H, nd), "txt_k": rand_qlin(next(ks), H, H, nd),
+            "txt_v": rand_qlin(next(ks), H, H, nd), "txt_out": rand_qlin(next(ks), H, H, nd),
+            "q_norm": rms(nd), "k_norm": rms(nd), "txt_q_norm": rms(nd), "txt_k_norm": rms(nd),
+        },
+        "img_mlp": {"fc1": rand_qlin(next(ks), H, M, nd), "fc2": rand_qlin(next(ks), M, H, nd)},
+        "txt_mlp": {"fc1": rand_qlin(next(ks), H, M, nd), "fc2": rand_qlin(next(ks), M, H, nd)},
+    }
+    single = {
+        "mod": rand_qlin(next(ks), H, 3 * H, ns),
+        "attn": {
+            "q": rand_qlin(next(ks), H, H, ns), "k": rand_qlin(next(ks), H, H, ns),
+            "v": rand_qlin(next(ks), H, H, ns),
+            "q_norm": rms(ns), "k_norm": rms(ns),
+        },
+        "mlp_in": rand_qlin(next(ks), H, M, ns),
+        "out": rand_qlin(next(ks), H + M, H, ns),
+    }
+    return {
+        "img_in": small_lin(next(ks), cfg.in_channels, H),
+        "txt_in": rand_qlin(next(ks), cfg.text_dim, H),
+        "time_in": {"fc1": small_lin(next(ks), cfg.time_freq_dim, H), "fc2": small_lin(next(ks), H, H)},
+        "vector_in": {"fc1": small_lin(next(ks), cfg.pooled_dim, H), "fc2": small_lin(next(ks), H, H)},
+        "guidance_in": {"fc1": small_lin(next(ks), cfg.time_freq_dim, H), "fc2": small_lin(next(ks), H, H)},
+        "final_mod": rand_qlin(next(ks), H, 2 * H),
+        "final_proj": small_lin(next(ks), H, cfg.in_channels),
+        "double_blocks": double,
+        "single_blocks": single,
+    }
+
+
+def bench_int8_full(rtt: float) -> dict | None:
+    cfg = FluxDiTConfig()
+    try:
+        params = init_int8_full(cfg)
+        run = build_runner(cfg, params)
+        t = time_runner(run, rtt)
+        return {"t_image_s": t, "config": "int8 full 19/38"}
+    except Exception as e:  # OOM etc.
+        print(f"# int8 full-model bench failed: {type(e).__name__}: {e}")
+        return None
+
+
+def bench_bf16_extrapolated(rtt: float) -> dict:
+    def t_for(nd, ns):
+        cfg = FluxDiTConfig(num_double_blocks=nd, num_single_blocks=ns)
+        params = flux_dit_init(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+        return time_runner(build_runner(cfg, params), rtt)
+
+    t_a, t_b = t_for(4, 8), t_for(2, 4)
     units_a, units_b = 2 * 4 + 8, 2 * 2 + 4
     k = (t_a - t_b) / (units_a - units_b)
     fixed = t_a - k * units_a
-    t_full = fixed + k * (2 * 19 + 38)
-    imgs_per_sec_per_chip = BATCH / t_full
-    result = {
-        "metric": "flux_1024px_candidate_images_per_sec_per_chip",
-        "value": round(imgs_per_sec_per_chip, 5),
-        "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec_per_chip / BASELINE_IMGS_PER_SEC_PER_CHIP, 4),
-        "detail": {
-            "method": "full-width depth-extrapolated (see bench.py docstring)",
-            "measured_s_depth_4_8": round(t_a, 3),
-            "measured_s_depth_2_4": round(t_b, 3),
-            "tunnel_rtt_s": round(rtt, 3),
-            "extrapolated_s_full_19_38": round(t_full, 3),
-            "steps": NUM_STEPS,
-            "batch": BATCH,
-            "device": str(jax.devices()[0]),
-        },
+    return {
+        "t_image_s": fixed + k * (2 * 19 + 38),
+        "config": "bf16 depth-extrapolated",
+        "measured_s_depth_4_8": round(t_a, 3),
+        "measured_s_depth_2_4": round(t_b, 3),
     }
-    print(json.dumps(result))
+
+
+def main():
+    rtt = measure_rtt()
+    primary = bench_int8_full(rtt)
+    detail = {"tunnel_rtt_s": round(rtt, 3), "steps": NUM_STEPS, "batch": BATCH,
+              "device": str(jax.devices()[0])}
+    if primary is None:
+        primary = bench_bf16_extrapolated(rtt)
+    t_img = primary.pop("t_image_s")
+    detail.update(primary)
+    imgs_per_sec = BATCH / t_img
+    print(json.dumps({
+        "metric": "flux_1024px_candidate_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 5),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC_PER_CHIP, 4),
+        "detail": dict(detail, t_image_s=round(t_img, 3)),
+    }))
 
 
 if __name__ == "__main__":

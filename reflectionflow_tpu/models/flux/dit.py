@@ -50,7 +50,14 @@ def _linear_init(key, d_in, d_out, dtype):
 
 
 def linear(p, x):
-    return x @ p["w"] + p["b"]
+    if "w_q" in p:  # int8 weight-only quantized (ops.quant) — dequant fused
+        w = (p["w_q"].astype(jnp.float32) * p["w_scale"]).astype(x.dtype)
+    else:
+        w = p["w"]
+    out = x @ w
+    if "b" in p:
+        out = out + p["b"]
+    return out
 
 
 def _mlp_embed_init(key, d_in, d_hidden, dtype):

@@ -39,9 +39,37 @@ CONDITION_TYPE_IDS = {
     "cot": 12,
 }
 
+def _canny(img: np.ndarray) -> np.ndarray:
+    import cv2
+
+    edges = cv2.Canny(img, 100, 200)
+    return np.stack([edges] * 3, axis=-1)
+
+
+def _coloring(img: np.ndarray) -> np.ndarray:
+    import cv2
+
+    gray = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+    return np.stack([gray] * 3, axis=-1)
+
+
+def _deblurring(img: np.ndarray) -> np.ndarray:
+    import cv2
+
+    return cv2.GaussianBlur(img, (0, 0), sigmaX=4)
+
+
 # preprocessors: image (H, W, 3) uint8 -> image (H, W, 3) uint8
+# (semantics of condition.py:43-80; "cot" — the only type ReflectionFlow
+# exercises — is identity, conditioning directly on the previous sample)
 PREPROCESSORS: dict[str, Callable[[np.ndarray], np.ndarray]] = {
     "cot": lambda img: img,
+    "subject": lambda img: img,
+    "fill": lambda img: img,
+    "sr": lambda img: img,
+    "canny": _canny,
+    "coloring": _coloring,
+    "deblurring": _deblurring,
 }
 
 

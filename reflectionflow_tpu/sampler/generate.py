@@ -54,6 +54,7 @@ def denoise(
     cond: jnp.ndarray | None = None,  # (B, L_c, C)
     cond_ids: jnp.ndarray | None = None,
     cond_empty: jnp.ndarray | None = None,  # (B, L_c, C) black-image tokens
+    cond_dit_params=None,  # LoRA-folded weights for the cond stream
     image_guidance_scale: float | jnp.ndarray = 1.0,
     c_factor: float | None = None,
     union_cond_attn: bool = True,
@@ -80,7 +81,7 @@ def denoise(
                 guidance=g2 if cfg.guidance_embeds else None,
                 cond=cond2, cond_ids=cond_ids, c_factor=c_factor,
                 union_cond_attn=union_cond_attn, add_cond_attn=add_cond_attn,
-                attn_impl=attn_impl,
+                attn_impl=attn_impl, cond_params=cond_dit_params,
             )
             v_cond, v_unc = v2[:B], v2[B:]
             return v_unc + jnp.asarray(image_guidance_scale, v2.dtype) * (v_cond - v_unc)
@@ -89,7 +90,7 @@ def denoise(
             guidance=guidance if cfg.guidance_embeds else None,
             cond=cond, cond_ids=cond_ids, c_factor=c_factor,
             union_cond_attn=union_cond_attn, add_cond_attn=add_cond_attn,
-            attn_impl=attn_impl,
+            attn_impl=attn_impl, cond_params=cond_dit_params,
         )
 
     def euler_step(lat, step_inputs):

@@ -43,6 +43,8 @@ class FluxPipeline:
     dtype: Any = jnp.bfloat16
     model_flags: dict = field(default_factory=dict)  # union_cond_attn / add_cond_attn
     attn_impl: str = "xla"
+    cond_dit_params: Any = None  # LoRA-folded view for the cond stream (lora.make_dit_param_views)
+    mesh: Any = None  # jax.sharding.Mesh: candidates sharded over "data"
 
     # -- construction -------------------------------------------------------
 
@@ -144,6 +146,17 @@ class FluxPipeline:
                     conditions, self.params["vae"], self.vae_cfg, self.dtype, empty=True
                 )
 
+        if self.mesh is not None:
+            from ..parallel.mesh import candidate_sharding
+
+            sh = candidate_sharding(self.mesh)
+            latents = jax.device_put(latents, sh)
+            txt = jax.device_put(txt, sh)
+            pooled = jax.device_put(pooled, sh)
+            if cond is not None:
+                cond = jax.device_put(cond, sh)
+            if cond_empty is not None:
+                cond_empty = jax.device_put(cond_empty, sh)
         final = denoise(
             self.params["dit"],
             self.dit_cfg,
@@ -160,6 +173,7 @@ class FluxPipeline:
             cond_empty=cond_empty,
             image_guidance_scale=image_guidance_scale,
             c_factor=None if condition_scale == 1.0 else float(condition_scale),
+            cond_dit_params=self.cond_dit_params if conditions else None,
             union_cond_attn=self.model_flags.get("union_cond_attn", True),
             add_cond_attn=self.model_flags.get("add_cond_attn", False),
             attn_impl=self.attn_impl,

@@ -45,10 +45,59 @@ class Sample:
     subset: str
 
 
-def iter_tar_samples(shard_path: str) -> Iterator[Sample]:
-    """Stream grouped samples out of one GenRef tar shard."""
-    from PIL import Image
+_FIELD_SUFFIXES = (
+    "good_image.jpg", "good_image.png", "bad_image.jpg", "bad_image.png",
+    "reflection.txt", "prompt.txt", "subset.txt",
+)
 
+
+def _split_key(base: str) -> tuple[str, str] | None:
+    for suffix in _FIELD_SUFFIXES:
+        if base.endswith("." + suffix):
+            return base[: -(len(suffix) + 1)], suffix
+    return None
+
+
+def iter_tar_samples(shard_path: str) -> Iterator[Sample]:
+    """Stream grouped samples out of one GenRef tar shard.
+
+    Uses the native C++ indexer/reader (`utils.native`) when available —
+    one sequential header pass + batched pread per sample group — and falls
+    back to Python tarfile otherwise."""
+    from ..utils import native
+
+    if native.get_lib() is not None:
+        yield from _iter_tar_samples_native(shard_path)
+        return
+    yield from _iter_tar_samples_py(shard_path)
+
+
+def _iter_tar_samples_native(shard_path: str) -> Iterator[Sample]:
+    from ..utils import native
+
+    names, offsets, sizes = native.tar_index(shard_path)
+    groups: dict[str, dict[str, int]] = {}
+    order: list[str] = []
+    for i, name in enumerate(names):
+        ks = _split_key(name.split("/")[-1])
+        if ks is None:
+            continue
+        key, suffix = ks
+        if key not in groups:
+            groups[key] = {}
+            order.append(key)
+        groups[key][suffix] = i
+    for key in order:
+        members = groups[key]
+        idxs = list(members.values())
+        blobs = native.tar_read_batch(shard_path, offsets[idxs], sizes[idxs])
+        parts = dict(zip(members.keys(), blobs))
+        sample = _assemble(parts)
+        if sample is not None:
+            yield sample
+
+
+def _iter_tar_samples_py(shard_path: str) -> Iterator[Sample]:
     with tarfile.open(shard_path, "r") as tar:
         current_key = None
         parts: dict[str, bytes] = {}

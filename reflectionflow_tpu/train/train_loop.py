@@ -130,11 +130,53 @@ def export_diffusers_lora(adapters: dict, path: str, alpha: float, num_double: i
             module = path_to_diffusers[sub]
             A, B = np.asarray(ab["A"]), np.asarray(ab["B"])
             for i in range(A.shape[0]):
-                out[f"transformer.{hf_family}.{i}.{module}.lora_A.weight"] = A[i].T
-                out[f"transformer.{hf_family}.{i}.{module}.lora_B.weight"] = B[i].T
+                # safetensors writes the raw buffer: transposes must be materialized
+                out[f"transformer.{hf_family}.{i}.{module}.lora_A.weight"] = np.ascontiguousarray(A[i].T)
+                out[f"transformer.{hf_family}.{i}.{module}.lora_B.weight"] = np.ascontiguousarray(B[i].T)
         else:
             module = path_to_diffusers[p]
-            out[f"transformer.{module}.lora_A.weight"] = np.asarray(ab["A"]).T
-            out[f"transformer.{module}.lora_B.weight"] = np.asarray(ab["B"]).T
+            out[f"transformer.{module}.lora_A.weight"] = np.ascontiguousarray(np.asarray(ab["A"]).T)
+            out[f"transformer.{module}.lora_B.weight"] = np.ascontiguousarray(np.asarray(ab["B"]).T)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     save_file(out, path)
+
+
+def make_validation_hook(pipeline, cfg: TrainConfig, val_samples: list[dict], out_dir: str):
+    """Periodic validation sampling (capability of `OminiModel.validation_step`,
+    /root/reference/train_flux/train/model.py:121-153): every
+    `sample_interval` steps, fold the current adapter and run the full
+    conditioned generate() on the val conditions, saving images.
+
+    val_samples rows: {"prompt": str, "condition": (H, W, 3) uint8}.
+    """
+    from ..lora.lora import make_dit_param_views
+    from ..sampler.condition import Condition, cot_position_delta
+    from ..search.artifacts import save_image
+
+    def hook(step: int, adapters, metrics_row: dict) -> None:
+        if (step + 1) % cfg.sample_interval != 0:
+            return
+        lora = {"_alpha": cfg.lora.alpha, "_r": cfg.lora.r, "adapters": adapters}
+        _, cond_view = make_dit_param_views(pipeline.params["dit"], lora, latent_lora=False)
+        prev_cond, prev_mesh = pipeline.cond_dit_params, pipeline.mesh
+        pipeline.cond_dit_params = cond_view
+        pipeline.mesh = None  # validation runs unsharded
+        try:
+            size = cfg.data.condition_size
+            conds = [
+                Condition("cot", s["condition"], position_delta=cot_position_delta(size))
+                for s in val_samples
+            ]
+            images = pipeline.generate(
+                [s["prompt"] for s in val_samples],
+                height=cfg.data.target_size,
+                width=cfg.data.target_size,
+                num_inference_steps=20,
+                conditions=conds,
+            )
+            for i, img in enumerate(images):
+                save_image(os.path.join(out_dir, f"step{step + 1}_{i:02d}.png"), img)
+        finally:
+            pipeline.cond_dit_params, pipeline.mesh = prev_cond, prev_mesh
+
+    return hook

@@ -1,0 +1,50 @@
+"""Int8 weight-only quantization tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reflectionflow_tpu.config import FluxDiTConfig
+from reflectionflow_tpu.models.flux.dit import flux_dit_apply, flux_dit_init, linear
+from reflectionflow_tpu.models.flux.rope import make_image_ids, make_text_ids
+from reflectionflow_tpu.ops.quant import quantize_dit_params, quantize_linear
+from reflectionflow_tpu.utils.tree import tree_bytes
+
+
+def test_quantize_linear_roundtrip(key):
+    p = {"w": jax.random.normal(key, (64, 32)), "b": jnp.zeros((32,))}
+    q = quantize_linear(p)
+    assert q["w_q"].dtype == jnp.int8
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
+    ref = linear(p, x)
+    out = linear(q, x)
+    # per-channel int8: relative error ~1%
+    rel = float(jnp.abs(out - ref).max() / jnp.abs(ref).max())
+    assert rel < 0.02, rel
+
+
+def test_quantize_dit_shrinks_and_stays_close(key):
+    cfg = FluxDiTConfig.tiny()
+    params = flux_dit_init(key, cfg)
+    qparams = quantize_dit_params(params, min_size=64 * 64)  # quantize most mats
+    assert tree_bytes(qparams) < tree_bytes(params) * 0.6
+    inputs = dict(
+        img=jax.random.normal(jax.random.PRNGKey(1), (1, 16, cfg.in_channels)),
+        txt=jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.text_dim)),
+        pooled=jax.random.normal(jax.random.PRNGKey(3), (1, cfg.pooled_dim)),
+        timestep=jnp.array([0.5]),
+        img_ids=jnp.asarray(make_image_ids(4, 4)),
+        txt_ids=jnp.asarray(make_text_ids(8)),
+        guidance=jnp.array([3.5]),
+    )
+    ref = flux_dit_apply(params, cfg, **inputs)
+    out = flux_dit_apply(qparams, cfg, **inputs)
+    err = float(jnp.abs(out - ref).mean() / jnp.abs(ref).mean())
+    assert err < 0.05, err
+
+
+def test_quantize_skips_small(key):
+    cfg = FluxDiTConfig.tiny()
+    params = flux_dit_init(key, cfg)
+    q = quantize_dit_params(params, min_size=1 << 30)  # nothing qualifies
+    assert "w" in q["img_in"]
