@@ -84,19 +84,22 @@ def time_runner(run, rtt: float, reps: int = 3) -> float:
 
 
 def init_int8_full(cfg: FluxDiTConfig):
-    """Initialize block-by-block on host at fp32? Too big. Instead init in
-    bf16 on device per family then quantize — but full bf16 doesn't fit.
-    Trick: init directly quantized: draw int8 weights + scales (random
-    weights are for throughput only, not quality)."""
-    import jax.random as jr
+    """Random int8 weights built on HOST (numpy), then device_put — avoids
+    the u32 random-bit temporaries an on-device init would allocate.
+    Random weights are for throughput measurement only."""
+    host_rng = np.random.default_rng(0)
 
     def rand_qlin(key, shape_in, shape_out, stacked=None):
-        kq, ks = jr.split(key)
         shape = ((stacked,) if stacked else ()) + (shape_in, shape_out)
-        w_q = jr.randint(kq, shape, -127, 128, jnp.int8)
+        w_q = host_rng.integers(-127, 128, size=shape, dtype=np.int8)
         scale_shape = ((stacked,) if stacked else ()) + (1, shape_out)
-        scale = jnp.full(scale_shape, (1.0 / np.sqrt(shape_in)) / 127.0, jnp.float32)
-        return {"w_q": w_q, "w_scale": scale, "b": jnp.zeros(((stacked,) if stacked else ()) + (shape_out,), jnp.bfloat16)}
+        scale = np.full(scale_shape, (1.0 / np.sqrt(shape_in)) / 127.0, np.float32)
+        b = np.zeros(((stacked,) if stacked else ()) + (shape_out,), np.float32)
+        return {
+            "w_q": jax.device_put(w_q),
+            "w_scale": jax.device_put(scale),
+            "b": jax.device_put(b.astype(jnp.bfloat16)),
+        }
 
     H, M, D = cfg.hidden_size, cfg.mlp_hidden, cfg.head_dim
     key = jax.random.PRNGKey(0)
@@ -105,13 +108,14 @@ def init_int8_full(cfg: FluxDiTConfig):
 
     def small_lin(k, i, o, stacked=None):
         shape = ((stacked,) if stacked else ()) + (i, o)
+        w = (host_rng.standard_normal(shape) * (i ** -0.5)).astype(np.float32)
         return {
-            "w": (jr.normal(k, shape, jnp.bfloat16) * (i ** -0.5)),
-            "b": jnp.zeros(((stacked,) if stacked else ()) + (o,), jnp.bfloat16),
+            "w": jax.device_put(w.astype(jnp.bfloat16)),
+            "b": jax.device_put(np.zeros(((stacked,) if stacked else ()) + (o,), np.float32).astype(jnp.bfloat16)),
         }
 
     def rms(stacked=None):
-        return {"scale": jnp.ones(((stacked,) if stacked else ()) + (D,), jnp.bfloat16)}
+        return {"scale": jax.device_put(np.ones(((stacked,) if stacked else ()) + (D,), np.float32).astype(jnp.bfloat16))}
 
     double = {
         "img_mod": rand_qlin(next(ks), H, 6 * H, nd),
@@ -157,7 +161,10 @@ def bench_int8_full(rtt: float) -> dict | None:
         t = time_runner(run, rtt)
         return {"t_image_s": t, "config": "int8 full 19/38"}
     except Exception as e:  # OOM etc.
-        print(f"# int8 full-model bench failed: {type(e).__name__}: {e}")
+        import gc
+
+        print(f"# int8 full-model bench failed: {type(e).__name__}")
+        gc.collect()
         return None
 
 

@@ -35,6 +35,10 @@ def build_parser(description: str) -> argparse.ArgumentParser:
         "--attn_impl", type=str, default="xla",
         choices=["xla", "pallas", "pallas_interpret"],
     )
+    p.add_argument(
+        "--quantize", type=str, default=None, choices=[None, "int8"],
+        help="int8 weight-only quantization (fits the 12B DiT on one 16 GB chip)",
+    )
     return p
 
 
@@ -91,6 +95,8 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
         main, cond_view = make_dit_param_views(pipe.params["dit"], lora, latent_lora=False)
         pipe.params["dit"] = main
         pipe.cond_dit_params = cond_view
+    if getattr(args, "quantize", None) == "int8":
+        pipe.quantize()
     return pipe
 
 

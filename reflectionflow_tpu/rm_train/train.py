@@ -122,3 +122,69 @@ def make_rm_optimizer(lr: float = 1e-5, vision_lr: float | None = None,
         },
         label_fn,
     )
+
+
+def save_rm_checkpoint(path: str, trainable: dict, pooling: str, special_token_id: int | None,
+                       vq_mean: float = 0.0, vq_std: float = 1.0, lora_alpha: float = 16.0,
+                       lora_r: int = 16) -> None:
+    """Write the inference-reconstruction bundle consumed by
+    `verifiers.qwen_verifier.QwenRewardVerifier._load_head` — the analogue of
+    the reference's `model_config.json` + adapter/`final_model.pth` contract
+    (`/root/reference/reward_modeling/train_reward.py:21-41,262-291`)."""
+    import json
+    import os
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    os.makedirs(path, exist_ok=True)
+    save_file(
+        {"rm_head.weight": np.ascontiguousarray(np.asarray(trainable["rm_head"], np.float32).T)},
+        os.path.join(path, "rm_head.safetensors"),
+    )
+    flat = {}
+    for p, ab in trainable["lora"].items():
+        safe = p.replace("/", "__")
+        flat[f"{safe}.A"] = np.asarray(ab["A"], np.float32)
+        flat[f"{safe}.B"] = np.asarray(ab["B"], np.float32)
+    if "special" in trainable:
+        flat["special_token_embedding"] = np.asarray(trainable["special"], np.float32)
+    save_file(flat, os.path.join(path, "rm_lora.safetensors"))
+    with open(os.path.join(path, "model_config.json"), "w") as f:
+        json.dump(
+            {
+                "logits_processing": pooling,
+                "special_token_id": special_token_id,
+                "VQ_mean": vq_mean,
+                "VQ_std": vq_std,
+                "lora_alpha": lora_alpha,
+                "lora_r": lora_r,
+                "output_dim": int(np.asarray(trainable["rm_head"]).shape[1]),
+            },
+            f,
+        )
+
+
+def load_rm_checkpoint(path: str) -> tuple[dict, dict]:
+    """-> (trainable tree, model_config dict)."""
+    import json
+    import os
+
+    from safetensors.numpy import load_file
+
+    with open(os.path.join(path, "model_config.json")) as f:
+        cfg = json.load(f)
+    head = load_file(os.path.join(path, "rm_head.safetensors"))["rm_head.weight"].T
+    flat = load_file(os.path.join(path, "rm_lora.safetensors"))
+    lora: dict = {}
+    special = None
+    for k, v in flat.items():
+        if k == "special_token_embedding":
+            special = v
+            continue
+        p, which = k.rsplit(".", 1)
+        lora.setdefault(p.replace("__", "/"), {})[which] = v
+    trainable = {"lora": lora, "rm_head": head}
+    if special is not None:
+        trainable["special"] = special
+    return trainable, cfg

@@ -89,6 +89,18 @@ class FluxPipeline:
 
         return load_flux_pipeline(cls, model_dir, dtype=dtype, **kw)
 
+    def quantize(self, which: tuple[str, ...] = ("dit", "t5")) -> "FluxPipeline":
+        """Int8 weight-only quantize the big weight trees in place
+        (`ops.quant`) — the single-chip 16 GB serving configuration."""
+        from ..ops.quant import quantize_dit_params
+
+        for name in which:
+            if name in self.params:
+                self.params[name] = quantize_dit_params(self.params[name])
+        if self.cond_dit_params is not None and "dit" in which:
+            self.cond_dit_params = quantize_dit_params(self.cond_dit_params)
+        return self
+
     # -- text ---------------------------------------------------------------
 
     def encode_prompts(self, prompts: Sequence[str], max_sequence_length: int = 512):
