@@ -116,22 +116,34 @@ def build_verifier(cfg: TTSConfig):
 
 
 def build_reflector(cfg: TTSConfig):
-    if not cfg.reflection_args.run_reflection:
+    ra = cfg.reflection_args
+    if not ra.run_reflection:
         return None
-    backend = cfg.reflection_args.backend
-    if backend == "openai":
-        return load_reflector("openai")
-    if backend == "local_qwen":
+    if ra.backend == "openai":
+        kw = {}
+        if ra.base_url:
+            kw["base_url"] = ra.base_url
+        if ra.model_name:
+            kw["model_name"] = ra.model_name
+        return load_reflector("openai", **kw)
+    if ra.backend == "local_qwen":
         from ..models.qwen_vl import load_generator
 
-        return load_reflector("local_qwen", model=load_generator(cfg.verifier_args.model_path))
+        return load_reflector(
+            "local_qwen", model=load_generator(ra.model_path or cfg.verifier_args.model_path)
+        )
     return load_reflector("fake")
 
 
 def build_refiner(cfg: TTSConfig):
-    if not cfg.prompt_refiner_args.run_refinement:
+    pr = cfg.prompt_refiner_args
+    if not pr.run_refinement:
         return None
-    backend = cfg.prompt_refiner_args.backend
-    if backend == "openai":
-        return load_refiner("openai")
+    if pr.backend == "openai":
+        kw = {}
+        if pr.base_url:
+            kw["base_url"] = pr.base_url
+        if pr.model_name:
+            kw["model_name"] = pr.model_name
+        return load_refiner("openai", **kw)
     return load_refiner("fake")

@@ -32,7 +32,13 @@ def stage1_round0(imgpath: str, prompt_index: int) -> list[str] | None:
 
 
 def main(argv=None):
-    args = build_parser(__doc__).parse_args(argv)
+    parser = build_parser(__doc__)
+    parser.add_argument(
+        "--prompt_block", type=int, default=1,
+        help="prompts run in lockstep per round; their candidates fuse into "
+        "one mesh-sharded generate call (block x branch batch)",
+    )
+    args = parser.parse_args(argv)
     cfg = load_config(args)
     prompts = load_prompts(args)
     pipe = load_pipeline(cfg, args)
@@ -40,17 +46,29 @@ def main(argv=None):
     reflector = build_reflector(cfg)
     refiner = build_refiner(cfg)
     timer = PhaseTimer()
-    for offset, row in enumerate(prompts):
-        idx = args.start_index + offset
-        prompt = row["prompt"] if isinstance(row, dict) else row
-        tag = row.get("tag") if isinstance(row, dict) else None
-        run_reflectionflow_prompt(
-            pipe, verifier, reflector, refiner, cfg,
-            prompt_index=idx, original_prompt=prompt, tag=tag,
-            output_root=cfg.output_dir,
-            round0_images=stage1_round0(args.imgpath, idx),
-            run_seed=args.seed, timer=timer,
-        )
+    if args.prompt_block > 1:
+        from ..search.reflectionflow import run_reflectionflow_block
+
+        for c0 in range(0, len(prompts), args.prompt_block):
+            block = prompts[c0 : c0 + args.prompt_block]
+            run_reflectionflow_block(
+                pipe, verifier, reflector, refiner, cfg, block, cfg.output_dir,
+                start_index=args.start_index + c0,
+                round0_images_fn=lambda idx: stage1_round0(args.imgpath, idx),
+                run_seed=args.seed, timer=timer,
+            )
+    else:
+        for offset, row in enumerate(prompts):
+            idx = args.start_index + offset
+            prompt = row["prompt"] if isinstance(row, dict) else row
+            tag = row.get("tag") if isinstance(row, dict) else None
+            run_reflectionflow_prompt(
+                pipe, verifier, reflector, refiner, cfg,
+                prompt_index=idx, original_prompt=prompt, tag=tag,
+                output_root=cfg.output_dir,
+                round0_images=stage1_round0(args.imgpath, idx),
+                run_seed=args.seed, timer=timer,
+            )
     summary = timer.summary()
     print(summary)
     if "round" in summary:

@@ -273,6 +273,9 @@ class VerifierArgs:
 class ReflectionArgs:
     run_reflection: bool = True
     name: str = "fake"  # backend: fake | local_qwen | openai
+    base_url: Optional[str] = None  # OpenAI-compatible endpoint (e.g. a local server)
+    model_name: Optional[str] = None
+    model_path: Optional[str] = None  # local_qwen weights
     max_retries: int = 5
     retry_delay_s: float = 2.0
 
@@ -285,6 +288,8 @@ class ReflectionArgs:
 class RefineArgs:
     run_refinement: bool = True
     name: str = "fake"
+    base_url: Optional[str] = None
+    model_name: Optional[str] = None
     choice_of_metric: str = "overall_score"
     max_new_tokens: Optional[int] = None
 

@@ -2,8 +2,10 @@
 
 Capability parity with `/root/reference/tts/tts_t2i_noise_scaling.py:16-163`
 (whose verifier never runs — scoring happens post-hoc in the NFE filter).
-TPU-native difference: all `search_branch` candidates of a round are ONE
-batched, mesh-sharded generate call instead of a serial bs=1 loop.
+TPU-native difference: the batch axis carries PROMPTS x BRANCH — a chunk of
+prompts' candidates for one round is a single mesh-sharded generate call
+(the reference loops bs=1 serially per candidate), so the GenEval sweep
+saturates the chip.
 """
 
 from __future__ import annotations
@@ -11,7 +13,6 @@ from __future__ import annotations
 import numpy as np
 
 from ..config import TTSConfig
-from ..models.flux.latents import draw_packed_noise
 from ..utils.timing import PhaseTimer
 from .artifacts import PromptDirs, round_image_name, save_image
 from .seeds import candidate_seeds, seeds_to_latents
@@ -27,22 +28,41 @@ def run_noise_scaling(
     timer: PhaseTimer | None = None,
 ) -> None:
     """prompts: list of strings or GenEval rows ({'prompt':..., 'tag':...})."""
+    import jax.numpy as jnp
+
     timer = timer or PhaseTimer()
     pa = cfg.pipeline_args
     sa = cfg.search_args
+    branch = sa.search_branch
+    # prompts per generate call (>=1), from the configured generation batch
+    chunk = max(1, cfg.batch_size_for_img_gen // branch)
+
+    entries = []
     for offset, row in enumerate(prompts):
         prompt = row["prompt"] if isinstance(row, dict) else row
         idx = start_index + offset
-        dirs = PromptDirs.create(output_root, idx)
+        entries.append((idx, prompt, PromptDirs.create(output_root, idx)))
+
+    for c0 in range(0, len(entries), chunk):
+        block = entries[c0 : c0 + chunk]
         for rnd in range(1, sa.search_rounds + 1):
-            seeds = candidate_seeds(run_seed, idx, rnd, sa.search_branch)
-            latents = seeds_to_latents(
-                seeds, pa.height, pa.width, pipeline.vae_cfg.latent_channels,
-                pipeline.dtype, pipeline.vae_cfg.downscale,
-            )
+            all_seeds: list[list[int]] = []
+            lat_parts = []
+            flux_prompts = []
+            for idx, prompt, _dirs in block:
+                seeds = candidate_seeds(run_seed, idx, rnd, branch)
+                all_seeds.append(seeds)
+                lat_parts.append(
+                    seeds_to_latents(
+                        seeds, pa.height, pa.width, pipeline.vae_cfg.latent_channels,
+                        pipeline.dtype, pipeline.vae_cfg.downscale,
+                    )
+                )
+                flux_prompts.extend([prompt] * branch)
+            latents = jnp.concatenate(lat_parts, axis=0)
             with timer.span("generate"):
                 images = pipeline.generate(
-                    [prompt] * sa.search_branch,
+                    flux_prompts,
                     height=pa.height,
                     width=pa.width,
                     num_inference_steps=pa.num_inference_steps,
@@ -50,13 +70,17 @@ def run_noise_scaling(
                     max_sequence_length=pa.max_sequence_length,
                     latents=latents,
                 )
-            for seed, img in zip(seeds, images):
-                save_image(f"{dirs.samples}/{round_image_name(rnd, seed)}", img)
-            dirs.append_metadata(
-                {
-                    "prompt": prompt,
-                    "search_round": rnd,
-                    "num_noises": sa.search_branch,
-                    "seeds": [int(s) for s in seeds],
-                }
-            )
+            for bi, (idx, prompt, dirs) in enumerate(block):
+                for k, seed in enumerate(all_seeds[bi]):
+                    save_image(
+                        f"{dirs.samples}/{round_image_name(rnd, seed)}",
+                        images[bi * branch + k],
+                    )
+                dirs.append_metadata(
+                    {
+                        "prompt": prompt,
+                        "search_round": rnd,
+                        "num_noises": branch,
+                        "seeds": [int(s) for s in all_seeds[bi]],
+                    }
+                )

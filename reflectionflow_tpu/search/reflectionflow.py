@@ -238,3 +238,232 @@ def _one_round(
     if reflection_performed:
         datapoint["reflections"] = reflections
     return datapoint
+
+
+# ---------------------------------------------------------------------------
+# lockstep multi-prompt execution
+# ---------------------------------------------------------------------------
+
+
+def run_reflectionflow_block(
+    pipeline,
+    verifier: Verifier,
+    reflector,
+    refiner,
+    cfg: TTSConfig,
+    rows: list[dict],
+    output_root: str,
+    start_index: int = 0,
+    round0_images_fn=None,  # prompt_index -> list[str] | None
+    run_seed: int = 0,
+    timer: PhaseTimer | None = None,
+) -> list[dict]:
+    """Run the reflection rounds for a BLOCK of prompts in lockstep.
+
+    The per-prompt host stages (verify/top-k/reflect/refine/chains) stay
+    per prompt, but the round's image generation for the whole block is ONE
+    batched conditioned `generate` call of (n_prompts x branch) candidates —
+    the candidate axis the mesh shards. Per-prompt state still checkpoints;
+    prompts whose manifest is already complete are skipped.
+    """
+    import jax.numpy as jnp
+
+    timer = timer or PhaseTimer()
+    pa, sa = cfg.pipeline_args, cfg.search_args
+    branch = sa.search_branch
+    rule = RankingRule(
+        kind="yes_no" if verifier.name.endswith("nvila") else "score",
+        choice_of_metric=cfg.verifier_args.choice_of_metric,
+    )
+
+    # per-prompt state
+    states = []
+    for offset, row in enumerate(rows):
+        idx = start_index + offset
+        prompt = row["prompt"] if isinstance(row, dict) else row
+        tag = row.get("tag") if isinstance(row, dict) else None
+        dirs = PromptDirs.create(output_root, idx, stage2=True)
+        manifest = SearchManifest.load(dirs.root)
+        if manifest is None or manifest.original_prompt != prompt:
+            manifest = SearchManifest(
+                prompt_index=idx, original_prompt=prompt, tag=tag,
+                updated_prompts=[prompt] * branch, reflections=[""] * branch,
+            )
+        chains = (
+            Chains.from_json({"chains": manifest.chains, "rule": rule.__dict__})
+            if manifest.chains
+            else Chains(rule)
+        )
+        round0 = round0_images_fn(idx) if round0_images_fn else None
+        if not round0:
+            round0 = sorted(glob.glob(os.path.join(dirs.midimg, "0_round@*.png")))
+        states.append(
+            {
+                "idx": idx, "prompt": prompt, "tag": tag, "dirs": dirs,
+                "manifest": manifest, "chains": chains, "prev": round0,
+                "datapoint": {},
+            }
+        )
+
+    # bootstrap round 0 for prompts with no stage-1 images — one batched call
+    need = [s for s in states if not s["prev"] and s["manifest"].round_done == 0]
+    if need:
+        flux_prompts, lat_parts, seed_lists = [], [], []
+        for s in need:
+            seeds = candidate_seeds(run_seed, s["idx"], 0, branch)
+            seed_lists.append(seeds)
+            lat_parts.append(
+                seeds_to_latents(
+                    seeds, pa.height, pa.width, pipeline.vae_cfg.latent_channels,
+                    pipeline.dtype, pipeline.vae_cfg.downscale,
+                )
+            )
+            flux_prompts.extend([s["prompt"]] * branch)
+        with timer.span("generate"):
+            images = pipeline.generate(
+                flux_prompts, height=pa.height, width=pa.width,
+                num_inference_steps=pa.num_inference_steps, guidance_scale=pa.guidance_scale,
+                max_sequence_length=pa.max_sequence_length,
+                latents=jnp.concatenate(lat_parts, axis=0),
+            )
+        for bi, s in enumerate(need):
+            paths = []
+            for k, seed in enumerate(seed_lists[bi]):
+                path = os.path.join(s["dirs"].midimg, round_image_name(0, seed))
+                save_image(path, images[bi * branch + k])
+                paths.append(path)
+            s["prev"] = paths
+
+    total_rounds = sa.search_rounds
+    for rnd in range(1, total_rounds + 1):
+        active = [s for s in states if s["manifest"].round_done < rnd]
+        if not active:
+            continue
+        with timer.span("round"):
+            # --- host stages per prompt: verify prev, topk, reflect, refine ---
+            plans = []
+            for s in active:
+                prev_arrays = [load_image(p) for p in s["prev"]]
+                with timer.span("verify"):
+                    outputs = verifier.score(prev_arrays, [s["prompt"]] * len(prev_arrays), tag=s["tag"])
+                topk_idx = select_topk(outputs, branch, rule)
+                sel_imgs = [s["prev"][i] for i in topk_idx]
+                sel_arrays = [prev_arrays[i] for i in topk_idx]
+                sel_outputs = [outputs[i] for i in topk_idx]
+                s["dirs"].append_detailed_scores(sel_outputs, sel_imgs)
+
+                reflections = s["manifest"].reflections
+                reflection_performed = False
+                if cfg.reflection_args.run_reflection and reflector is not None:
+                    evaluations = [json.dumps(o) for o in sel_outputs]
+                    with timer.span("reflect"):
+                        reflections = reflector.generate(
+                            sel_arrays, [s["prompt"]] * branch, s["manifest"].updated_prompts,
+                            prev_reflections=s["manifest"].reflections, evaluations=evaluations,
+                        )
+                    reflection_performed = True
+                refined = s["manifest"].updated_prompts
+                refinement_performed = False
+                if cfg.prompt_refiner_args.run_refinement and refiner is not None:
+                    evaluations = [json.dumps(o) for o in sel_outputs]
+                    with timer.span("refine"):
+                        refined = refiner.refine(
+                            sel_arrays, [s["prompt"]] * branch, s["manifest"].updated_prompts,
+                            reflections=reflections, evaluations=evaluations,
+                        )
+                    refinement_performed = True
+                if reflection_performed or refinement_performed:
+                    s["dirs"].append_best_meta(
+                        rnd,
+                        reflections=reflections if reflection_performed else None,
+                        refined_prompt=refined if refinement_performed else None,
+                        filenames=sel_imgs,
+                    )
+                cond_size = pa.condition_size
+                conditions = [
+                    Condition("cot", _resize(a, cond_size), position_delta=cot_position_delta(cond_size))
+                    for a in sel_arrays
+                ]
+                if reflection_performed:
+                    flux_prompts = [f"{rp} [Reflexion]: {rf}" for rp, rf in zip(refined, reflections)]
+                elif refinement_performed:
+                    flux_prompts = list(refined)
+                else:
+                    flux_prompts = [s["prompt"]] * branch
+                seeds = candidate_seeds(run_seed, s["idx"], rnd, branch)
+                plans.append(
+                    {
+                        "state": s, "sel_imgs": sel_imgs, "conditions": conditions,
+                        "flux_prompts": flux_prompts, "seeds": seeds,
+                        "reflections": reflections, "refined": refined,
+                        "reflection_performed": reflection_performed,
+                        "refinement_performed": refinement_performed,
+                    }
+                )
+
+            # --- one fused conditioned generate for the whole block ---
+            all_prompts = [p for plan in plans for p in plan["flux_prompts"]]
+            all_conditions = [c for plan in plans for c in plan["conditions"]]
+            lat_parts = [
+                seeds_to_latents(
+                    plan["seeds"], pa.height, pa.width, pipeline.vae_cfg.latent_channels,
+                    pipeline.dtype, pipeline.vae_cfg.downscale,
+                )
+                for plan in plans
+            ]
+            with timer.span("generate"):
+                images = pipeline.generate(
+                    all_prompts, height=pa.height, width=pa.width,
+                    num_inference_steps=pa.num_inference_steps, guidance_scale=pa.guidance_scale,
+                    max_sequence_length=pa.max_sequence_length,
+                    latents=jnp.concatenate(lat_parts, axis=0),
+                    conditions=all_conditions,
+                    image_guidance_scale=pa.image_guidance_scale,
+                )
+
+            # --- per-prompt: save, re-verify, chains, manifest ---
+            for bi, plan in enumerate(plans):
+                s = plan["state"]
+                block_imgs = [images[bi * branch + k] for k in range(branch)]
+                full_imgnames = []
+                for k, seed in enumerate(plan["seeds"]):
+                    path = os.path.join(s["dirs"].midimg, round_image_name(rnd, seed))
+                    save_image(path, block_imgs[k])
+                    full_imgnames.append(path)
+                with timer.span("verify"):
+                    new_outputs = verifier.score(block_imgs, [s["prompt"]] * branch, tag=s["tag"])
+                if rnd == 1:
+                    s["chains"].init_round(full_imgnames, new_outputs)
+                else:
+                    s["chains"].update(plan["sel_imgs"], full_imgnames, new_outputs)
+                if rnd == total_rounds:
+                    for i, img in enumerate(block_imgs):
+                        save_image(os.path.join(s["dirs"].samples_lastround, f"{i:05d}.png"), img)
+                best_paths = full_imgnames if rnd == 1 else s["chains"].best_per_chain()
+                for i, path in enumerate(best_paths):
+                    save_image(os.path.join(s["dirs"].samples_bestround, f"{i:05d}.png"), load_image(path))
+                if rnd == total_rounds:
+                    best_img, _ = s["chains"].global_best()
+                    save_image(os.path.join(s["dirs"].samples_best, "00000.png"), load_image(best_img))
+                s["manifest"].updated_prompts = list(plan["refined"])
+                s["manifest"].reflections = list(plan["reflections"])
+                s["manifest"].round_done = rnd
+                s["manifest"].chains = s["chains"].chains
+                s["manifest"].save(s["dirs"].root)
+                datapoint = {
+                    "original_prompt": s["prompt"],
+                    "search_round": rnd,
+                    "num_noises": branch,
+                    "choice_of_metric": rule.choice_of_metric,
+                    "generated_img": full_imgnames,
+                    "flag_terminated": rnd == total_rounds,
+                    "chains": s["chains"].chains,
+                }
+                if plan["refinement_performed"]:
+                    datapoint["refined_prompt"] = plan["refined"]
+                if plan["reflection_performed"]:
+                    datapoint["reflections"] = plan["reflections"]
+                s["dirs"].append_metadata(datapoint)
+                s["prev"] = full_imgnames
+                s["datapoint"] = datapoint
+    return [s["datapoint"] for s in states]
