@@ -154,18 +154,26 @@ def init_int8_full(cfg: FluxDiTConfig):
 
 
 def bench_int8_full(rtt: float) -> dict | None:
-    cfg = FluxDiTConfig()
-    try:
-        params = init_int8_full(cfg)
-        run = build_runner(cfg, params)
-        t = time_runner(run, rtt)
-        return {"t_image_s": t, "config": "int8 full 19/38"}
-    except Exception as e:  # OOM etc.
-        import gc
+    """Full-depth int8 model; tries the Pallas flash-attention path first
+    (avoids ~3 GB of materialized attention logits on the 16 GB chip), then
+    the XLA attention path."""
+    import gc
 
-        print(f"# int8 full-model bench failed: {type(e).__name__}")
-        gc.collect()
-        return None
+    cfg = FluxDiTConfig()
+    params = None
+    for attn_impl in ("pallas", "xla"):
+        try:
+            if params is None:
+                params = init_int8_full(cfg)
+            run = build_runner(cfg, params, attn_impl=attn_impl)
+            t = time_runner(run, rtt)
+            return {"t_image_s": t, "config": f"int8 full 19/38 ({attn_impl} attention)"}
+        except Exception as e:  # OOM / kernel failure
+            print(f"# int8 full-model bench ({attn_impl}) failed: {type(e).__name__}")
+            gc.collect()
+    del params
+    gc.collect()
+    return None
 
 
 def bench_bf16_extrapolated(rtt: float) -> dict:

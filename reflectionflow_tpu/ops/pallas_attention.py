@@ -48,43 +48,44 @@ def _flash_kernel(
     q = q_ref[:].astype(jnp.float32) * scale  # (BQ, D)
     BQ = q.shape[0]
     q_start = qb * q_block
-    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)[:, 0]
-    q_is_cond = q_pos >= main_len  # (BQ,)
+    # keep every intermediate >= 2D (TPU vector layout requirement)
+    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)  # (BQ, 1)
+    q_is_cond = q_pos >= main_len  # (BQ, 1)
 
     num_k_blocks = pl.cdiv(seq_len, block_k)
 
     def body(kb, carry):
-        m_prev, l_prev, acc = carry
+        m_prev, l_prev, acc = carry  # (BQ, 1), (BQ, 1), (BQ, D)
         k_start = kb * block_k
         k = k_ref[pl.ds(k_start, block_k), :].astype(jnp.float32)  # (BK, D)
         v = v_ref[pl.ds(k_start, block_k), :].astype(jnp.float32)
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK)
-        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)[0]
+        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)  # (1, BK)
         k_valid = k_pos < seq_len  # mask padding tail
         if cross_bias != 0.0:
-            k_is_cond = k_pos >= main_len
-            cross = q_is_cond[:, None] != k_is_cond[None, :]
+            k_is_cond = k_pos >= main_len  # (1, BK)
+            cross = q_is_cond != k_is_cond  # (BQ, BK)
             logits = logits + jnp.where(cross, cross_bias, 0.0)
-        logits = jnp.where(k_valid[None, :], logits, NEG_INF)
+        logits = jnp.where(k_valid, logits, NEG_INF)
 
-        m_cur = jnp.max(logits, axis=1)  # (BQ,)
+        m_cur = jnp.max(logits, axis=1, keepdims=True)  # (BQ, 1)
         m_new = jnp.maximum(m_prev, m_cur)
-        correction = jnp.exp(m_prev - m_new)
-        p = jnp.exp(logits - m_new[:, None])  # (BQ, BK)
-        l_new = l_prev * correction + jnp.sum(p, axis=1)
-        acc = acc * correction[:, None] + jax.lax.dot_general(
+        correction = jnp.exp(m_prev - m_new)  # (BQ, 1)
+        p = jnp.exp(logits - m_new)  # (BQ, BK)
+        l_new = l_prev * correction + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * correction + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         return m_new, l_new, acc
 
     D = q.shape[1]
-    m0 = jnp.full((BQ,), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((BQ,), jnp.float32)
+    m0 = jnp.full((BQ, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((BQ, 1), jnp.float32)
     acc0 = jnp.zeros((BQ, D), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
-    out_ref[:] = (acc / jnp.maximum(l, 1e-20)[:, None]).astype(out_ref.dtype)
+    out_ref[:] = (acc / jnp.maximum(l, 1e-20)).astype(out_ref.dtype)
 
 
 def _round_up(x, m):
