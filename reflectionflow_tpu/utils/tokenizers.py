@@ -40,8 +40,9 @@ class HashTokenizer:
 
 
 def load_tokenizer(path: str | None, kind: str, vocab_size: int, eos_token_id: int):
-    """kind: 't5' | 'clip'. Falls back to HashTokenizer when path is None or
-    transformers can't load it."""
+    """kind: 't5' | 'clip'. Resolution order: transformers fast tokenizer ->
+    our pure-python sentencepiece unigram (`utils.spm`, T5 only; the image
+    has no sentencepiece wheel) -> HashTokenizer (hermetic tests)."""
     if path is not None:
         try:
             from transformers import AutoTokenizer
@@ -64,4 +65,15 @@ def load_tokenizer(path: str | None, kind: str, vocab_size: int, eos_token_id: i
             return encode
         except Exception:
             pass
+        if kind == "t5":
+            import os
+
+            spiece = os.path.join(path, "spiece.model")
+            if os.path.exists(spiece):
+                try:
+                    from .spm import SPMTokenizer
+
+                    return SPMTokenizer(spiece, eos_token_id=eos_token_id)
+                except Exception:
+                    pass
     return HashTokenizer(vocab_size=vocab_size, eos_token_id=eos_token_id)
