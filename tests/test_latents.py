@@ -51,3 +51,18 @@ def test_image_ids_grid_and_delta():
     ids_d = make_image_ids(2, 3, position_delta=(0, -32))
     assert np.array_equal(ids_d[:, 2], np.array([0, 1, 2, 0, 1, 2]) - 32)
     assert np.array_equal(make_text_ids(5), np.zeros((5, 3)))
+
+
+def test_latent_registry():
+    from reflectionflow_tpu.models.registry import family_for_model, get_latent_spec
+
+    assert family_for_model("black-forest-labs/FLUX.1-dev") == "flux"
+    assert family_for_model("stabilityai/stable-diffusion-3-medium") == "sd3"
+    assert family_for_model("stabilityai/stable-diffusion-xl-base-1.0") == "sdxl"
+    flux = get_latent_spec("flux")
+    lat = flux.prepare(jax.random.PRNGKey(0), 2, 64, 64, jnp.float32)
+    assert lat.shape == (2, 16, 64)  # packed tokens
+    assert flux.seq_len(1024, 1024) == 4096
+    sd = get_latent_spec("sd")
+    lat = sd.prepare(jax.random.PRNGKey(0), 1, 64, 64, jnp.float32)
+    assert lat.shape == (1, 8, 8, 4)
