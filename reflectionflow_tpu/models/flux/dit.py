@@ -175,9 +175,17 @@ def _unheads(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _qkv(attn_p, cfg, x, prefix=""):
-    q = rms_norm(_heads(cfg, linear(attn_p[prefix + "q"], x)), attn_p[prefix + "q_norm"]["scale"])
-    k = rms_norm(_heads(cfg, linear(attn_p[prefix + "k"], x)), attn_p[prefix + "k_norm"]["scale"])
-    v = _heads(cfg, linear(attn_p[prefix + "v"], x))
+    if prefix + "qkv" in attn_p:  # fused projection (ops.fuse.fuse_dit_qkv)
+        H = cfg.num_heads * cfg.head_dim
+        qkv = linear(attn_p[prefix + "qkv"], x)
+        q_r, k_r, v_r = qkv[..., :H], qkv[..., H : 2 * H], qkv[..., 2 * H :]
+    else:
+        q_r = linear(attn_p[prefix + "q"], x)
+        k_r = linear(attn_p[prefix + "k"], x)
+        v_r = linear(attn_p[prefix + "v"], x)
+    q = rms_norm(_heads(cfg, q_r), attn_p[prefix + "q_norm"]["scale"])
+    k = rms_norm(_heads(cfg, k_r), attn_p[prefix + "k_norm"]["scale"])
+    v = _heads(cfg, v_r)
     return q, k, v
 
 

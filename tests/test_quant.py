@@ -48,3 +48,30 @@ def test_quantize_skips_small(key):
     params = flux_dit_init(key, cfg)
     q = quantize_dit_params(params, min_size=1 << 30)  # nothing qualifies
     assert "w" in q["img_in"]
+
+
+def test_fuse_qkv_matches(key):
+    from reflectionflow_tpu.ops.fuse import fuse_dit_qkv
+
+    cfg = FluxDiTConfig.tiny()
+    params = flux_dit_init(key, cfg)
+    fused = fuse_dit_qkv(params)
+    assert "qkv" in fused["double_blocks"]["attn"]
+    assert "q" not in fused["double_blocks"]["attn"]
+    inputs = dict(
+        img=jax.random.normal(jax.random.PRNGKey(1), (1, 16, cfg.in_channels)),
+        txt=jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.text_dim)),
+        pooled=jax.random.normal(jax.random.PRNGKey(3), (1, cfg.pooled_dim)),
+        timestep=jnp.array([0.5]),
+        img_ids=jnp.asarray(make_image_ids(4, 4)),
+        txt_ids=jnp.asarray(make_text_ids(8)),
+        guidance=jnp.array([3.5]),
+    )
+    ref = flux_dit_apply(params, cfg, **inputs)
+    out = flux_dit_apply(fused, cfg, **inputs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # fusion composes with int8 quantization
+    q = quantize_dit_params(fused, min_size=64 * 64)
+    out_q = flux_dit_apply(q, cfg, **inputs)
+    err = float(jnp.abs(out_q - ref).mean() / jnp.abs(ref).mean())
+    assert err < 0.05
