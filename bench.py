@@ -117,14 +117,13 @@ def init_int8_full(cfg: FluxDiTConfig):
     def rms(stacked=None):
         return {"scale": jax.device_put(np.ones(((stacked,) if stacked else ()) + (D,), np.float32).astype(jnp.bfloat16))}
 
+    # fused-QKV serving layout (ops.fuse)
     double = {
         "img_mod": rand_qlin(next(ks), H, 6 * H, nd),
         "txt_mod": rand_qlin(next(ks), H, 6 * H, nd),
         "attn": {
-            "q": rand_qlin(next(ks), H, H, nd), "k": rand_qlin(next(ks), H, H, nd),
-            "v": rand_qlin(next(ks), H, H, nd), "out": rand_qlin(next(ks), H, H, nd),
-            "txt_q": rand_qlin(next(ks), H, H, nd), "txt_k": rand_qlin(next(ks), H, H, nd),
-            "txt_v": rand_qlin(next(ks), H, H, nd), "txt_out": rand_qlin(next(ks), H, H, nd),
+            "qkv": rand_qlin(next(ks), H, 3 * H, nd), "out": rand_qlin(next(ks), H, H, nd),
+            "txt_qkv": rand_qlin(next(ks), H, 3 * H, nd), "txt_out": rand_qlin(next(ks), H, H, nd),
             "q_norm": rms(nd), "k_norm": rms(nd), "txt_q_norm": rms(nd), "txt_k_norm": rms(nd),
         },
         "img_mlp": {"fc1": rand_qlin(next(ks), H, M, nd), "fc2": rand_qlin(next(ks), M, H, nd)},
@@ -133,8 +132,7 @@ def init_int8_full(cfg: FluxDiTConfig):
     single = {
         "mod": rand_qlin(next(ks), H, 3 * H, ns),
         "attn": {
-            "q": rand_qlin(next(ks), H, H, ns), "k": rand_qlin(next(ks), H, H, ns),
-            "v": rand_qlin(next(ks), H, H, ns),
+            "qkv": rand_qlin(next(ks), H, 3 * H, ns),
             "q_norm": rms(ns), "k_norm": rms(ns),
         },
         "mlp_in": rand_qlin(next(ks), H, M, ns),

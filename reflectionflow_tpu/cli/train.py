@@ -49,12 +49,12 @@ def main(argv=None):
 
     schedule = None
     if cfg.data.training_stages:
-        stages = list(cfg.data.training_stages)
-        # accept either [(step, {...})] or config.yaml style split_ratios
-        schedule = StageSchedule(
-            split_ratios={"general": [0.1, 0.3], "length": [0.1, 0.3], "rule": [0.1, 0.4], "editing": [0.7, 0.0]},
-            training_stages=[s if isinstance(s, int) else s[0] for s in stages],
-        )
+        stages = [s if isinstance(s, int) else s[0] for s in cfg.data.training_stages]
+        ratios = getattr(cfg, "split_ratios", None) or {
+            # GenRef defaults (reference config.yaml:25-31)
+            "general": [0.1, 0.3], "length": [0.1, 0.3], "rule": [0.1, 0.4], "editing": [0.7, 0.0],
+        }
+        schedule = StageSchedule(split_ratios=ratios, training_stages=stages)
 
     ds = GenRefDataset(
         shards=shards,

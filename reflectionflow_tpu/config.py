@@ -401,6 +401,7 @@ class TrainConfig:
     seed: int = 0
     checkpoint_dir: str = "ckpt"
     mesh_shape: tuple[int, ...] = (-1,)  # data-parallel by default
+    split_ratios: Optional[dict] = None  # {subset: [ratio per stage]}
 
     @staticmethod
     def load(path: str) -> "TrainConfig":
@@ -411,7 +412,54 @@ class TrainConfig:
                 data = yaml.safe_load(f)
             else:
                 data = json.load(f)
+        if "train" in data and isinstance(data["train"], dict):
+            return TrainConfig.from_reference_yaml(data)
         return _build(TrainConfig, data)
+
+    @staticmethod
+    def from_reference_yaml(data: dict) -> "TrainConfig":
+        """Accept the reference's train_flux/config.yaml layout
+        (`/root/reference/train_flux/config.yaml`): top-level model_path/
+        dtype, `train:` block with dataset/lora_config/optimizer subtrees."""
+        train = data.get("train", {})
+        dataset = train.get("dataset", {})
+        lora_cfg = train.get("lora_config", {})
+        opt = train.get("optimizer", {})
+        opt_params = opt.get("params", {})
+        stages = dataset.get("training_stages", ())
+        split_ratios = dataset.get("split_ratios")
+        cfg = TrainConfig(
+            lora=LoraArgs(
+                r=lora_cfg.get("r", 32),
+                alpha=lora_cfg.get("lora_alpha", lora_cfg.get("alpha", 32)),
+                init=("gaussian" if lora_cfg.get("init_lora_weights", "gaussian") == "gaussian" else "zeros"),
+            ),
+            optimizer=OptimizerArgs(
+                name=str(opt.get("type", "prodigy")).lower(),
+                lr=opt_params.get("lr", 1.0),
+                weight_decay=opt_params.get("weight_decay", 0.01),
+                grad_clip=train.get("gradient_clip_val", 0.5),
+                grad_accum=train.get("accumulate_grad_batches", 1),
+            ),
+            data=DataArgs(
+                shards=tuple([dataset["path"]] if isinstance(dataset.get("path"), str) else dataset.get("path", ())),
+                batch_size=train.get("batch_size", 8),
+                condition_size=dataset.get("condition_size", 512),
+                target_size=dataset.get("target_size", 512),
+                drop_text_prob=dataset.get("drop_text_prob", 0.1),
+                drop_image_prob=dataset.get("drop_image_prob", 0.1),
+                drop_reflection_prob=dataset.get("drop_reflection_prob", 0.2),
+                training_stages=tuple(stages),
+            ),
+            dtype={"bfloat16": "bf16"}.get(data.get("dtype", "bf16"), data.get("dtype", "bf16")),
+            max_steps=train.get("max_steps", -1) if train.get("max_steps", -1) > 0 else 16000,
+            save_interval=train.get("save_interval", 2000),
+            sample_interval=train.get("sample_interval", 1000),
+            checkpoint_dir=train.get("save_path", "ckpt"),
+        )
+        if split_ratios:
+            cfg.split_ratios = {k: list(v) for k, v in split_ratios.items()}
+        return cfg
 
 
 _FIELD_TYPES.update(

@@ -89,11 +89,18 @@ class FluxPipeline:
 
         return load_flux_pipeline(cls, model_dir, dtype=dtype, **kw)
 
-    def quantize(self, which: tuple[str, ...] = ("dit", "t5")) -> "FluxPipeline":
+    def quantize(self, which: tuple[str, ...] = ("dit", "t5"), fuse_qkv: bool = True) -> "FluxPipeline":
         """Int8 weight-only quantize the big weight trees in place
-        (`ops.quant`) — the single-chip 16 GB serving configuration."""
+        (`ops.quant`) — the single-chip 16 GB serving configuration.
+        QKV projections are fused first (`ops.fuse`) so the int8 panels are
+        as wide as possible."""
+        from ..ops.fuse import fuse_dit_qkv
         from ..ops.quant import quantize_dit_params
 
+        if fuse_qkv:
+            self.params["dit"] = fuse_dit_qkv(self.params["dit"])
+            if self.cond_dit_params is not None:
+                self.cond_dit_params = fuse_dit_qkv(self.cond_dit_params)
         for name in which:
             if name in self.params:
                 self.params[name] = quantize_dit_params(self.params[name])

@@ -96,3 +96,56 @@ def test_batch_interface(model_file):
     assert out["input_ids"][0, 2] == 1  # EOS after 2 tokens
     assert out["attention_mask"][0].sum() == 3
     assert out["input_ids"][1, 1] == 1
+
+
+def test_reference_train_yaml_layout(tmp_path):
+    """TrainConfig accepts the reference config.yaml structure."""
+    import yaml
+
+    from reflectionflow_tpu.config import TrainConfig
+
+    data = {
+        "model_path": "black-forest-labs/FLUX.1-dev",
+        "dtype": "bfloat16",
+        "train": {
+            "batch_size": 8,
+            "accumulate_grad_batches": 1,
+            "save_interval": 2000,
+            "max_steps": -1,
+            "save_path": "./runs/test",
+            "dataset": {
+                "type": "img",
+                "path": "genref_{0..208}.tar",
+                "split_ratios": {"general": [0.1, 0.3], "editing": [0.7, 0.0]},
+                "training_stages": [0, 5000],
+            },
+            "lora_config": {"r": 32, "lora_alpha": 32, "init_lora_weights": "gaussian"},
+            "optimizer": {"type": "Prodigy", "params": {"lr": 1, "weight_decay": 0.01}},
+        },
+    }
+    path = tmp_path / "ref.yaml"
+    path.write_text(yaml.safe_dump(data))
+    cfg = TrainConfig.load(str(path))
+    assert cfg.optimizer.name == "prodigy" and cfg.optimizer.lr == 1
+    assert cfg.lora.r == 32
+    assert cfg.data.batch_size == 8
+    assert cfg.data.training_stages == (0, 5000)
+    assert cfg.split_ratios["editing"] == [0.7, 0.0]
+    assert cfg.checkpoint_dir == "./runs/test"
+
+
+def test_reflection_parsing():
+    from reflectionflow_tpu.reflect.parsing import flatten_reflection, parse_reflection_sections
+
+    text = (
+        "1. Missing objects:\n- add a second cat\n- add a hat\n\n"
+        "2. Color issues:  \n- None\n\n"
+        "3. Layout:\n- move the dog left"
+    )
+    sections = parse_reflection_sections(text)
+    assert "Missing objects" in sections and len(sections["Missing objects"]) == 2
+    flat = flatten_reflection(text)
+    assert "add a second cat" in flat and "move the dog left" in flat
+    assert "None" not in flat
+    # unstructured text passes through
+    assert flatten_reflection("just fix the colors") == "just fix the colors"
