@@ -114,10 +114,41 @@ class QwenRewardVerifier(Verifier):
         return ids, img
 
     def raw_scores(self, images: Sequence[np.ndarray], prompts: Sequence[str]) -> list[float]:
-        out = []
-        for img, prompt in zip(images, prompts):
-            ids, resized = self._prepare_ids(np.asarray(img), prompt)
-            out.append(self.rm.score_sequence(ids, [resized]))
+        """Candidates in a search round share a resolution, so their chat
+        sequences are uniform: group by sequence length and run the LM as
+        ONE batched forward per group (the 7B LM dominates the cost)."""
+        import jax.numpy as jnp
+
+        from ..models.qwen_vl.lm import qwen_lm_apply
+        from ..models.qwen_vl.reward import pool_hidden
+
+        prepared = [self._prepare_ids(np.asarray(img), p) for img, p in zip(images, prompts)]
+        groups: dict[int, list[int]] = {}
+        for i, (ids, _) in enumerate(prepared):
+            groups.setdefault(len(ids), []).append(i)
+        out = [0.0] * len(prepared)
+        model = self.rm.model
+        for _, idxs in groups.items():
+            embeds, poss, id_rows = [], [], []
+            for i in idxs:
+                ids, resized = prepared[i]
+                emb, pos = model.embed_sequence(ids, [resized])
+                embeds.append(emb[0])
+                poss.append(pos[:, 0, :])
+                id_rows.append(ids)
+            B = len(idxs)
+            batch_embeds = jnp.stack(embeds)
+            batch_pos = jnp.stack(poss, axis=1)  # (3, B, L)
+            batch_ids = jnp.asarray(np.stack(id_rows))
+            hidden, _ = qwen_lm_apply(model.lm_params, model.lm_cfg, batch_embeds, batch_pos, return_hidden=True)
+            mask = jnp.ones(batch_ids.shape, jnp.int32)
+            pooled = pool_hidden(
+                hidden, mask, self.rm.head.pooling,
+                input_ids=batch_ids, special_token_id=self.rm.head.special_token_id,
+            )
+            raw = pooled @ jnp.asarray(self.rm.head.w, pooled.dtype)
+            for j, i in enumerate(idxs):
+                out[i] = float(raw[j, 0])
         return out
 
     def reward(self, images, prompts, use_norm: bool | None = None) -> list[dict]:
