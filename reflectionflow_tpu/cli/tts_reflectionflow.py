@@ -38,6 +38,12 @@ def main(argv=None):
         help="prompts run in lockstep per round; their candidates fuse into "
         "one mesh-sharded generate call (block x branch batch)",
     )
+    parser.add_argument(
+        "--parallel_blocks", type=int, default=1,
+        help="blocks processed concurrently in threads: one block's host "
+        "stages (verify/reflect/refine via API) overlap another block's "
+        "device generation",
+    )
     args = parser.parse_args(argv)
     cfg = load_config(args)
     prompts = load_prompts(args)
@@ -47,9 +53,11 @@ def main(argv=None):
     refiner = build_refiner(cfg)
     timer = PhaseTimer()
     if args.prompt_block > 1:
+        import concurrent.futures as cf
+
         from ..search.reflectionflow import run_reflectionflow_block
 
-        for c0 in range(0, len(prompts), args.prompt_block):
+        def run_block(c0):
             block = prompts[c0 : c0 + args.prompt_block]
             run_reflectionflow_block(
                 pipe, verifier, reflector, refiner, cfg, block, cfg.output_dir,
@@ -57,6 +65,14 @@ def main(argv=None):
                 round0_images_fn=lambda idx: stage1_round0(args.imgpath, idx),
                 run_seed=args.seed, timer=timer,
             )
+
+        starts = list(range(0, len(prompts), args.prompt_block))
+        if args.parallel_blocks > 1:
+            with cf.ThreadPoolExecutor(max_workers=args.parallel_blocks) as ex:
+                list(ex.map(run_block, starts))
+        else:
+            for c0 in starts:
+                run_block(c0)
     else:
         for offset, row in enumerate(prompts):
             idx = args.start_index + offset

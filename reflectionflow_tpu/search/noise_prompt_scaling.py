@@ -51,7 +51,7 @@ def run_noise_prompt_scaling(
             if rnd > 1 and refiner is not None and cfg.prompt_refiner_args.run_refinement:
                 arrays = [load_image(p) for p in prev_images]
                 with timer.span("verify"):
-                    outputs = verifier.score(arrays, [original_prompt] * len(arrays), tag=tag)
+                    outputs = verifier.score(arrays, [original_prompt] * len(arrays), tag=tag, max_new_tokens=cfg.verifier_args.max_new_tokens)
                 topk_idx = select_topk(outputs, branch, rule)
                 evaluations = [json.dumps(outputs[i]) for i in topk_idx]
                 with timer.span("refine"):

@@ -129,7 +129,7 @@ def _one_round(
     # 1. VERIFY previous images
     prev_arrays = [load_image(p) for p in prev_images]
     with timer.span("verify"):
-        outputs = verifier.score(prev_arrays, [original_prompt] * len(prev_arrays), tag=tag)
+        outputs = verifier.score(prev_arrays, [original_prompt] * len(prev_arrays), tag=tag, max_new_tokens=cfg.verifier_args.max_new_tokens)
 
     # 2. top-k parents (k = branch, wraparound)
     topk_idx = select_topk(outputs, branch, rule)
@@ -204,7 +204,7 @@ def _one_round(
 
     # 7. VERIFY new images + chains
     with timer.span("verify"):
-        new_outputs = verifier.score(list(images), [original_prompt] * len(images), tag=tag)
+        new_outputs = verifier.score(list(images), [original_prompt] * len(images), tag=tag, max_new_tokens=cfg.verifier_args.max_new_tokens)
     if rnd == 1:
         chains.init_round(full_imgnames, new_outputs)
     else:
@@ -345,7 +345,7 @@ def run_reflectionflow_block(
             for s in active:
                 prev_arrays = [load_image(p) for p in s["prev"]]
                 with timer.span("verify"):
-                    outputs = verifier.score(prev_arrays, [s["prompt"]] * len(prev_arrays), tag=s["tag"])
+                    outputs = verifier.score(prev_arrays, [s["prompt"]] * len(prev_arrays), tag=s["tag"], max_new_tokens=cfg.verifier_args.max_new_tokens)
                 topk_idx = select_topk(outputs, branch, rule)
                 sel_imgs = [s["prev"][i] for i in topk_idx]
                 sel_arrays = [prev_arrays[i] for i in topk_idx]
@@ -431,7 +431,7 @@ def run_reflectionflow_block(
                     save_image(path, block_imgs[k])
                     full_imgnames.append(path)
                 with timer.span("verify"):
-                    new_outputs = verifier.score(block_imgs, [s["prompt"]] * branch, tag=s["tag"])
+                    new_outputs = verifier.score(block_imgs, [s["prompt"]] * branch, tag=s["tag"], max_new_tokens=cfg.verifier_args.max_new_tokens)
                 if rnd == 1:
                     s["chains"].init_round(full_imgnames, new_outputs)
                 else:
