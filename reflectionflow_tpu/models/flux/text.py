@@ -10,6 +10,8 @@ tests against transformers' torch models on tiny random configs).
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -87,6 +89,7 @@ def t5_position_bias(params, cfg: T5Config, seq_len: int) -> jnp.ndarray:
     return bias.transpose(2, 0, 1)[None]
 
 
+@partial(jax.jit, static_argnums=(1,))
 def t5_encode(params, cfg: T5Config, input_ids: jnp.ndarray, attention_mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """(B, L) int32 -> (B, L, d_model) final hidden states."""
     B, L = input_ids.shape
@@ -162,6 +165,7 @@ def quick_gelu(x):
     return x * jax.nn.sigmoid(1.702 * x)
 
 
+@partial(jax.jit, static_argnums=(1,))
 def clip_text_encode(params, cfg: CLIPTextConfig, input_ids: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(B, L) -> (last_hidden (B, L, d), pooled (B, d)).
 

@@ -12,6 +12,8 @@ GroupNorm accumulation, weights stored as HWIO.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -153,6 +155,7 @@ def vae_encode_moments(params, cfg: FluxVAEConfig, images: jnp.ndarray) -> jnp.n
     return conv2d(params["conv_out"], x)
 
 
+@partial(jax.jit, static_argnums=(1,))
 def vae_encode(params, cfg: FluxVAEConfig, images: jnp.ndarray, key=None) -> jnp.ndarray:
     """Encode to scaled/shifted latents; `key=None` -> mode (mean)."""
     moments = vae_encode_moments(params, cfg, images)
@@ -187,6 +190,7 @@ def vae_decoder_init(key, cfg: FluxVAEConfig, dtype=jnp.float32):
     }
 
 
+@partial(jax.jit, static_argnums=(1,))
 def vae_decode(params, cfg: FluxVAEConfig, latents: jnp.ndarray) -> jnp.ndarray:
     """Scaled latents (B, h, w, C_lat) -> images (B, H, W, 3) in [-1, 1]."""
     g = cfg.norm_num_groups
