@@ -97,6 +97,9 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
         pipe.cond_dit_params = cond_view
     if getattr(args, "quantize", None) == "int8":
         pipe.quantize()
+    if not args.synthetic_weights:
+        # keep T5 host-side in the int8 single-chip profile (HBM budget)
+        pipe.to_device(exclude=("t5",) if getattr(args, "quantize", None) == "int8" else ())
     return pipe
 
 

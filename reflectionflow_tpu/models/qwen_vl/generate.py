@@ -68,10 +68,20 @@ class QwenVLGenerator:
             last_logits = logits[:, -1]
         return out_ids
 
-    def generate(self, images: list[np.ndarray], prompts: list[str], max_new_tokens: int = 128) -> list[str]:
+    def generate(self, images: list[np.ndarray], prompts: list[str], max_new_tokens: int = 128,
+                 max_pixels: int = 448 * 448) -> list[str]:
         assert self.tokenizer is not None, "text generation requires a tokenizer"
+        from PIL import Image
+
+        from .vision import smart_resize
+
+        vis_cfg = self.model.vis_cfg
+        factor = vis_cfg.patch_size * vis_cfg.spatial_merge_size
         outs = []
         for img, prompt in zip(images, prompts):
+            img = np.asarray(img)
+            nh, nw = smart_resize(img.shape[0], img.shape[1], factor=factor, max_pixels=max_pixels)
+            img = np.asarray(Image.fromarray(img).resize((nw, nh)))
             ids = self._build_chat_ids(img, prompt)
             out_ids = self.decode_ids(ids, [img], max_new_tokens=max_new_tokens)
             outs.append(self.tokenizer.decode(out_ids, skip_special_tokens=True).strip())

@@ -89,6 +89,23 @@ class FluxPipeline:
 
         return load_flux_pipeline(cls, model_dir, dtype=dtype, **kw)
 
+    def to_device(self, exclude: tuple[str, ...] = ()) -> "FluxPipeline":
+        """Materialize weight trees on the accelerator once (loaders return
+        host numpy arrays; without this every jit call re-transfers).
+
+        `exclude` names trees kept host-side — the TPU analogue of the
+        reference's `use_low_gpu_vram` ping-ponging
+        (`/root/reference/tts/tts_reflectionflow.py:305,324-325`): e.g.
+        `exclude=("t5",)` keeps T5-XXL off the 16 GB chip; its encode then
+        streams weights per call (slow but memory-safe)."""
+        for name in list(self.params):
+            if name in exclude:
+                continue
+            self.params[name] = jax.device_put(self.params[name])
+        if self.cond_dit_params is not None and "dit" not in exclude:
+            self.cond_dit_params = jax.device_put(self.cond_dit_params)
+        return self
+
     def quantize(self, which: tuple[str, ...] = ("dit", "t5"), fuse_qkv: bool = True) -> "FluxPipeline":
         """Int8 weight-only quantize the big weight trees in place
         (`ops.quant`) — the single-chip 16 GB serving configuration.
@@ -165,7 +182,7 @@ class FluxPipeline:
                     conditions, self.params["vae"], self.vae_cfg, self.dtype, empty=True
                 )
 
-        if self.mesh is not None:
+        if self.mesh is not None and B % self.mesh.shape["data"] == 0:
             from ..parallel.mesh import candidate_sharding
 
             sh = candidate_sharding(self.mesh)
@@ -176,6 +193,14 @@ class FluxPipeline:
                 cond = jax.device_put(cond, sh)
             if cond_empty is not None:
                 cond_empty = jax.device_put(cond_empty, sh)
+        elif self.mesh is not None:
+            import warnings
+
+            warnings.warn(
+                f"batch {B} not divisible by data axis {self.mesh.shape['data']}; "
+                "running unsharded (use parallel.mesh.pad_candidates)",
+                stacklevel=2,
+            )
         final = denoise(
             self.params["dit"],
             self.dit_cfg,
