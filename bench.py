@@ -22,6 +22,7 @@ chip. vs_baseline = ours_per_chip / 0.1.
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -31,9 +32,16 @@ import numpy as np
 from reflectionflow_tpu.config import FluxDiTConfig
 from reflectionflow_tpu.models.flux.dit import flux_dit_init
 from reflectionflow_tpu.models.flux.rope import make_image_ids, make_text_ids
-from reflectionflow_tpu.ops.quant import quantize_dit_params
 from reflectionflow_tpu.sampler.generate import denoise
 from reflectionflow_tpu.sampler.scheduler import FlowMatchSchedule
+
+
+def log(msg: str) -> None:
+    """Diagnostics go to stderr — stdout is the one-JSON-line contract."""
+    print(msg, file=sys.stderr, flush=True)
+
+
+_SUM = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 
 BASELINE_IMGS_PER_SEC_PER_CHIP = 0.1  # H100, FLUX.1-dev 1024px/30 steps (see docstring)
 NUM_STEPS = 30
@@ -43,20 +51,23 @@ LT = 512
 
 
 def build_runner(cfg: FluxDiTConfig, params, attn_impl: str = "xla"):
+    """`denoise` is already jitted with params as ARGUMENTS — never close a
+    jit over the weight tree (a zero-arg closure constant-folds all 12 GB
+    into the compiled module)."""
     img_ids = jnp.asarray(make_image_ids(TY, TX))
     txt_ids = jnp.asarray(make_text_ids(LT))
     sigmas = jnp.asarray(FlowMatchSchedule.create(NUM_STEPS, TY * TX).sigmas)
-    latents = jax.random.normal(jax.random.PRNGKey(1), (BATCH, TY * TX, cfg.in_channels), jnp.bfloat16)
-    txt = jax.random.normal(jax.random.PRNGKey(2), (BATCH, LT, cfg.text_dim), jnp.bfloat16)
-    pooled = jax.random.normal(jax.random.PRNGKey(3), (BATCH, cfg.pooled_dim), jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    latents = jnp.asarray(rng.standard_normal((BATCH, TY * TX, cfg.in_channels)), jnp.bfloat16)
+    txt = jnp.asarray(rng.standard_normal((BATCH, LT, cfg.text_dim)), jnp.bfloat16)
+    pooled = jnp.asarray(rng.standard_normal((BATCH, cfg.pooled_dim)), jnp.bfloat16)
 
-    @jax.jit
     def run_sum():
         out = denoise(
             params, cfg, latents, txt, pooled, img_ids, txt_ids, sigmas,
             jnp.asarray(3.5, jnp.float32), NUM_STEPS, attn_impl=attn_impl,
         )
-        return jnp.sum(out.astype(jnp.float32))
+        return _SUM(out)
 
     return run_sum
 
@@ -89,7 +100,7 @@ def init_int8_full(cfg: FluxDiTConfig):
     Random weights are for throughput measurement only."""
     host_rng = np.random.default_rng(0)
 
-    def rand_qlin(key, shape_in, shape_out, stacked=None):
+    def rand_qlin(shape_in, shape_out, stacked=None):
         shape = ((stacked,) if stacked else ()) + (shape_in, shape_out)
         w_q = host_rng.integers(-127, 128, size=shape, dtype=np.int8)
         scale_shape = ((stacked,) if stacked else ()) + (1, shape_out)
@@ -102,11 +113,9 @@ def init_int8_full(cfg: FluxDiTConfig):
         }
 
     H, M, D = cfg.hidden_size, cfg.mlp_hidden, cfg.head_dim
-    key = jax.random.PRNGKey(0)
-    ks = iter(jax.random.split(key, 64))
     nd, ns = cfg.num_double_blocks, cfg.num_single_blocks
 
-    def small_lin(k, i, o, stacked=None):
+    def small_lin(i, o, stacked=None):
         shape = ((stacked,) if stacked else ()) + (i, o)
         w = (host_rng.standard_normal(shape) * (i ** -0.5)).astype(np.float32)
         return {
@@ -119,33 +128,33 @@ def init_int8_full(cfg: FluxDiTConfig):
 
     # fused-QKV serving layout (ops.fuse)
     double = {
-        "img_mod": rand_qlin(next(ks), H, 6 * H, nd),
-        "txt_mod": rand_qlin(next(ks), H, 6 * H, nd),
+        "img_mod": rand_qlin(H, 6 * H, nd),
+        "txt_mod": rand_qlin(H, 6 * H, nd),
         "attn": {
-            "qkv": rand_qlin(next(ks), H, 3 * H, nd), "out": rand_qlin(next(ks), H, H, nd),
-            "txt_qkv": rand_qlin(next(ks), H, 3 * H, nd), "txt_out": rand_qlin(next(ks), H, H, nd),
+            "qkv": rand_qlin(H, 3 * H, nd), "out": rand_qlin(H, H, nd),
+            "txt_qkv": rand_qlin(H, 3 * H, nd), "txt_out": rand_qlin(H, H, nd),
             "q_norm": rms(nd), "k_norm": rms(nd), "txt_q_norm": rms(nd), "txt_k_norm": rms(nd),
         },
-        "img_mlp": {"fc1": rand_qlin(next(ks), H, M, nd), "fc2": rand_qlin(next(ks), M, H, nd)},
-        "txt_mlp": {"fc1": rand_qlin(next(ks), H, M, nd), "fc2": rand_qlin(next(ks), M, H, nd)},
+        "img_mlp": {"fc1": rand_qlin(H, M, nd), "fc2": rand_qlin(M, H, nd)},
+        "txt_mlp": {"fc1": rand_qlin(H, M, nd), "fc2": rand_qlin(M, H, nd)},
     }
     single = {
-        "mod": rand_qlin(next(ks), H, 3 * H, ns),
+        "mod": rand_qlin(H, 3 * H, ns),
         "attn": {
-            "qkv": rand_qlin(next(ks), H, 3 * H, ns),
+            "qkv": rand_qlin(H, 3 * H, ns),
             "q_norm": rms(ns), "k_norm": rms(ns),
         },
-        "mlp_in": rand_qlin(next(ks), H, M, ns),
-        "out": rand_qlin(next(ks), H + M, H, ns),
+        "mlp_in": rand_qlin(H, M, ns),
+        "out": rand_qlin(H + M, H, ns),
     }
     return {
-        "img_in": small_lin(next(ks), cfg.in_channels, H),
-        "txt_in": rand_qlin(next(ks), cfg.text_dim, H),
-        "time_in": {"fc1": small_lin(next(ks), cfg.time_freq_dim, H), "fc2": small_lin(next(ks), H, H)},
-        "vector_in": {"fc1": small_lin(next(ks), cfg.pooled_dim, H), "fc2": small_lin(next(ks), H, H)},
-        "guidance_in": {"fc1": small_lin(next(ks), cfg.time_freq_dim, H), "fc2": small_lin(next(ks), H, H)},
-        "final_mod": rand_qlin(next(ks), H, 2 * H),
-        "final_proj": small_lin(next(ks), H, cfg.in_channels),
+        "img_in": small_lin(cfg.in_channels, H),
+        "txt_in": rand_qlin(cfg.text_dim, H),
+        "time_in": {"fc1": small_lin(cfg.time_freq_dim, H), "fc2": small_lin(H, H)},
+        "vector_in": {"fc1": small_lin(cfg.pooled_dim, H), "fc2": small_lin(H, H)},
+        "guidance_in": {"fc1": small_lin(cfg.time_freq_dim, H), "fc2": small_lin(H, H)},
+        "final_mod": rand_qlin(H, 2 * H),
+        "final_proj": small_lin(H, cfg.in_channels),
         "double_blocks": double,
         "single_blocks": single,
     }
@@ -167,7 +176,7 @@ def bench_int8_full(rtt: float) -> dict | None:
             t = time_runner(run, rtt)
             return {"t_image_s": t, "config": f"int8 full 19/38 ({attn_impl} attention)"}
         except Exception as e:  # OOM / kernel failure
-            print(f"# int8 full-model bench ({attn_impl}) failed: {type(e).__name__}")
+            log(f"# int8 full-model bench ({attn_impl}) failed: {type(e).__name__}")
             gc.collect()
     del params
     gc.collect()

@@ -20,13 +20,43 @@
 extern "C" {
 
 // Parse an octal field (tar headers store sizes as ASCII octal).
+// Returns -1 for base-256 (binary) encoding — sizes >= 8 GiB — which we do
+// not support; callers bail out so Python tarfile handles the shard.
 static int64_t parse_octal(const char* p, size_t n) {
+    if (n > 0 && (static_cast<unsigned char>(p[0]) & 0x80)) return -1;
     int64_t v = 0;
     for (size_t i = 0; i < n && p[i]; ++i) {
         if (p[i] < '0' || p[i] > '7') continue;
         v = (v << 3) | (p[i] - '0');
     }
     return v;
+}
+
+// Parse a PAX extended-header payload for a "path=" record
+// (records are "<len> <key>=<value>\n").
+static bool pax_find_path(const char* buf, int64_t n, char* out, size_t out_cap) {
+    int64_t i = 0;
+    while (i < n) {
+        // record length prefix (decimal, includes itself)
+        int64_t rec_len = 0;
+        int64_t j = i;
+        while (j < n && buf[j] >= '0' && buf[j] <= '9') {
+            rec_len = rec_len * 10 + (buf[j] - '0');
+            ++j;
+        }
+        if (j >= n || buf[j] != ' ' || rec_len <= 0 || i + rec_len > n) return false;
+        const char* kv = buf + j + 1;
+        int64_t kv_len = rec_len - (j + 1 - i) - 1;  // minus trailing \n
+        if (kv_len > 5 && memcmp(kv, "path=", 5) == 0) {
+            size_t vlen = static_cast<size_t>(kv_len - 5);
+            if (vlen >= out_cap) vlen = out_cap - 1;
+            memcpy(out, kv + 5, vlen);
+            out[vlen] = 0;
+            return true;
+        }
+        i += rec_len;
+    }
+    return false;
 }
 
 // Index a tar file: writes (offset, size) pairs for regular files and their
@@ -54,8 +84,31 @@ int64_t rf_tar_index(const char* path, int64_t* offsets, int64_t* sizes,
         if (all_zero) break;
 
         int64_t size = parse_octal(reinterpret_cast<char*>(hdr + 124), 12);
+        if (size < 0) { fclose(f); return -3; }  // base-256: unsupported
         char typeflag = static_cast<char>(hdr[156]);
         int64_t padded = (size + 511) & ~int64_t(511);
+
+        if (typeflag == 'x' || typeflag == 'X') {  // PAX extended header
+            if (size > (int64_t)1 << 20) { fclose(f); return -3; }
+            char* pax = static_cast<char*>(malloc(static_cast<size_t>(size)));
+            if (!pax || fread(pax, 1, static_cast<size_t>(size), f) != static_cast<size_t>(size)) {
+                free(pax);
+                fclose(f);
+                return -1;
+            }
+            if (pax_find_path(pax, size, long_name, sizeof(long_name))) {
+                have_long_name = true;
+            }
+            free(pax);
+            if (fseek(f, static_cast<long>(padded - size), SEEK_CUR) != 0) { fclose(f); return -1; }
+            pos += padded;
+            continue;
+        }
+        if (typeflag == 'g') {  // PAX global header: skip payload
+            if (fseek(f, static_cast<long>(padded), SEEK_CUR) != 0) { fclose(f); return -1; }
+            pos += padded;
+            continue;
+        }
 
         if (typeflag == 'L') {  // GNU long name: payload is the next name
             int64_t n = size < 4095 ? size : 4095;

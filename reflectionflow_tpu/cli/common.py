@@ -113,8 +113,19 @@ def build_verifier(cfg: TTSConfig):
             reflexion_prompt=va.reflexion_prompt_relpath,
             max_workers=va.max_workers,
         )
+        if va.model_name:
+            kw["model_name"] = va.model_name
+        if getattr(va, "base_url", None):
+            kw["base_url"] = va.base_url
     elif va.name in ("qwen_rm", "image_verifier"):
         kw = dict(model_path=va.model_path)
+        if va.cache_dir:
+            kw["cache_dir"] = va.cache_dir
+    elif va.name == "nvila":
+        if va.model_name:
+            kw["model_name"] = va.model_name
+        if va.cache_dir:
+            kw["cache_dir"] = va.cache_dir
     return load_verifier(va.name, **kw)
 
 
@@ -123,7 +134,7 @@ def build_reflector(cfg: TTSConfig):
     if not ra.run_reflection:
         return None
     if ra.backend == "openai":
-        kw = {}
+        kw = {"max_retries": ra.max_retries, "retry_delay_s": ra.retry_delay_s}
         if ra.base_url:
             kw["base_url"] = ra.base_url
         if ra.model_name:

@@ -27,6 +27,7 @@ def main(argv=None):
     sel = run_nfe_filter(
         verifier, rule, args.imgpath, cfg.output_dir, prompts,
         nfes=tuple(args.nfes), images_subdir=args.images_subdir,
+        start_index=args.start_index,
     )
     for k, paths in sel.items():
         print(f"nfe{k}: {len(paths)} selections")

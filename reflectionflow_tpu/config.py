@@ -259,6 +259,7 @@ class VerifierArgs:
     name: str = "fake"  # fake | fake_nvila | qwen_rm | nvila | openai
     model_path: Optional[str] = None
     model_name: Optional[str] = None
+    base_url: Optional[str] = None
     cache_dir: Optional[str] = None
     max_workers: int = 4
     max_new_tokens: Optional[int] = None

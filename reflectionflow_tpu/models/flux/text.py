@@ -101,17 +101,18 @@ def t5_encode(params, cfg: T5Config, input_ids: jnp.ndarray, attention_mask: jnp
     eps = cfg.layer_norm_epsilon
 
     def body(h, bp):
+        # all matmuls via linear() -> int8 weight-only quantization works here
         x = _t5_ln(h, bp["ln1"]["scale"], eps)
-        q = (x @ bp["q"]["w"]).reshape(B, L, cfg.num_heads, cfg.d_kv)
-        k = (x @ bp["k"]["w"]).reshape(B, L, cfg.num_heads, cfg.d_kv)
-        v = (x @ bp["v"]["w"]).reshape(B, L, cfg.num_heads, cfg.d_kv)
+        q = linear(bp["q"], x).reshape(B, L, cfg.num_heads, cfg.d_kv)
+        k = linear(bp["k"], x).reshape(B, L, cfg.num_heads, cfg.d_kv)
+        v = linear(bp["v"], x).reshape(B, L, cfg.num_heads, cfg.d_kv)
         # T5: no 1/sqrt(d) scaling (folded into init)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) + bias
         probs = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
         attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, L, -1)
-        h = h + attn @ bp["o"]["w"]
+        h = h + linear(bp["o"], attn)
         x = _t5_ln(h, bp["ln2"]["scale"], eps)
-        ff = (jax.nn.gelu(x @ bp["wi0"]["w"], approximate=True) * (x @ bp["wi1"]["w"])) @ bp["wo"]["w"]
+        ff = linear(bp["wo"], jax.nn.gelu(linear(bp["wi0"], x), approximate=True) * linear(bp["wi1"], x))
         return h + ff, None
 
     h, _ = jax.lax.scan(body, h, params["blocks"])

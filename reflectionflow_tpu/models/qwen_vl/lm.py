@@ -160,9 +160,9 @@ def qwen_lm_apply(
         logits = logits * (D ** -0.5) + bias
         probs = jax.nn.softmax(logits, axis=-1).astype(h.dtype)
         attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v_r).reshape(B, L, nH * D)
-        h = h + attn @ bp["o"]["w"]
+        h = h + linear(bp["o"], attn)
         x = rms_norm(h, bp["ln2"]["scale"], cfg.rms_norm_eps)
-        mlp = (jax.nn.silu(x @ bp["gate"]["w"]) * (x @ bp["up"]["w"])) @ bp["down"]["w"]
+        mlp = linear(bp["down"], jax.nn.silu(linear(bp["gate"], x)) * linear(bp["up"], x))
         return h + mlp, (new_k, new_v)
 
     # python loop over layers (stacked leaves indexed) — enables per-layer cache

@@ -105,13 +105,21 @@ def encode_conditions(
     Returns (cond_tokens (B, L_c, C*4), cond_ids (L_c, 3)). All conditions
     in the batch must share size and position_delta (uniform-shape rule for
     the jitted DiT)."""
-    imgs = np.stack([c.preprocess() for c in conditions])  # (B, H, W, 3) uint8
-    x = imgs.astype(np.float32) / 127.5 - 1.0
-    if empty:
-        x = np.full_like(x, -1.0)  # black image
     enc = vae_params["encoder"] if "encoder" in vae_params else vae_params
-    latents = vae_encode(enc, vae_cfg, jnp.asarray(x, dtype))  # deterministic (mode)
-    tokens = pack_latents(latents)
+    if empty:
+        # black image: encode ONE frame and broadcast (all-identical batch)
+        H, W = conditions[0].preprocess().shape[:2]
+        x = np.full((1, H, W, 3), -1.0, np.float32)
+        latents = vae_encode(enc, vae_cfg, jnp.asarray(x, dtype))
+        tokens = jnp.broadcast_to(
+            pack_latents(latents), (len(conditions),) + pack_latents(latents).shape[1:]
+        )
+        latents = jnp.broadcast_to(latents, (len(conditions),) + latents.shape[1:])
+    else:
+        imgs = np.stack([c.preprocess() for c in conditions])  # (B, H, W, 3) uint8
+        x = imgs.astype(np.float32) / 127.5 - 1.0
+        latents = vae_encode(enc, vae_cfg, jnp.asarray(x, dtype))  # deterministic (mode)
+        tokens = pack_latents(latents)
     ty = latents.shape[1] // 2
     tx = latents.shape[2] // 2
     ids = make_image_ids(ty, tx, position_delta=conditions[0].position_delta)

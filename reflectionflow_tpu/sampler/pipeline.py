@@ -165,6 +165,10 @@ class FluxPipeline:
         down = self.vae_cfg.downscale
         ty, tx = latent_tokens(height, width, down)
         if latents is None:
+            if seed is None:  # fresh entropy when the caller doesn't pin one
+                import secrets
+
+                seed = secrets.randbits(31)
             latents = draw_packed_noise(
                 jax.random.PRNGKey(seed), B, height, width, self.vae_cfg.latent_channels, self.dtype,
                 vae_downscale=down,

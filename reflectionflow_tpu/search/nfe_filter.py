@@ -31,11 +31,14 @@ def run_nfe_filter(
     prompts: list[dict] | list[str],
     nfes: tuple[int, ...] = DEFAULT_NFES,
     images_subdir: str = "midimg",
+    start_index: int = 0,
 ) -> dict[int, list[str]]:
     """Returns {K: [selected image path per prompt]} and writes nfe{K}/ dirs
-    with one image per prompt named {prompt_index:05d}.png."""
+    with one image per prompt named {prompt_index:05d}.png. `start_index`
+    must match the search run that wrote the directories."""
     selections: dict[int, list[str]] = {k: [] for k in nfes}
-    for idx, row in enumerate(prompts):
+    for offset, row in enumerate(prompts):
+        idx = start_index + offset
         prompt = row["prompt"] if isinstance(row, dict) else row
         tag = row.get("tag") if isinstance(row, dict) else None
         prompt_dir = os.path.join(input_root, f"{idx:05d}")

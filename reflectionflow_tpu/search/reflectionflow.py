@@ -78,6 +78,11 @@ def run_reflectionflow_prompt(
         )
     chains = Chains.from_json({"chains": manifest.chains, "rule": rule.__dict__}) if manifest.chains else Chains(rule)
 
+    # --- resume: parents for round k+1 are round k's images ---
+    if manifest.round_done > 0:
+        resumed = sorted(glob.glob(os.path.join(dirs.midimg, f"{manifest.round_done}_round@*.png")))
+        if resumed:
+            round0_images = resumed
     # --- round 0 bootstrap (if no stage-1 images were provided) ---
     if round0_images is None:
         pattern = os.path.join(dirs.midimg, "0_round@*.png")
@@ -294,7 +299,14 @@ def run_reflectionflow_block(
             if manifest.chains
             else Chains(rule)
         )
-        round0 = round0_images_fn(idx) if round0_images_fn else None
+        round0 = None
+        if manifest.round_done > 0:
+            # resume: parents are the LAST COMPLETED round's images
+            round0 = sorted(
+                glob.glob(os.path.join(dirs.midimg, f"{manifest.round_done}_round@*.png"))
+            )
+        if not round0:
+            round0 = round0_images_fn(idx) if round0_images_fn else None
         if not round0:
             round0 = sorted(glob.glob(os.path.join(dirs.midimg, "0_round@*.png")))
         states.append(

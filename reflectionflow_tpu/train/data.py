@@ -67,15 +67,17 @@ def iter_tar_samples(shard_path: str) -> Iterator[Sample]:
     from ..utils import native
 
     if native.get_lib() is not None:
-        yield from _iter_tar_samples_native(shard_path)
-        return
+        idx = native.tar_index(shard_path)
+        if idx is not None:
+            yield from _iter_tar_samples_native(shard_path, idx)
+            return
     yield from _iter_tar_samples_py(shard_path)
 
 
-def _iter_tar_samples_native(shard_path: str) -> Iterator[Sample]:
+def _iter_tar_samples_native(shard_path: str, idx=None) -> Iterator[Sample]:
     from ..utils import native
 
-    names, offsets, sizes = native.tar_index(shard_path)
+    names, offsets, sizes = idx if idx is not None else native.tar_index(shard_path)
     groups: dict[str, dict[str, int]] = {}
     order: list[str] = []
     for i, name in enumerate(names):
@@ -224,7 +226,9 @@ class GenRefDataset:
         shards = self._host_shards()
         epoch = 0
         while True:
-            rng = np.random.Generator(np.random.PCG64([self.seed, hash(subset) & 0xFFFF, epoch]))
+            import zlib
+
+            rng = np.random.Generator(np.random.PCG64([self.seed, zlib.crc32(subset.encode()) & 0xFFFF, epoch]))
             order = rng.permutation(len(shards))
             for si in order:
                 for sample in iter_tar_samples(shards[si]):

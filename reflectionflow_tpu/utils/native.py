@@ -25,11 +25,19 @@ def _compile() -> str | None:
     so_path = os.path.join(_BUILD_DIR, "genref_loader.so")
     if os.path.exists(so_path) and os.path.getmtime(so_path) >= os.path.getmtime(_SRC):
         return so_path
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", so_path, _SRC]
+    # compile to a process-unique temp path and rename atomically, so
+    # concurrent compilers never CDLL a half-written file
+    tmp_path = f"{so_path}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", tmp_path, _SRC]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp_path, so_path)
         return so_path
     except Exception:
+        try:
+            os.unlink(tmp_path)
+        except OSError:
+            pass
         return None
 
 
@@ -44,7 +52,10 @@ def get_lib():
     so_path = _compile()
     if so_path is None:
         return None
-    lib = ctypes.CDLL(so_path)
+    try:
+        lib = ctypes.CDLL(so_path)
+    except OSError:
+        return None
     lib.rf_tar_index.restype = ctypes.c_int64
     lib.rf_tar_index.argtypes = [
         ctypes.c_char_p,
@@ -76,7 +87,8 @@ def tar_index(path: str, max_members: int | None = None):
     if lib is None:
         return None
     if max_members is None:
-        # members are >= 512B header + data; bound by file size
+        # members are >= 1 KiB (512B header + padded data) in GenRef shards;
+        # cap keeps the name buffer bounded; -2 falls back to Python
         max_members = max(64, min(1 << 20, os.path.getsize(path) // 512))
     offsets = np.zeros(max_members, np.int64)
     sizes = np.zeros(max_members, np.int64)
@@ -90,7 +102,9 @@ def tar_index(path: str, max_members: int | None = None):
         NAME_STRIDE,
     )
     if n < 0:
-        raise IOError(f"rf_tar_index failed ({n}) for {path}")
+        # -1 io error / -2 capacity / -3 unsupported encoding: fall back to
+        # the pure-Python tarfile reader rather than failing the caller
+        return None
     raw = names[: n * NAME_STRIDE].tobytes()
     out_names = [
         raw[i * NAME_STRIDE : (i + 1) * NAME_STRIDE].split(b"\0", 1)[0].decode()

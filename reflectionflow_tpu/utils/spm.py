@@ -109,7 +109,11 @@ class UnigramTokenizer:
         unk_id = 0
         byte_ids: dict[int, int] = {}
         for idx, (piece, score, ptype) in enumerate(entries):
-            vocab[piece] = idx
+            # only NORMAL / USER_DEFINED pieces participate in matching —
+            # control/unknown/byte pieces must not be reachable from literal
+            # text (sentencepiece convention)
+            if ptype in (NORMAL, USER_DEFINED):
+                vocab[piece] = idx
             scores.append(score)
             pieces.append(piece)
             if ptype == UNKNOWN:
@@ -119,8 +123,20 @@ class UnigramTokenizer:
         max_len = max((len(p) for p in pieces), default=1)
         return cls(vocab, scores, pieces, unk_id, byte_ids, max_len)
 
+    def normalize(self, text: str) -> str:
+        """NMT-NFKC-style normalization (sentencepiece T5 default): NFKC,
+        control whitespace -> space, collapse runs, strip."""
+        import re
+        import unicodedata
+
+        text = unicodedata.normalize("NFKC", text)
+        text = re.sub(r"[\t\n\r\v\f\u200b\ufeff]", " ", text)
+        text = re.sub(r" {2,}", " ", text).strip()
+        return text
+
     def encode_text(self, text: str) -> list[int]:
         """Unigram Viterbi segmentation (T5 convention: spaces -> ▁, leading ▁)."""
+        text = self.normalize(text)
         text = SPACE + text.replace(" ", SPACE)
         n = len(text)
         NEG = -1e18

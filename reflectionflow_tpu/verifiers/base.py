@@ -63,6 +63,8 @@ class RankingRule:
 def select_topk(outputs: list[dict], k: int, rule: RankingRule) -> list[int]:
     """Indices of the top-k outputs (best first), repeated with wraparound
     when k exceeds the candidate count (`tts_reflectionflow.py:175-182`)."""
+    if not outputs:
+        raise ValueError("select_topk: empty candidate list (missing previous-round images?)")
     order = sorted(range(len(outputs)), key=lambda i: rule.key(outputs[i]))
     picked = order[:k]
     while len(picked) < k:

@@ -75,3 +75,29 @@ def test_fuse_qkv_matches(key):
     out_q = flux_dit_apply(q, cfg, **inputs)
     err = float(jnp.abs(out_q - ref).mean() / jnp.abs(ref).mean())
     assert err < 0.05
+
+
+def test_quantized_t5_and_qwen_lm_run(key):
+    """int8 path through T5 and the Qwen LM (review fix: raw matmuls)."""
+    from reflectionflow_tpu.config import QwenLMConfig, T5Config
+    from reflectionflow_tpu.models.flux.text import t5_encode, t5_encoder_init
+    from reflectionflow_tpu.models.qwen_vl.lm import qwen_lm_apply, qwen_lm_init
+
+    t5_cfg = T5Config.tiny()
+    t5 = t5_encoder_init(key, t5_cfg)
+    t5_q = quantize_dit_params(t5, min_size=16)
+    assert "w_q" in t5_q["blocks"]["q"]
+    ids = jnp.asarray(np.array([[3, 5, 7, 1]], np.int32))
+    ref = t5_encode(t5, t5_cfg, ids)
+    out = t5_encode(t5_q, t5_cfg, ids)
+    rel = float(jnp.abs(out - ref).mean() / jnp.abs(ref).mean())
+    assert rel < 0.1, rel
+
+    lm_cfg = QwenLMConfig.tiny()
+    lm = qwen_lm_init(jax.random.PRNGKey(1), lm_cfg)
+    lm_q = dict(lm, blocks=quantize_dit_params({"blocks": lm["blocks"]}, min_size=16)["blocks"])
+    pos = jnp.asarray(np.broadcast_to(np.arange(4)[None, None, :], (3, 1, 4)))
+    emb = jnp.asarray(np.asarray(lm["embed"])[np.array([[3, 5, 7, 9]])])
+    ref, _ = qwen_lm_apply(lm, lm_cfg, emb, pos)
+    out, _ = qwen_lm_apply(lm_q, lm_cfg, emb, pos)
+    assert np.isfinite(np.asarray(out)).all()

@@ -86,3 +86,29 @@ def test_block_matches_per_prompt_filenames(pipe, tmp_path):
     a = sorted(os.path.basename(p) for p in glob.glob(str(tmp_path / "block" / "00000" / "midimg" / "*.png")))
     b = sorted(os.path.basename(p) for p in glob.glob(str(tmp_path / "single" / "00000" / "midimg" / "*.png")))
     assert a == b
+
+
+def test_block_midrun_resume_uses_last_round(pipe, tmp_path):
+    """Review fix: resume after round k must parent round k+1 on round k's
+    images, not round 0's."""
+    import json
+
+    cfg = tiny_cfg()
+    rows = [{"prompt": "q", "tag": None}]
+    # run 1 round only
+    cfg.search_args.search_rounds = 1
+    run_reflectionflow_block(
+        pipe, FakeVerifier(), FakeReflector(), FakeRefiner(), cfg, rows, str(tmp_path), run_seed=1
+    )
+    # continue to 2 rounds (simulating a killed run resuming)
+    cfg.search_args.search_rounds = 2
+    dps = run_reflectionflow_block(
+        pipe, FakeVerifier(), FakeReflector(), FakeRefiner(), cfg, rows, str(tmp_path), run_seed=1
+    )
+    chains = dps[0]["chains"]
+    # every chain must have grown to length 2 (round-2 children appended to
+    # round-1 chains, NOT spawned as orphans from round-0 parents)
+    lengths = sorted(len(c["images"]) for c in chains.values())
+    assert lengths == [2, 2], lengths
+    assert all("1_round@" in c["images"][0] for c in chains.values())
+    assert all("2_round@" in c["images"][1] for c in chains.values())

@@ -85,8 +85,23 @@ def test_viterbi_subword_split(model_file):
 def test_byte_fallback(model_file):
     tok = UnigramTokenizer.from_file(model_file)
     ids = tok.encode_text("AB")
-    # '▁' then byte pieces for A and B
-    assert tok.vocab["<0x41>"] in ids and tok.vocab["<0x42>"] in ids
+    # '▁' then byte pieces for A and B (byte pieces are reachable only via
+    # fallback, not by literal "<0x41>" text — checked below)
+    assert tok.byte_ids[0x41] in ids and tok.byte_ids[0x42] in ids
+    literal = tok.encode_text("<0x41>")
+    assert tok.byte_ids[0x41] not in literal or literal.count(tok.byte_ids[0x41]) < 2
+
+
+def test_control_pieces_unmatchable(model_file):
+    tok = UnigramTokenizer.from_file(model_file)
+    ids = tok.encode_text("hello</s>world")
+    assert 1 not in ids  # </s> id must not be producible from literal text
+
+
+def test_normalization(model_file):
+    tok = UnigramTokenizer.from_file(model_file)
+    assert tok.encode_text("hello\nworld") == tok.encode_text("hello world")
+    assert tok.encode_text("hello  world") == tok.encode_text("hello world")
 
 
 def test_batch_interface(model_file):
