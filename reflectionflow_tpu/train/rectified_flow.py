@@ -192,5 +192,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     else:
         raise ValueError(f"unknown optimizer {o.name}")
     if o.grad_clip and o.grad_clip > 0:
-        return optax.chain(optax.clip_by_global_norm(o.grad_clip), base)
+        base = optax.chain(optax.clip_by_global_norm(o.grad_clip), base)
+    if o.grad_accum and o.grad_accum > 1:
+        # accumulate_grad_batches parity (reference train.py grad accumulation)
+        base = optax.MultiSteps(base, every_k_schedule=o.grad_accum)
     return base

@@ -101,3 +101,27 @@ def test_quantized_t5_and_qwen_lm_run(key):
     ref, _ = qwen_lm_apply(lm, lm_cfg, emb, pos)
     out, _ = qwen_lm_apply(lm_q, lm_cfg, emb, pos)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_pipeline_quantize_generate(key):
+    """pipe.quantize() (fuse + int8) end-to-end through generate()."""
+    import jax
+
+    from reflectionflow_tpu.config import CLIPTextConfig, FluxVAEConfig, T5Config
+    from reflectionflow_tpu.sampler.pipeline import FluxPipeline
+
+    pipe = FluxPipeline.random_init(
+        jax.random.PRNGKey(0),
+        dit_cfg=FluxDiTConfig.tiny(),
+        vae_cfg=FluxVAEConfig.tiny(),
+        t5_cfg=T5Config.tiny(),
+        clip_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    base = pipe.generate(["x"], height=16, width=16, num_inference_steps=2, seed=1)
+    pipe.quantize(which=("dit",))  # tiny T5/dit mats under min_size stay fp
+    assert "qkv" in pipe.params["dit"]["double_blocks"]["attn"]
+    out = pipe.generate(["x"], height=16, width=16, num_inference_steps=2, seed=1)
+    assert out.shape == base.shape
+    # nothing quantized at tiny sizes -> fused-only result matches baseline
+    np.testing.assert_allclose(base.astype(np.int32), out.astype(np.int32), atol=2)

@@ -168,3 +168,36 @@ def test_export_diffusers_lora_roundtrip(pipe, tmp_path):
     assert back["_r"] == 2
     for p, ab in lora["adapters"].items():
         np.testing.assert_allclose(np.asarray(ab["A"], np.float32), back["adapters"][p]["A"], atol=1e-6)
+
+
+def test_grad_accumulation(pipe, shard, tmp_path):
+    """optax.MultiSteps: params only move every grad_accum steps."""
+    from reflectionflow_tpu.config import TrainConfig
+    from reflectionflow_tpu.lora.lora import lora_init
+    from reflectionflow_tpu.train.data import GenRefDataset, StageSchedule
+    from reflectionflow_tpu.train.rectified_flow import (
+        make_optimizer,
+        make_train_step,
+        prepare_batch_tensors,
+    )
+
+    cfg = TrainConfig()
+    cfg.optimizer.name = "adamw"
+    cfg.optimizer.lr = 1e-3
+    cfg.optimizer.grad_accum = 2
+    opt = make_optimizer(cfg)
+    lora = lora_init(jax.random.PRNGKey(1), pipe.params["dit"], r=2, alpha=2)
+    adapters = lora["adapters"]
+    opt_state = opt.init(adapters)
+    step = make_train_step(pipe.params["dit"], pipe.dit_cfg, opt, alpha=2, r=2)
+    ds = GenRefDataset(
+        shards=[shard], batch_size=2, target_size=16, condition_size=8,
+        schedule=StageSchedule({"general": [1.0]}, [0]),
+    )
+    batch = prepare_batch_tensors(pipe, next(iter(ds)), (0, -1))
+    a0 = np.asarray(adapters["img_in/w"]["B"])
+    adapters, opt_state, _ = step(adapters, opt_state, batch, jax.random.PRNGKey(0))
+    # first micro-step: accumulation only, no param change
+    np.testing.assert_array_equal(np.asarray(adapters["img_in/w"]["B"]), a0)
+    adapters, opt_state, _ = step(adapters, opt_state, batch, jax.random.PRNGKey(1))
+    assert not np.array_equal(np.asarray(adapters["img_in/w"]["B"]), a0)
