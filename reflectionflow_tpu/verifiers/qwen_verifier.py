@@ -115,12 +115,15 @@ class QwenRewardVerifier(Verifier):
 
     def raw_scores(self, images: Sequence[np.ndarray], prompts: Sequence[str]) -> list[float]:
         """Candidates in a search round share a resolution, so their chat
-        sequences are uniform: group by sequence length and run the LM as
-        ONE batched forward per group (the 7B LM dominates the cost)."""
+        sequences are uniform: group by sequence length, run the vision
+        tower vmapped over the group and the LM as ONE batched forward."""
+        import jax
         import jax.numpy as jnp
 
         from ..models.qwen_vl.lm import qwen_lm_apply
+        from ..models.qwen_vl.model import get_rope_index
         from ..models.qwen_vl.reward import pool_hidden
+        from ..models.qwen_vl.vision import image_to_patches, qwen_vision_apply
 
         prepared = [self._prepare_ids(np.asarray(img), p) for img, p in zip(images, prompts)]
         groups: dict[int, list[int]] = {}
@@ -128,19 +131,30 @@ class QwenRewardVerifier(Verifier):
             groups.setdefault(len(ids), []).append(i)
         out = [0.0] * len(prepared)
         model = self.rm.model
+        vis_cfg = model.vis_cfg
         for _, idxs in groups.items():
-            embeds, poss, id_rows = [], [], []
-            for i in idxs:
-                ids, resized = prepared[i]
-                emb, pos = model.embed_sequence(ids, [resized])
-                embeds.append(emb[0])
-                poss.append(pos[:, 0, :])
-                id_rows.append(ids)
             B = len(idxs)
-            batch_embeds = jnp.stack(embeds)
-            batch_pos = jnp.stack(poss, axis=1)  # (3, B, L)
-            batch_ids = jnp.asarray(np.stack(id_rows))
-            hidden, _ = qwen_lm_apply(model.lm_params, model.lm_cfg, batch_embeds, batch_pos, return_hidden=True)
+            # same seq length => same resized image grid: batch the tower
+            patch_list, grids = zip(
+                *(image_to_patches(prepared[i][1], vis_cfg) for i in idxs)
+            )
+            grid = grids[0]
+            patches = jnp.asarray(np.stack(patch_list), model.dtype)  # (B, L, pd)
+            vis_batch = jax.vmap(
+                lambda p: qwen_vision_apply(model.vision_params, vis_cfg, p, grid)
+            )(patches)  # (B, n_img_tokens, H)
+
+            id_rows = np.stack([prepared[i][0] for i in idxs])  # (B, L)
+            embeds = jnp.asarray(model.lm_params["embed"])[jnp.asarray(id_rows)]
+            is_pad = id_rows == model.tokens.image_pad
+            pad_pos = np.nonzero(is_pad[0])[0]  # identical across the group
+            embeds = embeds.at[:, jnp.asarray(pad_pos)].set(vis_batch.astype(embeds.dtype))
+            pos0 = get_rope_index(
+                id_rows[0], [grid], vis_cfg.spatial_merge_size, model.tokens.image_pad
+            )
+            batch_pos = jnp.asarray(np.broadcast_to(pos0[:, None, :], (3, B, pos0.shape[1])))
+            hidden, _ = qwen_lm_apply(model.lm_params, model.lm_cfg, embeds, batch_pos, return_hidden=True)
+            batch_ids = jnp.asarray(id_rows)
             mask = jnp.ones(batch_ids.shape, jnp.int32)
             pooled = pool_hidden(
                 hidden, mask, self.rm.head.pooling,
