@@ -112,9 +112,6 @@ def init_int8_full(cfg: FluxDiTConfig):
             "b": jax.device_put(b.astype(jnp.bfloat16)),
         }
 
-    H, M, D = cfg.hidden_size, cfg.mlp_hidden, cfg.head_dim
-    nd, ns = cfg.num_double_blocks, cfg.num_single_blocks
-
     def small_lin(i, o, stacked=None):
         shape = ((stacked,) if stacked else ()) + (i, o)
         w = (host_rng.standard_normal(shape) * (i ** -0.5)).astype(np.float32)
@@ -123,8 +120,15 @@ def init_int8_full(cfg: FluxDiTConfig):
             "b": jax.device_put(np.zeros(((stacked,) if stacked else ()) + (o,), np.float32).astype(jnp.bfloat16)),
         }
 
+    return _assemble_int8_tree(cfg, rand_qlin, small_lin)
+
+
+def _assemble_int8_tree(cfg: FluxDiTConfig, rand_qlin, small_lin):
+    H, M, D = cfg.hidden_size, cfg.mlp_hidden, cfg.head_dim
+    nd, ns = cfg.num_double_blocks, cfg.num_single_blocks
+
     def rms(stacked=None):
-        return {"scale": jax.device_put(np.ones(((stacked,) if stacked else ()) + (D,), np.float32).astype(jnp.bfloat16))}
+        return {"scale": jnp.ones(((stacked,) if stacked else ()) + (D,), jnp.bfloat16)}
 
     # fused-QKV serving layout (ops.fuse)
     double = {
@@ -160,6 +164,49 @@ def init_int8_full(cfg: FluxDiTConfig):
     }
 
 
+def init_int8_on_device(cfg: FluxDiTConfig):
+    """Alternative init: build each stacked int8 leaf ON DEVICE in per-block
+    chunks (jax.random.randint per block + dynamic_update_slice into a
+    preallocated int8 buffer). Avoids the 12 GB host->device transfer and
+    the host-RSS blowup of the numpy path; u32 temporaries stay ~200 MB."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n", "d_in", "d_out"))
+    def stacked_int8(key, n, d_in, d_out):
+        def body(i, buf):
+            blk = jax.random.randint(jax.random.fold_in(key, i), (1, d_in, d_out), -127, 128, jnp.int8)
+            return jax.lax.dynamic_update_slice(buf, blk, (i, 0, 0))
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((n, d_in, d_out), jnp.int8))
+
+    key = jax.random.PRNGKey(0)
+    counter = [0]
+
+    def rand_qlin(shape_in, shape_out, stacked=None):
+        counter[0] += 1
+        k = jax.random.fold_in(key, counter[0])
+        if stacked:
+            w_q = stacked_int8(k, stacked, shape_in, shape_out)
+            scale = jnp.full((stacked, 1, shape_out), (1.0 / np.sqrt(shape_in)) / 127.0, jnp.float32)
+            b = jnp.zeros((stacked, shape_out), jnp.bfloat16)
+        else:
+            w_q = jax.random.randint(k, (shape_in, shape_out), -127, 128, jnp.int8)
+            scale = jnp.full((1, shape_out), (1.0 / np.sqrt(shape_in)) / 127.0, jnp.float32)
+            b = jnp.zeros((shape_out,), jnp.bfloat16)
+        return {"w_q": w_q, "w_scale": scale, "b": b}
+
+    def small_lin(i, o, stacked=None):
+        counter[0] += 1
+        k = jax.random.fold_in(key, counter[0])
+        shape = ((stacked,) if stacked else ()) + (i, o)
+        return {
+            "w": (jax.random.normal(k, shape, jnp.bfloat16) * (i ** -0.5)),
+            "b": jnp.zeros(((stacked,) if stacked else ()) + (o,), jnp.bfloat16),
+        }
+
+    return _assemble_int8_tree(cfg, rand_qlin, small_lin)
+
+
 def bench_int8_full(rtt: float) -> dict | None:
     """Full-depth int8 model; tries the Pallas flash-attention path first
     (avoids ~3 GB of materialized attention logits on the 16 GB chip), then
@@ -168,18 +215,19 @@ def bench_int8_full(rtt: float) -> dict | None:
 
     cfg = FluxDiTConfig()
     params = None
-    for attn_impl in ("pallas", "xla"):
-        try:
-            if params is None:
-                params = init_int8_full(cfg)
-            run = build_runner(cfg, params, attn_impl=attn_impl)
-            t = time_runner(run, rtt)
-            return {"t_image_s": t, "config": f"int8 full 19/38 ({attn_impl} attention)"}
-        except Exception as e:  # OOM / kernel failure
-            log(f"# int8 full-model bench ({attn_impl}) failed: {type(e).__name__}")
-            gc.collect()
-    del params
-    gc.collect()
+    for init_name, init_fn in (("device", init_int8_on_device), ("host", init_int8_full)):
+        for attn_impl in ("pallas", "xla"):
+            try:
+                if params is None:
+                    params = init_fn(cfg)
+                run = build_runner(cfg, params, attn_impl=attn_impl)
+                t = time_runner(run, rtt)
+                return {"t_image_s": t, "config": f"int8 full 19/38 ({attn_impl} attention, {init_name} init)"}
+            except Exception as e:  # OOM / kernel failure
+                log(f"# int8 bench ({init_name}/{attn_impl}) failed: {type(e).__name__}")
+                gc.collect()
+        params = None
+        gc.collect()
     return None
 
 
