@@ -60,189 +60,16 @@ def run_reflectionflow_prompt(
 
     `round0_images`: paths of stage-1 candidates (the reference's --imgpath
     contract). If None, a bootstrap round of plain generation runs first.
-    """
-    timer = timer or PhaseTimer()
-    pa, sa = cfg.pipeline_args, cfg.search_args
-    branch = sa.search_branch
-    rule = RankingRule(
-        kind="yes_no" if verifier.name.endswith("nvila") else "score",
-        choice_of_metric=cfg.verifier_args.choice_of_metric,
-    )
-    dirs = PromptDirs.create(output_root, prompt_index, stage2=True)
 
-    manifest = SearchManifest.load(dirs.root)
-    if manifest is None or manifest.original_prompt != original_prompt:
-        manifest = SearchManifest(
-            prompt_index=prompt_index, original_prompt=original_prompt, tag=tag,
-            updated_prompts=[original_prompt] * branch, reflections=[""] * branch,
-        )
-    chains = Chains.from_json({"chains": manifest.chains, "rule": rule.__dict__}) if manifest.chains else Chains(rule)
-
-    # --- resume: parents for round k+1 are round k's images ---
-    if manifest.round_done > 0:
-        resumed = sorted(glob.glob(os.path.join(dirs.midimg, f"{manifest.round_done}_round@*.png")))
-        if resumed:
-            round0_images = resumed
-    # --- round 0 bootstrap (if no stage-1 images were provided) ---
-    if round0_images is None:
-        pattern = os.path.join(dirs.midimg, "0_round@*.png")
-        round0_images = sorted(glob.glob(pattern))
-    if not round0_images:
-        seeds = candidate_seeds(run_seed, prompt_index, 0, branch)
-        latents = seeds_to_latents(
-            seeds, pa.height, pa.width, pipeline.vae_cfg.latent_channels, pipeline.dtype,
-            pipeline.vae_cfg.downscale,
-        )
-        with timer.span("generate"):
-            imgs = pipeline.generate(
-                [original_prompt] * branch, height=pa.height, width=pa.width,
-                num_inference_steps=pa.num_inference_steps, guidance_scale=pa.guidance_scale,
-                max_sequence_length=pa.max_sequence_length, latents=latents,
-            )
-        round0_images = []
-        for seed, img in zip(seeds, imgs):
-            path = os.path.join(dirs.midimg, round_image_name(0, seed))
-            save_image(path, img)
-            round0_images.append(path)
-
-    prev_images = round0_images
-    datapoint: dict = {}
-    for rnd in range(manifest.round_done + 1, sa.search_rounds + 1):
-        with timer.span("round"):
-            datapoint = _one_round(
-                pipeline, verifier, reflector, refiner, cfg, rule, dirs, chains,
-                manifest, prompt_index, original_prompt, tag, prev_images, rnd, run_seed, timer,
-            )
-        prev_images = datapoint["generated_img"]
-        manifest.round_done = rnd
-        manifest.chains = chains.chains
-        manifest.save(dirs.root)
-        dirs.append_metadata(datapoint)
-    return datapoint
-
-
-def _one_round(
-    pipeline, verifier, reflector, refiner, cfg: TTSConfig, rule: RankingRule,
-    dirs: PromptDirs, chains: Chains, manifest: SearchManifest,
-    prompt_index: int, original_prompt: str, tag, prev_images: list[str],
-    rnd: int, run_seed: int, timer: PhaseTimer,
-) -> dict:
-    pa, sa = cfg.pipeline_args, cfg.search_args
-    branch = sa.search_branch
-    total_rounds = sa.search_rounds
-
-    # 1. VERIFY previous images
-    prev_arrays = [load_image(p) for p in prev_images]
-    with timer.span("verify"):
-        outputs = verifier.score(prev_arrays, [original_prompt] * len(prev_arrays), tag=tag, max_new_tokens=cfg.verifier_args.max_new_tokens)
-
-    # 2. top-k parents (k = branch, wraparound)
-    topk_idx = select_topk(outputs, branch, rule)
-    selected_imgs = [prev_images[i] for i in topk_idx]
-    selected_arrays = [prev_arrays[i] for i in topk_idx]
-    selected_outputs = [outputs[i] for i in topk_idx]
-    dirs.append_detailed_scores(selected_outputs, selected_imgs)
-
-    # 3. REFLECT
-    reflections = manifest.reflections
-    reflection_performed = False
-    if cfg.reflection_args.run_reflection and reflector is not None:
-        evaluations = [json.dumps(o) for o in selected_outputs]
-        with timer.span("reflect"):
-            reflections = reflector.generate(
-                selected_arrays, [original_prompt] * branch, manifest.updated_prompts,
-                prev_reflections=manifest.reflections, evaluations=evaluations,
-            )
-        reflection_performed = True
-
-    # 4. REFINE prompt
-    refined_prompts = manifest.updated_prompts
-    refinement_performed = False
-    if cfg.prompt_refiner_args.run_refinement and refiner is not None:
-        evaluations = [json.dumps(o) for o in selected_outputs]
-        with timer.span("refine"):
-            refined_prompts = refiner.refine(
-                selected_arrays, [original_prompt] * branch, manifest.updated_prompts,
-                reflections=reflections, evaluations=evaluations,
-            )
-        refinement_performed = True
-
-    if reflection_performed or refinement_performed:
-        dirs.append_best_meta(
-            rnd,
-            reflections=reflections if reflection_performed else None,
-            refined_prompt=refined_prompts if refinement_performed else None,
-            filenames=selected_imgs,
-        )
-
-    # 5. conditions from parents
-    cond_size = pa.condition_size
-    conditions = [
-        Condition("cot", _resize(arr, cond_size), position_delta=cot_position_delta(cond_size))
-        for arr in selected_arrays
-    ]
-
-    # 6. GENERATE: one batched conditioned call
-    if reflection_performed:
-        flux_prompts = [f"{rp} [Reflexion]: {rf}" for rp, rf in zip(refined_prompts, reflections)]
-    elif refinement_performed:
-        flux_prompts = list(refined_prompts)
-    else:
-        flux_prompts = [original_prompt] * branch
-    seeds = candidate_seeds(run_seed, prompt_index, rnd, branch)
-    latents = seeds_to_latents(
-        seeds, pa.height, pa.width, pipeline.vae_cfg.latent_channels, pipeline.dtype,
-        pipeline.vae_cfg.downscale,
-    )
-    with timer.span("generate"):
-        images = pipeline.generate(
-            flux_prompts, height=pa.height, width=pa.width,
-            num_inference_steps=pa.num_inference_steps, guidance_scale=pa.guidance_scale,
-            max_sequence_length=pa.max_sequence_length, latents=latents,
-            conditions=conditions, image_guidance_scale=pa.image_guidance_scale,
-        )
-    full_imgnames = []
-    for seed, img in zip(seeds, images):
-        path = os.path.join(dirs.midimg, round_image_name(rnd, seed))
-        save_image(path, img)
-        full_imgnames.append(path)
-
-    # 7. VERIFY new images + chains
-    with timer.span("verify"):
-        new_outputs = verifier.score(list(images), [original_prompt] * len(images), tag=tag, max_new_tokens=cfg.verifier_args.max_new_tokens)
-    if rnd == 1:
-        chains.init_round(full_imgnames, new_outputs)
-    else:
-        chains.update(selected_imgs, full_imgnames, new_outputs)
-
-    # save last round / best-per-chain / global best
-    if rnd == total_rounds:
-        for i, img in enumerate(images):
-            save_image(os.path.join(dirs.samples_lastround, f"{i:05d}.png"), img)
-    best_paths = full_imgnames if rnd == 1 else chains.best_per_chain()
-    for i, path in enumerate(best_paths):
-        save_image(os.path.join(dirs.samples_bestround, f"{i:05d}.png"), load_image(path))
-    if rnd == total_rounds:
-        best_img, best_out = chains.global_best()
-        save_image(os.path.join(dirs.samples_best, "00000.png"), load_image(best_img))
-
-    manifest.updated_prompts = list(refined_prompts)
-    manifest.reflections = list(reflections)
-
-    datapoint = {
-        "original_prompt": original_prompt,
-        "search_round": rnd,
-        "num_noises": branch,
-        "choice_of_metric": rule.choice_of_metric,
-        "generated_img": full_imgnames,
-        "flag_terminated": rnd == total_rounds,
-        "chains": chains.chains,
-    }
-    if refinement_performed:
-        datapoint["refined_prompt"] = refined_prompts
-    if reflection_performed:
-        datapoint["reflections"] = reflections
-    return datapoint
+    Thin wrapper over `run_reflectionflow_block` with a block of one —
+    single code path for both granularities."""
+    return run_reflectionflow_block(
+        pipeline, verifier, reflector, refiner, cfg,
+        [{"prompt": original_prompt, "tag": tag}], output_root,
+        start_index=prompt_index,
+        round0_images_fn=(lambda idx: round0_images) if round0_images else None,
+        run_seed=run_seed, timer=timer,
+    )[0]
 
 
 # ---------------------------------------------------------------------------

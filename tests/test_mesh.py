@@ -92,3 +92,53 @@ def test_pipeline_mesh_sharded_generation_matches_single():
     np.testing.assert_allclose(
         base.astype(np.int32), sharded.astype(np.int32), atol=1
     )
+
+
+def test_reflectionflow_block_on_mesh(tmp_path):
+    """Full reflection loop with (block x branch) candidates sharded over the
+    8-device mesh — the headline TPU-native configuration."""
+    import jax.numpy as jnp
+
+    from reflectionflow_tpu.config import TTSConfig
+    from reflectionflow_tpu.reflect import FakeReflector, FakeRefiner
+    from reflectionflow_tpu.search.reflectionflow import run_reflectionflow_block
+    from reflectionflow_tpu.verifiers import FakeVerifier
+
+    pipe = FluxPipeline.random_init(
+        jax.random.PRNGKey(0),
+        dit_cfg=FluxDiTConfig.tiny(),
+        vae_cfg=FluxVAEConfig.tiny(),
+        t5_cfg=T5Config.tiny(),
+        clip_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    cfg = TTSConfig()
+    cfg.pipeline_args.height = cfg.pipeline_args.width = 16
+    cfg.pipeline_args.num_inference_steps = 2
+    cfg.pipeline_args.condition_size = 8
+    cfg.search_args.search_rounds = 1
+    cfg.search_args.search_branch = 2
+    rows = [{"prompt": f"p{i}", "tag": None} for i in range(4)]  # 4 x 2 = 8 candidates
+
+    # unsharded baseline
+    run_reflectionflow_block(
+        pipe, FakeVerifier(), FakeReflector(), FakeRefiner(), cfg, rows,
+        str(tmp_path / "base"), run_seed=5,
+    )
+    # mesh-sharded
+    mesh = make_mesh()
+    pipe.mesh = mesh
+    pipe.params = replicate_params(pipe.params, mesh)
+    run_reflectionflow_block(
+        pipe, FakeVerifier(), FakeReflector(), FakeRefiner(), cfg, rows,
+        str(tmp_path / "mesh"), run_seed=5,
+    )
+    pipe.mesh = None
+    # identical artifacts (same candidate filenames, same best selections)
+    import glob
+    import os
+
+    for i in range(4):
+        a = sorted(os.path.basename(p) for p in glob.glob(str(tmp_path / "base" / f"{i:05d}" / "midimg" / "*.png")))
+        b = sorted(os.path.basename(p) for p in glob.glob(str(tmp_path / "mesh" / f"{i:05d}" / "midimg" / "*.png")))
+        assert a == b and len(a) == 4  # round0 bootstrap + round 1
