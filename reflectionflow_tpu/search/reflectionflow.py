@@ -158,13 +158,20 @@ def run_reflectionflow_block(
                 )
             )
             flux_prompts.extend([s["prompt"]] * branch)
+        all_latents = jnp.concatenate(lat_parts, axis=0)
+        micro = max(branch, cfg.batch_size_for_img_gen)
+        chunks = []
         with timer.span("generate"):
-            images = pipeline.generate(
-                flux_prompts, height=pa.height, width=pa.width,
-                num_inference_steps=pa.num_inference_steps, guidance_scale=pa.guidance_scale,
-                max_sequence_length=pa.max_sequence_length,
-                latents=jnp.concatenate(lat_parts, axis=0),
-            )
+            for m0 in range(0, len(flux_prompts), micro):
+                chunks.append(
+                    pipeline.generate(
+                        flux_prompts[m0 : m0 + micro], height=pa.height, width=pa.width,
+                        num_inference_steps=pa.num_inference_steps, guidance_scale=pa.guidance_scale,
+                        max_sequence_length=pa.max_sequence_length,
+                        latents=all_latents[m0 : m0 + micro],
+                    )
+                )
+        images = np.concatenate(chunks, axis=0)
         for bi, s in enumerate(need):
             paths = []
             for k, seed in enumerate(seed_lists[bi]):
@@ -240,7 +247,9 @@ def run_reflectionflow_block(
                     }
                 )
 
-            # --- one fused conditioned generate for the whole block ---
+            # --- fused conditioned generate for the whole block, micro-batched
+            # to batch_size_for_img_gen (the reference's knob; one chunk =
+            # one jitted call, candidates within it mesh-sharded) ---
             all_prompts = [p for plan in plans for p in plan["flux_prompts"]]
             all_conditions = [c for plan in plans for c in plan["conditions"]]
             lat_parts = [
@@ -250,15 +259,22 @@ def run_reflectionflow_block(
                 )
                 for plan in plans
             ]
+            all_latents = jnp.concatenate(lat_parts, axis=0)
+            micro = max(branch, cfg.batch_size_for_img_gen)
+            chunks = []
             with timer.span("generate"):
-                images = pipeline.generate(
-                    all_prompts, height=pa.height, width=pa.width,
-                    num_inference_steps=pa.num_inference_steps, guidance_scale=pa.guidance_scale,
-                    max_sequence_length=pa.max_sequence_length,
-                    latents=jnp.concatenate(lat_parts, axis=0),
-                    conditions=all_conditions,
-                    image_guidance_scale=pa.image_guidance_scale,
-                )
+                for m0 in range(0, len(all_prompts), micro):
+                    chunks.append(
+                        pipeline.generate(
+                            all_prompts[m0 : m0 + micro], height=pa.height, width=pa.width,
+                            num_inference_steps=pa.num_inference_steps, guidance_scale=pa.guidance_scale,
+                            max_sequence_length=pa.max_sequence_length,
+                            latents=all_latents[m0 : m0 + micro],
+                            conditions=all_conditions[m0 : m0 + micro],
+                            image_guidance_scale=pa.image_guidance_scale,
+                        )
+                    )
+            images = np.concatenate(chunks, axis=0)
 
             # --- per-prompt: save, re-verify, chains, manifest ---
             for bi, plan in enumerate(plans):
