@@ -27,7 +27,8 @@ def stage1_round0(imgpath: str, prompt_index: int) -> list[str] | None:
     if not imgpath:
         return None
     d = os.path.join(imgpath, f"{prompt_index:05d}", "samples")
-    imgs = sorted(glob.glob(os.path.join(d, "1_round@*.png")))
+    # ALL stage-1 candidates (every round) form the round-0 parent pool
+    imgs = sorted(glob.glob(os.path.join(d, "*_round@*.png")))
     return imgs or None
 
 
@@ -52,7 +53,7 @@ def main(argv=None):
     reflector = build_reflector(cfg)
     refiner = build_refiner(cfg)
     timer = PhaseTimer()
-    if args.prompt_block > 1:
+    if args.prompt_block > 1 or args.parallel_blocks > 1:
         import concurrent.futures as cf
 
         from ..search.reflectionflow import run_reflectionflow_block

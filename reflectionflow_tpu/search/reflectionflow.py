@@ -136,11 +136,19 @@ def run_reflectionflow_block(
             round0 = round0_images_fn(idx) if round0_images_fn else None
         if not round0:
             round0 = sorted(glob.glob(os.path.join(dirs.midimg, "0_round@*.png")))
+        datapoint: dict = {}
+        if manifest.round_done >= sa.search_rounds and os.path.exists(dirs.metadata):
+            # already complete: the final datapoint is the last metadata row
+            from ..utils.jsonl import read_jsonl
+
+            rows_done = read_jsonl(dirs.metadata)
+            if rows_done:
+                datapoint = rows_done[-1]
         states.append(
             {
                 "idx": idx, "prompt": prompt, "tag": tag, "dirs": dirs,
                 "manifest": manifest, "chains": chains, "prev": round0,
-                "datapoint": {},
+                "datapoint": datapoint,
             }
         )
 
@@ -159,7 +167,7 @@ def run_reflectionflow_block(
             )
             flux_prompts.extend([s["prompt"]] * branch)
         all_latents = jnp.concatenate(lat_parts, axis=0)
-        micro = max(branch, cfg.batch_size_for_img_gen)
+        micro = max(1, cfg.batch_size_for_img_gen)
         chunks = []
         with timer.span("generate"):
             for m0 in range(0, len(flux_prompts), micro):
@@ -260,7 +268,7 @@ def run_reflectionflow_block(
                 for plan in plans
             ]
             all_latents = jnp.concatenate(lat_parts, axis=0)
-            micro = max(branch, cfg.batch_size_for_img_gen)
+            micro = max(1, cfg.batch_size_for_img_gen)
             chunks = []
             with timer.span("generate"):
                 for m0 in range(0, len(all_prompts), micro):

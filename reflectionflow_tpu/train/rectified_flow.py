@@ -20,12 +20,10 @@ inserted by XLA from sharding propagation.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..config import FluxDiTConfig, TrainConfig
@@ -121,11 +119,6 @@ def make_train_step(
 
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
-        # batch leaves with a batch axis are sharded; ids replicated
-        def batch_sharding(batch_tpl):
-            return {
-                k: data if k in ("x0", "cond", "txt", "pooled") else repl for k in batch_tpl
-            }
 
         def sharded_step(lora_params, opt_state, batch, key):
             batch = {

@@ -67,12 +67,15 @@ class QwenRewardVerifier(Verifier):
             with open(cfg_path) as f:
                 cfg = json.load(f)
         head_path = os.path.join(model_path, "rm_head.safetensors")
-        if os.path.exists(head_path):
-            from safetensors.numpy import load_file
+        if not os.path.exists(head_path):
+            raise FileNotFoundError(
+                f"{head_path} missing — an all-zero reward head would silently "
+                "rank candidates arbitrarily; point model_path at a checkpoint "
+                "written by rm_train.save_rm_checkpoint"
+            )
+        from safetensors.numpy import load_file
 
-            w = jnp.asarray(load_file(head_path)["rm_head.weight"].T)
-        else:
-            w = jnp.zeros((hidden, cfg.get("output_dim", 1)), jnp.float32)
+        w = jnp.asarray(load_file(head_path)["rm_head.weight"].T)
         return RewardHead(
             w=w,
             pooling=cfg.get("logits_processing", cfg.get("pooling", "last")),
@@ -96,15 +99,25 @@ class QwenRewardVerifier(Verifier):
         n_img = t * (gh // vis_cfg.spatial_merge_size) * (gw // vis_cfg.spatial_merge_size)
         tokens = QwenVLSpecialTokens()
         text = DEFAULT_TEMPLATE.format(prompt=prompt)
+        # full Qwen chat template incl. system message and the generation
+        # prompt — 'last'-token pooling must land on the position the
+        # reward checkpoint was trained with (apply_chat_template(...,
+        # add_generation_prompt=True) semantics)
         if self.tokenizer is not None:
-            prefix = self.tokenizer.encode("<|im_start|>user\n", add_special_tokens=False)
-            body = self.tokenizer.encode(text + "<|im_end|>", add_special_tokens=False)
-        else:  # hermetic fallback: hashed token ids
+            prefix = self.tokenizer.encode(
+                "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n<|im_start|>user\n",
+                add_special_tokens=False,
+            )
+            body = self.tokenizer.encode(
+                text + "<|im_end|>\n<|im_start|>assistant\n", add_special_tokens=False
+            )
+        else:  # hermetic fallback: hashed token ids + structural markers
             from ..utils.tokenizers import HashTokenizer
 
             ht = HashTokenizer(vocab_size=self.rm.model.lm_cfg.vocab_size, append_eos=False)
-            prefix = [1]
+            prefix = [tokens.im_start]
             body = [int(x) for x in ht([text], max_length=64)["input_ids"][0] if x != 0]
+            body += [tokens.im_end, tokens.im_start]
         ids = np.asarray(
             prefix + [tokens.vision_start] + [tokens.image_pad] * n_img + [tokens.vision_end] + body,
             np.int64,
@@ -126,19 +139,20 @@ class QwenRewardVerifier(Verifier):
         from ..models.qwen_vl.vision import image_to_patches, qwen_vision_apply
 
         prepared = [self._prepare_ids(np.asarray(img), p) for img, p in zip(images, prompts)]
-        groups: dict[int, list[int]] = {}
-        for i, (ids, _) in enumerate(prepared):
-            groups.setdefault(len(ids), []).append(i)
+        # group key includes the vision GRID, not just sequence length —
+        # equal-length sequences can carry different (h, w) patch grids
+        groups: dict[tuple, list[int]] = {}
+        grids_of = []
+        for i, (ids, img) in enumerate(prepared):
+            _, grid = image_to_patches(img, self.rm.model.vis_cfg)
+            grids_of.append(grid)
+            groups.setdefault((len(ids), grid), []).append(i)
         out = [0.0] * len(prepared)
         model = self.rm.model
         vis_cfg = model.vis_cfg
-        for _, idxs in groups.items():
+        for (_, grid), idxs in groups.items():
             B = len(idxs)
-            # same seq length => same resized image grid: batch the tower
-            patch_list, grids = zip(
-                *(image_to_patches(prepared[i][1], vis_cfg) for i in idxs)
-            )
-            grid = grids[0]
+            patch_list = [image_to_patches(prepared[i][1], vis_cfg)[0] for i in idxs]
             patches = jnp.asarray(np.stack(patch_list), model.dtype)  # (B, L, pd)
             vis_batch = jax.vmap(
                 lambda p: qwen_vision_apply(model.vision_params, vis_cfg, p, grid)
