@@ -165,15 +165,23 @@ def qwen_lm_apply(
         mlp = linear(bp["down"], jax.nn.silu(linear(bp["gate"], x)) * linear(bp["up"], x))
         return h + mlp, (new_k, new_v)
 
-    # python loop over layers (stacked leaves indexed) — enables per-layer cache
     n_layers = cfg.num_layers
     new_ks, new_vs = [], []
-    for i in range(n_layers):
-        bp = jax.tree.map(lambda x: x[i], params["blocks"])
-        h, (nk, nv) = block(h, (bp, i))
-        if use_cache:
+    if use_cache:
+        # python loop over layers (stacked leaves indexed): per-layer cache io
+        for i in range(n_layers):
+            bp = jax.tree.map(lambda x: x[i], params["blocks"])
+            h, (nk, nv) = block(h, (bp, i))
             new_ks.append(nk)
             new_vs.append(nv)
+    else:
+        # no cache (verifier / reward path): scan over stacked block params —
+        # one compiled body instead of 28 inlined layers
+        def scan_body(carry, bp):
+            out, _ = block(carry, (bp, 0))
+            return out, None
+
+        h, _ = jax.lax.scan(scan_body, h, params["blocks"])
     h = rms_norm(h, params["final_ln"]["scale"], cfg.rms_norm_eps)
     new_cache = None
     if use_cache:
