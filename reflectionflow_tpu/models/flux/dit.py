@@ -350,10 +350,11 @@ def flux_dit_apply(
     L_cond = cond_h.shape[1] if use_cond else 0
     # two equivalent bias forms: dense for the XLA path, structural for Pallas
     if use_cond and attn_impl.startswith("pallas"):
-        if not union_cond_attn:
-            cross = -1e30
-        elif c_factor is not None:
+        # c_factor takes precedence over the union mask (block.py:106-122)
+        if c_factor is not None:
             cross = float(jnp.log(jnp.asarray(c_factor)))
+        elif not union_cond_attn:
+            cross = -1e30
         else:
             cross = 0.0
         bias = {"cond_len": L_cond, "cross_bias": cross, "bias": None}

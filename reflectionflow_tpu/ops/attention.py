@@ -67,11 +67,13 @@ def cond_attention_bias(
     """Build the (1,1,L,L) additive bias for the joint attention, or None."""
     if cond_len == 0:
         return None
-    if not union_cond_attn:
-        return _cond_bias_template(total_len, cond_len, masked=True)
+    # c_factor takes precedence over the union mask (the reference's bias
+    # overwrites the mask when both are set, block.py:106-122).
     if c_factor is not None:
         log_c = jnp.log(jnp.asarray(c_factor, jnp.float32))
         return _cond_bias_template(total_len, cond_len, masked=False) * log_c
+    if not union_cond_attn:
+        return _cond_bias_template(total_len, cond_len, masked=True)
     return None
 
 
