@@ -110,6 +110,8 @@ def init_int8_full(cfg: FluxDiTConfig):
             "w_q": jax.device_put(w_q),
             "w_scale": jax.device_put(scale),
             "b": jax.device_put(b.astype(jnp.bfloat16)),
+            # W8A8: route through the int8 MXU matmul (ops.quant.int8_matmul)
+            "act_q": jax.device_put(np.zeros((stacked,) if stacked else (), np.int8)),
         }
 
     def small_lin(i, o, stacked=None):
@@ -193,7 +195,8 @@ def init_int8_on_device(cfg: FluxDiTConfig):
             w_q = jax.random.randint(k, (shape_in, shape_out), -127, 128, jnp.int8)
             scale = jnp.full((1, shape_out), (1.0 / np.sqrt(shape_in)) / 127.0, jnp.float32)
             b = jnp.zeros((shape_out,), jnp.bfloat16)
-        return {"w_q": w_q, "w_scale": scale, "b": b}
+        act_q = jnp.zeros((stacked,) if stacked else (), jnp.int8)
+        return {"w_q": w_q, "w_scale": scale, "b": b, "act_q": act_q}
 
     def small_lin(i, o, stacked=None):
         counter[0] += 1

@@ -50,11 +50,16 @@ def _linear_init(key, d_in, d_out, dtype):
 
 
 def linear(p, x):
-    if "w_q" in p:  # int8 weight-only quantized (ops.quant) — dequant fused
+    if "w_q" in p and "act_q" in p:
+        # W8A8: int8 x int8 -> int32 on the MXU (ops.quant.int8_matmul)
+        from ...ops.quant import int8_matmul
+
+        out = int8_matmul(x, p["w_q"], p["w_scale"])
+    elif "w_q" in p:  # int8 weight-only — dequant fused into the matmul read
         w = (p["w_q"].astype(jnp.float32) * p["w_scale"]).astype(x.dtype)
+        out = x @ w
     else:
-        w = p["w"]
-    out = x @ w
+        out = x @ p["w"]
     if "b" in p:
         out = out + p["b"]
     return out

@@ -103,6 +103,45 @@ def test_quantized_t5_and_qwen_lm_run(key):
     assert np.isfinite(np.asarray(out)).all()
 
 
+def test_int8_matmul_w8a8_accuracy(key):
+    """Native int8 x int8 -> int32 matmul with per-token activation quant."""
+    from reflectionflow_tpu.ops.quant import int8_matmul
+
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (4, 32, 256))
+    p = {"w": jax.random.normal(k2, (256, 128)) * (256**-0.5)}
+    q = quantize_linear(p, act_quant=True)
+    assert "act_q" in q
+    ref = x @ p["w"]
+    out = int8_matmul(x, q["w_q"], q["w_scale"])
+    # two int8 roundings: ~1-2% relative error
+    rel = float(jnp.abs(out - ref).mean() / jnp.abs(ref).mean())
+    assert rel < 0.03, rel
+    # and the linear() dispatch picks the same path
+    np.testing.assert_allclose(np.asarray(linear(q, x)), np.asarray(out), atol=1e-6)
+
+
+def test_dit_w8a8_cosine_similarity(key):
+    """Full DiT forward under W8A8 stays directionally faithful to fp32
+    (the numerics check for the int8 MXU serving path)."""
+    cfg = FluxDiTConfig.tiny()
+    params = flux_dit_init(key, cfg)
+    q_w8a8 = quantize_dit_params(params, min_size=64 * 64, act_quant=True)
+    inputs = dict(
+        img=jax.random.normal(jax.random.PRNGKey(1), (1, 16, cfg.in_channels)),
+        txt=jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.text_dim)),
+        pooled=jax.random.normal(jax.random.PRNGKey(3), (1, cfg.pooled_dim)),
+        timestep=jnp.array([0.5]),
+        img_ids=jnp.asarray(make_image_ids(4, 4)),
+        txt_ids=jnp.asarray(make_text_ids(8)),
+        guidance=jnp.array([3.5]),
+    )
+    ref = np.asarray(flux_dit_apply(params, cfg, **inputs)).ravel()
+    out = np.asarray(flux_dit_apply(q_w8a8, cfg, **inputs)).ravel()
+    cos = float(np.dot(ref, out) / (np.linalg.norm(ref) * np.linalg.norm(out)))
+    assert cos > 0.995, cos
+
+
 def test_pipeline_quantize_generate(key):
     """pipe.quantize() (fuse + int8) end-to-end through generate()."""
     import jax
