@@ -210,6 +210,136 @@ def init_int8_on_device(cfg: FluxDiTConfig):
     return _assemble_int8_tree(cfg, rand_qlin, small_lin)
 
 
+def init_int4_t5(t5_cfg):
+    """Synthetic T5-XXL with packed NF4 weights, built on device in
+    per-block chunks (real int4 tree = 2.3 GB packed + 0.26 GB bf16 embed)."""
+    import functools
+
+    group = 128
+
+    @functools.partial(jax.jit, static_argnames=("n", "G", "half", "dout"))
+    def stacked_u8(key, n, G, half, dout):
+        def body(i, buf):
+            blk = jax.random.bits(jax.random.fold_in(key, i), (1, G, half, dout), jnp.uint8)
+            return jax.lax.dynamic_update_slice(buf, blk, (i, 0, 0, 0))
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((n, G, half, dout), jnp.uint8))
+
+    key = jax.random.PRNGKey(7)
+    counter = [0]
+    n = t5_cfg.num_layers
+
+    def qlin4(d_in, d_out):
+        counter[0] += 1
+        k = jax.random.fold_in(key, counter[0])
+        G = d_in // group
+        return {
+            "w_p4": stacked_u8(k, n, G, group // 2, d_out),
+            # NF4 codes average |c|~0.4; scale to weight-like magnitude
+            "w_scale4": jnp.full((n, G, 1, d_out), 2.5 / np.sqrt(d_in), jnp.float32),
+        }
+
+    d, inner, ff = t5_cfg.d_model, t5_cfg.num_heads * t5_cfg.d_kv, t5_cfg.d_ff
+    ones = lambda: {"scale": jnp.ones((n, d), jnp.bfloat16)}  # noqa: E731
+    return {
+        "embed": jax.random.normal(jax.random.PRNGKey(8), (t5_cfg.vocab_size, d), jnp.bfloat16),
+        "rel_bias": jax.random.normal(
+            jax.random.PRNGKey(9), (t5_cfg.relative_attention_num_buckets, t5_cfg.num_heads), jnp.bfloat16
+        ) * 0.1,
+        "blocks": {
+            "ln1": ones(), "q": qlin4(d, inner), "k": qlin4(d, inner), "v": qlin4(d, inner),
+            "o": qlin4(inner, d), "ln2": ones(),
+            "wi0": qlin4(d, ff), "wi1": qlin4(d, ff), "wo": qlin4(ff, d),
+        },
+        "final_ln": {"scale": jnp.ones((d,), jnp.bfloat16)},
+    }
+
+
+def bench_e2e(rtt: float) -> dict | None:
+    """TRUE end-to-end single-chip image cost: T5-XXL(int4) encode +
+    CLIP pooled + 30-step int8 DiT denoise + VAE decode + host image fetch,
+    all trees co-resident on the one 16 GB chip. This is the number the
+    reference produces with `pipe(prompt)` on an 80 GB H100
+    (/root/reference/train_flux/flux/generate.py:148-307)."""
+    import gc
+
+    from reflectionflow_tpu.config import CLIPTextConfig, FluxVAEConfig, T5Config
+    from reflectionflow_tpu.models.flux.latents import unpack_latents
+    from reflectionflow_tpu.models.flux.text import clip_text_encode, clip_text_init, t5_encode
+    from reflectionflow_tpu.models.flux.vae import vae_decode, vae_decoder_init
+
+    dit_cfg = FluxDiTConfig()
+    t5_cfg = T5Config()
+    clip_cfg = CLIPTextConfig()
+    vae_cfg = FluxVAEConfig()
+    try:
+        dit = init_int8_on_device(dit_cfg)
+        t5 = init_int4_t5(t5_cfg)
+        clip = clip_text_init(jax.random.PRNGKey(3), clip_cfg, jnp.bfloat16)
+        vae_dec = vae_decoder_init(jax.random.PRNGKey(4), vae_cfg, jnp.bfloat16)
+
+        rng = np.random.default_rng(1)
+        t5_ids = jnp.asarray(rng.integers(0, t5_cfg.vocab_size, (BATCH, LT)), jnp.int32)
+        clip_ids = jnp.asarray(
+            rng.integers(0, clip_cfg.vocab_size, (BATCH, clip_cfg.max_position_embeddings)), jnp.int32
+        )
+        img_ids = jnp.asarray(make_image_ids(TY, TX))
+        txt_ids = jnp.asarray(make_text_ids(LT))
+        sigmas = jnp.asarray(FlowMatchSchedule.create(NUM_STEPS, TY * TX).sigmas)
+        latents = jnp.asarray(rng.standard_normal((BATCH, TY * TX, dit_cfg.in_channels)), jnp.bfloat16)
+
+        def encode():
+            txt = t5_encode(t5, t5_cfg, t5_ids).astype(jnp.bfloat16)
+            _, pooled = clip_text_encode(clip, clip_cfg, clip_ids)
+            return txt, pooled.astype(jnp.bfloat16)
+
+        def run_denoise(txt, pooled):
+            return denoise(
+                dit, dit_cfg, latents, txt, pooled, img_ids, txt_ids, sigmas,
+                jnp.asarray(3.5, jnp.float32), NUM_STEPS, attn_impl="pallas",
+            )
+
+        def decode(final):
+            grid = unpack_latents(final, TY, TX)
+            imgs = vae_decode(vae_dec, vae_cfg, grid)
+            return jnp.clip((imgs.astype(jnp.float32) + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+
+        def run_e2e():
+            txt, pooled = encode()
+            return np.asarray(decode(run_denoise(txt, pooled)))  # fetch = part of e2e
+
+        img = run_e2e()  # compile + warmup
+        assert img.shape == (BATCH, TY * 16, TX * 16, 3), img.shape
+        times = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_e2e()
+            times.append(time.perf_counter() - t0)
+        t_e2e = max(min(times) - rtt, 1e-6)
+
+        # phase breakdown (one extra timed pass per phase)
+        txt, pooled = encode()
+        float(np.asarray(_SUM(txt)))  # settle
+        t0 = time.perf_counter(); txt2, _ = encode(); float(np.asarray(_SUM(txt2)))
+        t_enc = max(time.perf_counter() - t0 - rtt, 0.0)
+        final = run_denoise(txt, pooled)
+        t0 = time.perf_counter(); float(np.asarray(_SUM(run_denoise(txt, pooled))))
+        t_den = max(time.perf_counter() - t0 - rtt, 0.0)
+        t0 = time.perf_counter(); np.asarray(decode(final))
+        t_dec = max(time.perf_counter() - t0 - rtt, 0.0)
+        return {
+            "t_image_s": t_e2e,
+            "config": "e2e int4-T5 encode + int8 W8A8 DiT 19/38 (pallas) + VAE decode, co-resident",
+            "t_encode_s": round(t_enc, 3),
+            "t_denoise_s": round(t_den, 3),
+            "t_decode_fetch_s": round(t_dec, 3),
+        }
+    except Exception as e:
+        log(f"# e2e bench failed: {type(e).__name__}: {e}")
+        gc.collect()
+        return None
+
+
 def bench_int8_full(rtt: float) -> dict | None:
     """Full-depth int8 model; tries the Pallas flash-attention path first
     (avoids ~3 GB of materialized attention logits on the 16 GB chip), then
@@ -254,9 +384,11 @@ def bench_bf16_extrapolated(rtt: float) -> dict:
 
 def main():
     rtt = measure_rtt()
-    primary = bench_int8_full(rtt)
+    primary = bench_e2e(rtt)
     detail = {"tunnel_rtt_s": round(rtt, 3), "steps": NUM_STEPS, "batch": BATCH,
               "device": str(jax.devices()[0])}
+    if primary is None:
+        primary = bench_int8_full(rtt)
     if primary is None:
         primary = bench_bf16_extrapolated(rtt)
     t_img = primary.pop("t_image_s")

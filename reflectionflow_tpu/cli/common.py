@@ -37,7 +37,11 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--quantize", type=str, default=None, choices=[None, "int8"],
-        help="int8 weight-only quantization (fits the 12B DiT on one 16 GB chip)",
+        help="int8 (W8A8) DiT + int4 T5 quantization (fits the whole pipeline on one 16 GB chip)",
+    )
+    p.add_argument(
+        "--phase_swap", action="store_true",
+        help="offload text encoders between encode phases + cache prompt embeddings",
     )
     return p
 
@@ -96,10 +100,11 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
         pipe.params["dit"] = main
         pipe.cond_dit_params = cond_view
     if getattr(args, "quantize", None) == "int8":
-        pipe.quantize()
+        pipe.quantize()  # int8 W8A8 DiT + int4 T5: all trees co-resident on 16 GB
     if not args.synthetic_weights:
-        # keep T5 host-side in the int8 single-chip profile (HBM budget)
-        pipe.to_device(exclude=("t5",) if getattr(args, "quantize", None) == "int8" else ())
+        pipe.to_device()
+    if getattr(args, "phase_swap", False):
+        pipe.enable_phase_swap()
     return pipe
 
 

@@ -110,6 +110,25 @@ def _get_path(tree, path: str):
     return node
 
 
+def attach_lora(params, lora: dict, scale: float = 1.0):
+    """-> params tree where each adapted linear dict carries `lora_A` /
+    `lora_B` (B pre-scaled by scale*alpha/r); `models.flux.dit.linear`
+    applies them as low-rank adds `x @ A @ B` WITHOUT materializing
+    W + A@B. This is the training-time application: folding copies the
+    full 11.9 GB weight tree per step, attaching adds only the rank-r
+    factors (the reference's peft layers do the same low-rank add).
+    Gradients flow to the adapters through the attached leaves."""
+    scaling = scale * lora["_alpha"] / lora["_r"]
+    out = params
+    for path, ab in lora["adapters"].items():
+        parent_path = path[: -len("/w")]
+        node = dict(_get_path(params, parent_path))
+        node["lora_A"] = ab["A"]
+        node["lora_B"] = ab["B"] * scaling
+        out = update_path(out, parent_path, node)
+    return out
+
+
 def make_dit_param_views(params, lora: dict | None, latent_lora: bool = False, scale: float = 1.0):
     """-> (main_params, cond_params) for `flux_dit_apply`.
 

@@ -58,8 +58,14 @@ def linear(p, x):
     elif "w_q" in p:  # int8 weight-only — dequant fused into the matmul read
         w = (p["w_q"].astype(jnp.float32) * p["w_scale"]).astype(x.dtype)
         out = x @ w
+    elif "w_p4" in p:  # int4 weight-only (ops.quant.int4_matmul)
+        from ...ops.quant import int4_matmul
+
+        out = int4_matmul(x, p["w_p4"], p["w_scale4"])
     else:
         out = x @ p["w"]
+    if "lora_A" in p:  # low-rank add (lora.attach_lora); B carries the scale
+        out = out + (x @ p["lora_A"].astype(x.dtype)) @ p["lora_B"].astype(x.dtype)
     if "b" in p:
         out = out + p["b"]
     return out

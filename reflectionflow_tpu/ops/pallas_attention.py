@@ -2,7 +2,10 @@
 
 Hand-written online-softmax kernel (SURVEY.md §2.4: the TPU-native
 replacement for the reference's CUDA `F.scaled_dot_product_attention`,
-`/root/reference/train_flux/flux/block.py:123-125`).
+`/root/reference/train_flux/flux/block.py:123-125`), with a full
+recompute-based backward (`jax.custom_vjp`) so the SAME kernel serves
+training — the reference trains through its serving SDPA too
+(one model path, SURVEY.md §3.3).
 
 Design (v5e-tuned):
   * grid = (batch*heads, q-blocks); per program the FULL K/V for one head
@@ -11,11 +14,15 @@ Design (v5e-tuned):
     materialize beyond a (BQ, BK) fp32 tile;
   * the condition-stream modifiers are expressed STRUCTURALLY instead of
     as a dense (L, L) bias: tokens past `main_len` are "cond", and
-    cross-(cond, main) logits get `cross_bias` added (-inf reproduces
+    cross-(cond, main) logits get `cross_bias` added (-1e30 reproduces
     `union_cond_attn=False`, log(c_factor) reproduces `c_factor`);
-  * fp32 accumulation, bf16 inputs/outputs.
+  * fp32 accumulation, bf16 inputs/outputs; forward also emits the
+    logsumexp rows so the backward recomputes probabilities instead of
+    storing the (L, L) matrix;
+  * backward = two kernels: dQ over q-blocks (streams K/V), dK/dV over
+    k-blocks (streams Q/dO). D_i = rowsum(dO*O) is precomputed in XLA.
 
-Falls back to `ops.attention.sdpa` under interpret-mode tests for parity.
+Falls back to interpret mode on CPU for parity tests.
 """
 
 from __future__ import annotations
@@ -26,16 +33,23 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
 
-def _flash_kernel(
+def _cross_mask_bias(logits, q_pos, k_pos, main_len, cross_bias):
+    if cross_bias != 0.0:
+        cross = (q_pos >= main_len) != (k_pos >= main_len)
+        logits = logits + jnp.where(cross, cross_bias, 0.0)
+    return logits
+
+
+def _flash_fwd_kernel(
     q_ref,  # (BQ, D)
     k_ref,  # (L, D)
     v_ref,  # (L, D)
     out_ref,  # (BQ, D)
+    lse_ref,  # (BQ,)
     *,
     scale: float,
     block_k: int,
@@ -47,10 +61,8 @@ def _flash_kernel(
     qb = pl.program_id(1)
     q = q_ref[:].astype(jnp.float32) * scale  # (BQ, D)
     BQ = q.shape[0]
-    q_start = qb * q_block
     # keep every intermediate >= 2D (TPU vector layout requirement)
-    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)  # (BQ, 1)
-    q_is_cond = q_pos >= main_len  # (BQ, 1)
+    q_pos = qb * q_block + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)  # (BQ, 1)
 
     num_k_blocks = pl.cdiv(seq_len, block_k)
 
@@ -63,12 +75,8 @@ def _flash_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK)
         k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)  # (1, BK)
-        k_valid = k_pos < seq_len  # mask padding tail
-        if cross_bias != 0.0:
-            k_is_cond = k_pos >= main_len  # (1, BK)
-            cross = q_is_cond != k_is_cond  # (BQ, BK)
-            logits = logits + jnp.where(cross, cross_bias, 0.0)
-        logits = jnp.where(k_valid, logits, NEG_INF)
+        logits = _cross_mask_bias(logits, q_pos, k_pos, main_len, cross_bias)
+        logits = jnp.where(k_pos < seq_len, logits, NEG_INF)  # mask padding tail
 
         m_cur = jnp.max(logits, axis=1, keepdims=True)  # (BQ, 1)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -85,11 +93,255 @@ def _flash_kernel(
     l0 = jnp.zeros((BQ, 1), jnp.float32)
     acc0 = jnp.zeros((BQ, D), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
-    out_ref[:] = (acc / jnp.maximum(l, 1e-20)).astype(out_ref.dtype)
+    l_safe = jnp.maximum(l, 1e-20)
+    out_ref[:] = (acc / l_safe).astype(out_ref.dtype)
+    lse_ref[:] = (m + jnp.log(l_safe)).reshape(BQ)
+
+
+def _flash_dq_kernel(
+    q_ref,  # (BQ, D)
+    k_ref,  # (L, D)
+    v_ref,  # (L, D)
+    do_ref,  # (BQ, D)
+    lse_ref,  # (BQ,)
+    delta_ref,  # (BQ,)  rowsum(dO * O)
+    dq_ref,  # (BQ, D)
+    *,
+    scale: float,
+    block_k: int,
+    seq_len: int,
+    main_len: int,
+    cross_bias: float,
+    q_block: int,
+):
+    qb = pl.program_id(1)
+    q = q_ref[:].astype(jnp.float32) * scale
+    do = do_ref[:].astype(jnp.float32)
+    BQ, D = q.shape
+    lse = lse_ref[:].reshape(BQ, 1)
+    delta = delta_ref[:].reshape(BQ, 1)
+    q_pos = qb * q_block + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
+
+    num_k_blocks = pl.cdiv(seq_len, block_k)
+
+    def body(kb, dq):
+        k_start = kb * block_k
+        k = k_ref[pl.ds(k_start, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(k_start, block_k), :].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        logits = _cross_mask_bias(logits, q_pos, k_pos, main_len, cross_bias)
+        logits = jnp.where(k_pos < seq_len, logits, NEG_INF)
+        p = jnp.exp(logits - lse)  # (BQ, BK)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BQ, BK)
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    dq = jax.lax.fori_loop(0, num_k_blocks, body, jnp.zeros((BQ, D), jnp.float32))
+    dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _flash_dkv_kernel(
+    k_ref,  # (BK, D)
+    v_ref,  # (BK, D)
+    q_ref,  # (L, D)
+    do_ref,  # (L, D)
+    lse_ref,  # (L,)
+    delta_ref,  # (L,)
+    dk_ref,  # (BK, D)
+    dv_ref,  # (BK, D)
+    *,
+    scale: float,
+    block_q: int,
+    seq_len: int,
+    main_len: int,
+    cross_bias: float,
+    k_block: int,
+):
+    kb = pl.program_id(1)
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    BK, D = k.shape
+    k_pos = kb * k_block + jax.lax.broadcasted_iota(jnp.int32, (BK, 1), 0)  # (BK, 1)
+
+    num_q_blocks = pl.cdiv(seq_len, block_q)
+
+    def body(qb, carry):
+        dk, dv = carry
+        q_start = qb * block_q
+        q = q_ref[pl.ds(q_start, block_q), :].astype(jnp.float32) * scale  # (BQ, D)
+        do = do_ref[pl.ds(q_start, block_q), :].astype(jnp.float32)
+        lse = lse_ref[pl.ds(q_start, block_q)].reshape(1, block_q)
+        delta = delta_ref[pl.ds(q_start, block_q)].reshape(1, block_q)
+        # logits^T: (BK, BQ)
+        logits_t = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_q), 1)  # (1, BQ)
+        logits_t = _cross_mask_bias(logits_t, k_pos, q_pos, main_len, cross_bias)
+        p_t = jnp.exp(logits_t - lse)  # (BK, BQ)
+        p_t = jnp.where(q_pos < seq_len, p_t, 0.0)  # mask padded q rows
+        dv = dv + jax.lax.dot_general(
+            p_t, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp_t = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (BK, BQ)
+        ds_t = p_t * (dp_t - delta)
+        dk = dk + jax.lax.dot_general(
+            ds_t, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # note: q already has `scale` folded in
+        return dk, dv
+
+    dk0 = jnp.zeros((BK, D), jnp.float32)
+    dv0 = jnp.zeros((BK, D), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_q_blocks, body, (dk0, dv0))
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
+
+
+def _to_bh(x, B, H, Lp, D):
+    return x.transpose(0, 2, 1, 3).reshape(B * H, Lp, D)
+
+
+def _from_bh(x, B, H, Lp, D):
+    return x.reshape(B, H, Lp, D).transpose(0, 2, 1, 3)
+
+
+def _pad_len(q, k, v, L, Lp):
+    if Lp != L:
+        pad = [(0, 0), (0, Lp - L), (0, 0), (0, 0)]
+        return jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+    return q, k, v
+
+
+def _fwd_impl(q, k, v, main_len, cross_bias, block_q, block_k, interpret):
+    B, L, H, D = q.shape
+    scale = 1.0 / math.sqrt(D)
+    Lp = _round_up(L, max(block_q, block_k))
+    q, k, v = _pad_len(q, k, v, L, Lp)
+    qb, kb, vb = (_to_bh(x, B, H, Lp, D) for x in (q, k, v))
+
+    kernel = functools.partial(
+        _flash_fwd_kernel,
+        scale=scale, block_k=block_k, seq_len=L, main_len=main_len,
+        cross_bias=float(cross_bias), q_block=block_q,
+    )
+    grid = (B * H, Lp // block_q)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((None, Lp, D), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((None, Lp, D), lambda bh, qi: (bh, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((None, block_q), lambda bh, qi: (bh, qi)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Lp, D), q.dtype),
+            jax.ShapeDtypeStruct((B * H, Lp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qb, kb, vb)
+    return out, lse  # both padded, (B*H, ...)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash(q, k, v, main_len, cross_bias, block_q, block_k, interpret):
+    B, L, H, D = q.shape
+    Lp = _round_up(L, max(block_q, block_k))
+    out, _ = _fwd_impl(q, k, v, main_len, cross_bias, block_q, block_k, interpret)
+    return _from_bh(out, B, H, Lp, D)[:, :L]
+
+
+def _flash_fwd_rule(q, k, v, main_len, cross_bias, block_q, block_k, interpret):
+    B, L, H, D = q.shape
+    Lp = _round_up(L, max(block_q, block_k))
+    out_bh, lse = _fwd_impl(q, k, v, main_len, cross_bias, block_q, block_k, interpret)
+    out = _from_bh(out_bh, B, H, Lp, D)[:, :L]
+    return out, (q, k, v, out_bh, lse)
+
+
+def _flash_bwd_rule(main_len, cross_bias, block_q, block_k, interpret, res, g):
+    q, k, v, out_bh, lse = res
+    B, L, H, D = q.shape
+    scale = 1.0 / math.sqrt(D)
+    Lp = _round_up(L, max(block_q, block_k))
+    qp, kp, vp = _pad_len(q, k, v, L, Lp)
+    g = jnp.pad(g, [(0, 0), (0, Lp - L), (0, 0), (0, 0)]) if Lp != L else g
+    qb, kb, vb = (_to_bh(x, B, H, Lp, D) for x in (qp, kp, vp))
+    dob = _to_bh(g, B, H, Lp, D)
+    # D_i = rowsum(dO * O): cheap elementwise-reduce, leave to XLA
+    delta = jnp.sum(dob.astype(jnp.float32) * out_bh.astype(jnp.float32), axis=-1)  # (B*H, Lp)
+
+    grid_q = (B * H, Lp // block_q)
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_dq_kernel,
+            scale=scale, block_k=block_k, seq_len=L, main_len=main_len,
+            cross_bias=float(cross_bias), q_block=block_q,
+        ),
+        grid=grid_q,
+        in_specs=[
+            pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((None, Lp, D), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((None, Lp, D), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((None, block_q), lambda bh, qi: (bh, qi)),
+            pl.BlockSpec((None, block_q), lambda bh, qi: (bh, qi)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Lp, D), q.dtype),
+        interpret=interpret,
+    )(qb, kb, vb, dob, lse, delta)
+
+    grid_k = (B * H, Lp // block_k)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_dkv_kernel,
+            scale=scale, block_q=block_q, seq_len=L, main_len=main_len,
+            cross_bias=float(cross_bias), k_block=block_k,
+        ),
+        grid=grid_k,
+        in_specs=[
+            pl.BlockSpec((None, block_k, D), lambda bh, ki: (bh, ki, 0)),
+            pl.BlockSpec((None, block_k, D), lambda bh, ki: (bh, ki, 0)),
+            pl.BlockSpec((None, Lp, D), lambda bh, ki: (bh, 0, 0)),
+            pl.BlockSpec((None, Lp, D), lambda bh, ki: (bh, 0, 0)),
+            pl.BlockSpec((None, Lp), lambda bh, ki: (bh, 0)),
+            pl.BlockSpec((None, Lp), lambda bh, ki: (bh, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_k, D), lambda bh, ki: (bh, ki, 0)),
+            pl.BlockSpec((None, block_k, D), lambda bh, ki: (bh, ki, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Lp, D), k.dtype),
+            jax.ShapeDtypeStruct((B * H, Lp, D), v.dtype),
+        ],
+        interpret=interpret,
+    )(kb, vb, qb, dob, lse, delta)
+
+    dq = _from_bh(dq, B, H, Lp, D)[:, :L]
+    dk = _from_bh(dk, B, H, Lp, D)[:, :L]
+    dv = _from_bh(dv, B, H, Lp, D)[:, :L]
+    return dq, dk, dv
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 @functools.partial(
@@ -106,53 +358,14 @@ def flash_attention_structured(
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Flash attention with structural cond-stream bias.
+    """Flash attention with structural cond-stream bias, differentiable.
 
     Tokens with index >= main_len form the condition segment; cross logits
     between the segments get `cross_bias` added (use -1e30 for masking).
     """
     B, L, H, D = q.shape
     main_len = L if main_len is None else main_len
-    scale = 1.0 / math.sqrt(D)
-
-    # pad L so both block sizes divide it
-    Lp = _round_up(L, max(block_q, block_k))
-    if Lp != L:
-        pad = [(0, 0), (0, Lp - L), (0, 0), (0, 0)]
-        q = jnp.pad(q, pad)
-        k = jnp.pad(k, pad)
-        v = jnp.pad(v, pad)
-
-    # (B, L, H, D) -> (B*H, L, D)
-    def to_bh(x):
-        return x.transpose(0, 2, 1, 3).reshape(B * H, Lp, D)
-
-    qb, kb, vb = to_bh(q), to_bh(k), to_bh(v)
-
-    kernel = functools.partial(
-        _flash_kernel,
-        scale=scale,
-        block_k=block_k,
-        seq_len=L,
-        main_len=main_len,
-        cross_bias=float(cross_bias),
-        q_block=block_q,
-    )
-    grid = (B * H, Lp // block_q)
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((None, Lp, D), lambda bh, qi: (bh, 0, 0)),
-            pl.BlockSpec((None, Lp, D), lambda bh, qi: (bh, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
-        out_shape=jax.ShapeDtypeStruct((B * H, Lp, D), q.dtype),
-        interpret=interpret,
-    )(qb, kb, vb)
-    out = out.reshape(B, H, Lp, D).transpose(0, 2, 1, 3)
-    return out[:, :L]
+    return _flash(q, k, v, main_len, float(cross_bias), block_q, block_k, interpret)
 
 
 def flash_attention(q, k, v, bias=None, main_len=None, cross_bias=0.0, interpret=False):

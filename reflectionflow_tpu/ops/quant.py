@@ -66,11 +66,64 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray) -> jnp.n
     return out.astype(x.dtype)
 
 
-def quantize_dit_params(params, min_size: int = 1 << 20, act_quant: bool = True):
-    """Quantize every linear weight bigger than `min_size` elements.
+# NF4 codebook (QLoRA, Dettmers et al. 2023): the 16 quantile-optimal levels
+# for N(0,1) weights scaled to [-1, 1]. ~30% lower quantization error than
+# uniform int4 on gaussian-distributed weights.
+NF4_CODES = jnp.asarray(
+    [
+        -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+        -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+        0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+        0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+        0.7229568362236023, 1.0,
+    ],
+    jnp.float32,
+)
 
-    Embedding/modulation layers below the threshold stay bf16 (negligible
-    memory, quality-sensitive)."""
+
+def quantize_linear_int4(p: dict, group: int = 128) -> dict:
+    """{"w": float (..., in, out)} -> packed NF4 weight-only quantized dict.
+
+    One absmax scale per (contraction group, output channel); 4-bit code
+    indices into `NF4_CODES`, two nibbles per uint8 along the group axis.
+    Resident footprint is in/2 bytes per output element — this is what lets
+    T5-XXL (2.4 GB packed) co-reside with the int8 FLUX DiT (11.9 GB) on
+    one 16 GB v5e. Dequant materializes one *layer* at a time inside the
+    block scan (<100 MB transient), never the whole tree.
+    """
+    w = p["w"].astype(jnp.float32)
+    din = w.shape[-2]
+    if din % group or din < group:
+        return quantize_linear(p)  # shape not groupable: fall back to int8
+    lead = w.shape[:-2]
+    G = din // group
+    wg = w.reshape(*lead, G, group, w.shape[-1])
+    amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)  # (..., G, 1, out)
+    scale = jnp.maximum(amax, 1e-12)
+    w_norm = wg / scale  # in [-1, 1]
+    mids = (NF4_CODES[1:] + NF4_CODES[:-1]) / 2.0
+    idx = jnp.searchsorted(mids, w_norm).astype(jnp.uint8)  # nearest code
+    packed = (idx[..., 0::2, :] | (idx[..., 1::2, :] << 4)).astype(jnp.uint8)
+    out = {"w_p4": packed, "w_scale4": scale.astype(jnp.float32)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def int4_matmul(x: jnp.ndarray, w_p4: jnp.ndarray, w_scale4: jnp.ndarray) -> jnp.ndarray:
+    """W4A16 matmul: NF4 unpack + dequant one layer, then a bf16 MXU matmul.
+
+    x: (..., in); w_p4: (G, group/2, out) uint8; w_scale4: (G, 1, out).
+    """
+    lo = NF4_CODES[(w_p4 & 0xF).astype(jnp.int32)]
+    hi = NF4_CODES[(w_p4 >> 4).astype(jnp.int32)]
+    q = jnp.stack([lo, hi], axis=-2)  # (G, group/2, 2, out): (2j, 2j+1) pairs
+    G, half, _, dout = q.shape
+    w = (q * w_scale4[:, :, None, :]).astype(x.dtype)
+    return x @ w.reshape(G * half * 2, dout)
+
+
+def _quantize_tree(params, quantizer, min_size: int):
     out = params
     seen_dicts = set()
     for path, leaf in tree_paths(params):
@@ -83,8 +136,21 @@ def quantize_dit_params(params, min_size: int = 1 << 20, act_quant: bool = True)
         if id(node) in seen_dicts:
             continue
         seen_dicts.add(id(node))
-        out = update_path(out, parent_path, quantize_linear(node, act_quant=act_quant))
+        out = update_path(out, parent_path, quantizer(node))
     return out
+
+
+def quantize_dit_params(params, min_size: int = 1 << 20, act_quant: bool = True):
+    """Int8-quantize every linear weight bigger than `min_size` elements.
+
+    Embedding/modulation layers below the threshold stay bf16 (negligible
+    memory, quality-sensitive)."""
+    return _quantize_tree(params, lambda p: quantize_linear(p, act_quant=act_quant), min_size)
+
+
+def quantize_params_int4(params, min_size: int = 1 << 20, group: int = 128):
+    """Int4 (w4a16, group-wise) quantize every big linear weight."""
+    return _quantize_tree(params, lambda p: quantize_linear_int4(p, group=group), min_size)
 
 
 def _get(tree, path):

@@ -106,13 +106,23 @@ class FluxPipeline:
             self.cond_dit_params = jax.device_put(self.cond_dit_params)
         return self
 
-    def quantize(self, which: tuple[str, ...] = ("dit", "t5"), fuse_qkv: bool = True) -> "FluxPipeline":
-        """Int8 weight-only quantize the big weight trees in place
-        (`ops.quant`) — the single-chip 16 GB serving configuration.
-        QKV projections are fused first (`ops.fuse`) so the int8 panels are
-        as wide as possible."""
+    def quantize(
+        self,
+        which: tuple[str, ...] = ("dit",),
+        fuse_qkv: bool = True,
+        int4: tuple[str, ...] = ("t5",),
+    ) -> "FluxPipeline":
+        """Quantize the big weight trees in place (`ops.quant`) — the
+        single-chip 16 GB serving configuration. `which` trees go int8
+        (W8A8 on the MXU); `int4` trees go packed int4 w4a16 — T5-XXL at
+        2.4 GB packed co-resides with the 11.9 GB int8 DiT, which is what
+        makes a true encode->denoise->decode pass possible on one v5e
+        (the reference assumes 80 GB cards,
+        /root/reference/tts/tts_reflectionflow.py:503-512). QKV projections
+        are fused first (`ops.fuse`) so the int8 panels are as wide as
+        possible."""
         from ..ops.fuse import fuse_dit_qkv
-        from ..ops.quant import quantize_dit_params
+        from ..ops.quant import quantize_dit_params, quantize_params_int4
 
         if fuse_qkv:
             self.params["dit"] = fuse_dit_qkv(self.params["dit"])
@@ -121,9 +131,36 @@ class FluxPipeline:
         for name in which:
             if name in self.params:
                 self.params[name] = quantize_dit_params(self.params[name])
+        for name in int4:
+            if name in self.params and name not in which:
+                self.params[name] = quantize_params_int4(self.params[name])
         if self.cond_dit_params is not None and "dit" in which:
             self.cond_dit_params = quantize_dit_params(self.cond_dit_params)
         return self
+
+    # -- phase swap (single-chip memory orchestration) -----------------------
+
+    def enable_phase_swap(self, offload: tuple[str, ...] = ("t5",)) -> "FluxPipeline":
+        """Keep host copies of the `offload` trees and free their device
+        buffers between encode phases; prompt embeddings are cached, so
+        fixed-prompt search (noise scaling, NFE curves) uploads the text
+        encoder at most once. Library form of the phase swap the reference
+        approximates with `use_low_gpu_vram` cpu<->cuda ping-ponging
+        (/root/reference/tts/tts_reflectionflow.py:305,324-325)."""
+        self._swap = tuple(n for n in offload if n in self.params)
+        self._host_params = {n: jax.tree.map(np.asarray, self.params[n]) for n in self._swap}
+        self._embed_cache: dict = {}
+        for n in self._swap:  # free device copies until first encode
+            self.params[n] = None
+        return self
+
+    def _ensure_on_device(self, name: str) -> None:
+        if self.params.get(name) is None and name in getattr(self, "_host_params", {}):
+            self.params[name] = jax.device_put(self._host_params[name])
+
+    def _offload(self, name: str) -> None:
+        if name in getattr(self, "_host_params", {}):
+            self.params[name] = None
 
     # -- text ---------------------------------------------------------------
 
@@ -132,7 +169,38 @@ class FluxPipeline:
 
         T5 for the sequence stream, CLIP for the pooled AdaLN vector —
         semantics of `pipeline_tools.prepare_text_input`
-        (/root/reference/train_flux/flux/pipeline_tools.py:33-52)."""
+        (/root/reference/train_flux/flux/pipeline_tools.py:33-52).
+
+        Under `enable_phase_swap`, embeddings are cached per (prompt, L):
+        only cache misses touch the text encoders, which are uploaded for
+        the miss batch and freed again before the DiT phase."""
+        cache = getattr(self, "_embed_cache", None)
+        if cache is None:
+            return self._encode_raw(prompts, max_sequence_length)
+        misses = sorted({p for p in prompts if (p, max_sequence_length) not in cache})
+        if misses:
+            for n in self._swap:
+                self._ensure_on_device(n)
+            txt_m, pooled_m = self._encode_raw(misses, max_sequence_length)
+            txt_m = np.asarray(txt_m)
+            pooled_m = np.asarray(pooled_m)
+            for i, p in enumerate(misses):
+                cache[(p, max_sequence_length)] = (txt_m[i], pooled_m[i])
+            for n in self._swap:
+                self._offload(n)
+        txt = np.stack([cache[(p, max_sequence_length)][0] for p in prompts])
+        pooled = np.stack([cache[(p, max_sequence_length)][1] for p in prompts])
+        return jnp.asarray(txt), jnp.asarray(pooled)
+
+    def warm_prompt_cache(self, prompts: Sequence[str], max_sequence_length: int = 512, batch: int = 16) -> None:
+        """Encode every prompt once (batched) so later `generate` calls never
+        need the text encoders on device — the encode-all / drop-T5 /
+        run-DiT-rounds phase structure for fixed-prompt search loops."""
+        uniq = sorted(set(prompts))
+        for i in range(0, len(uniq), batch):
+            self.encode_prompts(uniq[i : i + batch], max_sequence_length)
+
+    def _encode_raw(self, prompts: Sequence[str], max_sequence_length: int):
         t5_in = self.t5_tokenizer(list(prompts), max_length=max_sequence_length)
         txt = t5_encode(self.params["t5"], self.t5_cfg, jnp.asarray(t5_in["input_ids"]))
         clip_in = self.clip_tokenizer(list(prompts), max_length=self.clip_cfg.max_position_embeddings)
@@ -155,6 +223,8 @@ class FluxPipeline:
         condition_scale: float = 1.0,
         image_guidance_scale: float = 1.0,
         output_type: str = "np",
+        txt: jnp.ndarray | None = None,
+        pooled: jnp.ndarray | None = None,
     ):
         """Sample images. Returns uint8 images (B, H, W, 3) for 'np', raw
         packed latents for 'latent'.
@@ -173,7 +243,8 @@ class FluxPipeline:
                 jax.random.PRNGKey(seed), B, height, width, self.vae_cfg.latent_channels, self.dtype,
                 vae_downscale=down,
             )
-        txt, pooled = self.encode_prompts(prompts, max_sequence_length)
+        if txt is None or pooled is None:
+            txt, pooled = self.encode_prompts(prompts, max_sequence_length)
         img_ids = jnp.asarray(make_image_ids(ty, tx))
         txt_ids = jnp.asarray(make_text_ids(txt.shape[1]))
         sigmas = make_schedule(num_inference_steps, ty * tx)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import FluxDiTConfig, TrainConfig
-from ..lora.lora import fold_lora
+from ..lora.lora import attach_lora
 from ..models.flux.dit import flux_dit_apply
 from ..models.flux.latents import pack_latents
 from ..models.flux.rope import make_image_ids, make_text_ids
@@ -45,6 +45,7 @@ def rf_loss(
     r: int = 32,
     latent_lora: bool = False,
     model_flags: dict | None = None,
+    attn_impl: str = "xla",
 ) -> tuple[jnp.ndarray, dict]:
     """batch: {x0 (B,L,C), cond (B,Lc,C), txt (B,Lt,D), pooled (B,P),
     img_ids (L,3), txt_ids (Lt,3), cond_ids (Lc,3)}.
@@ -58,9 +59,10 @@ def rf_loss(
     x1 = jax.random.normal(k_noise, x0.shape)
     x_t = ((1.0 - t[:, None, None]) * x0 + t[:, None, None] * x1).astype(batch["x0"].dtype)
 
+    # per-layer low-rank adds — never materialize the folded 11.9 GB tree
     lora = {"_alpha": alpha, "_r": r, "adapters": adapters}
-    folded = fold_lora(base_dit_params, lora)
-    main = folded if latent_lora else base_dit_params
+    attached = attach_lora(base_dit_params, lora)
+    main = attached if latent_lora else base_dit_params
 
     guidance = jnp.ones((B,), x_t.dtype) if dit_cfg.guidance_embeds else None
     pred = flux_dit_apply(
@@ -75,9 +77,10 @@ def rf_loss(
         guidance=guidance,
         cond=batch["cond"],
         cond_ids=batch["cond_ids"],
-        cond_params=folded,
+        cond_params=attached,
         union_cond_attn=model_flags.get("union_cond_attn", True),
         add_cond_attn=model_flags.get("add_cond_attn", False),
+        attn_impl=attn_impl,
         remat=True,
     )
     target = (x1 - x0).astype(jnp.float32)
@@ -95,6 +98,7 @@ def make_train_step(
     model_flags: dict | None = None,
     grad_clip: float | None = 0.5,
     mesh=None,
+    attn_impl: str = "xla",
 ):
     """Returns jitted `step(adapters, opt_state, batch, key) ->
     (adapters, opt_state, metrics)` over the trainable adapter tree.
@@ -107,6 +111,7 @@ def make_train_step(
         (loss, metrics), grads = jax.value_and_grad(rf_loss, has_aux=True)(
             adapters, base_dit_params, dit_cfg, batch, key,
             alpha=alpha, r=r, latent_lora=latent_lora, model_flags=model_flags,
+            attn_impl=attn_impl,
         )
         gnorm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, adapters)

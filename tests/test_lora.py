@@ -130,3 +130,52 @@ def test_convert_diffusers_lora_roundtrip():
         A[1], sd["transformer.transformer_blocks.1.attn.to_q.lora_A.weight"].T
     )
     assert lora["adapters"]["img_in/w"]["A"].shape == (CFG.in_channels, r)
+
+
+def test_attach_lora_matches_fold(key):
+    """Per-layer low-rank adds (training path) == full fold, outputs AND
+    adapter gradients."""
+    import numpy as np
+
+    from reflectionflow_tpu.config import FluxDiTConfig
+    from reflectionflow_tpu.lora.lora import attach_lora, fold_lora, lora_init
+    from reflectionflow_tpu.models.flux.dit import flux_dit_apply, flux_dit_init
+    from reflectionflow_tpu.models.flux.rope import make_image_ids, make_text_ids
+
+    cfg = FluxDiTConfig.tiny()
+    params = flux_dit_init(key, cfg)
+    lora = lora_init(jax.random.PRNGKey(1), params, r=4, alpha=8)
+    # make B nonzero so the adapter actually does something
+    lora["adapters"] = jax.tree.map(
+        lambda x: x + 0.01 * jax.random.normal(jax.random.PRNGKey(2), x.shape), lora["adapters"]
+    )
+    inputs = dict(
+        img=jax.random.normal(jax.random.PRNGKey(3), (1, 16, cfg.in_channels)),
+        txt=jax.random.normal(jax.random.PRNGKey(4), (1, 8, cfg.text_dim)),
+        pooled=jax.random.normal(jax.random.PRNGKey(5), (1, cfg.pooled_dim)),
+        timestep=jnp.array([0.5]),
+        img_ids=jnp.asarray(make_image_ids(4, 4)),
+        txt_ids=jnp.asarray(make_text_ids(8)),
+        guidance=jnp.array([3.5]),
+    )
+
+    def out_with(tree_fn, adapters):
+        l2 = {"_alpha": lora["_alpha"], "_r": lora["_r"], "adapters": adapters}
+        return flux_dit_apply(tree_fn(params, l2), cfg, **inputs)
+
+    folded_out = out_with(fold_lora, lora["adapters"])
+    attached_out = out_with(attach_lora, lora["adapters"])
+    np.testing.assert_allclose(
+        np.asarray(attached_out), np.asarray(folded_out), atol=1e-5, rtol=1e-5
+    )
+
+    def loss(tree_fn, adapters):
+        return jnp.sum(out_with(tree_fn, adapters) ** 2)
+
+    g_fold = jax.grad(lambda a: loss(fold_lora, a))(lora["adapters"])
+    g_attach = jax.grad(lambda a: loss(attach_lora, a))(lora["adapters"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4),
+        g_attach,
+        g_fold,
+    )

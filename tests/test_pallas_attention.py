@@ -87,3 +87,63 @@ def test_dit_with_pallas_interpret():
         params, cfg, **inputs, cond=cond, cond_ids=cond_ids, attn_impl="pallas_interpret"
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def _loss_weights(q):
+    # fixed random cotangent-like weighting so grads are informative
+    return jax.random.normal(jax.random.PRNGKey(99), q.shape, jnp.float32)
+
+
+@pytest.mark.parametrize(
+    "cond_len,cross_bias",
+    [(0, 0.0), (32, 0.0), (32, float(np.log(2.0))), (32, -1e30)],
+    ids=["plain", "cond_union", "cond_c_factor", "cond_masked"],
+)
+def test_backward_parity(qkv, cond_len, cross_bias):
+    """custom_vjp flash backward vs XLA autodiff through sdpa."""
+    q, k, v = qkv
+    L = q.shape[1]
+    w = _loss_weights(q)
+    bias = (
+        cond_attention_bias(L, cond_len, cross_bias != -1e30, np.exp(cross_bias) if 0.0 < abs(cross_bias) < 100 else None)
+        if cond_len
+        else None
+    )
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa(q, k, v, bias=bias) * w)
+
+    def loss_pallas(q, k, v):
+        from reflectionflow_tpu.ops.pallas_attention import flash_attention_structured
+
+        out = flash_attention_structured(
+            q, k, v, main_len=L - cond_len, cross_bias=cross_bias, block_q=64, block_k=64, interpret=True
+        )
+        return jnp.sum(out * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4, err_msg=f"d{name}")
+
+
+def test_backward_nondivisible_length():
+    """Padding path: L not a multiple of the block sizes."""
+    B, L, H, D = 1, 100, 2, 16
+    key = jax.random.PRNGKey(1)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (B, L, H, D), jnp.float32) for i in range(3))
+    w = jax.random.normal(jax.random.PRNGKey(5), (B, L, H, D), jnp.float32)
+    from reflectionflow_tpu.ops.pallas_attention import flash_attention_structured
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa(q, k, v) * w)
+
+    def loss_pallas(q, k, v):
+        return jnp.sum(
+            flash_attention_structured(q, k, v, block_q=64, block_k=64, interpret=True) * w
+        )
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_out = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_out, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4)

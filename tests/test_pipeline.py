@@ -83,3 +83,47 @@ def test_condition_scale_c_factor(pipe):
         ["x"], height=SIZE, width=SIZE, num_inference_steps=2, seed=1, conditions=conds, condition_scale=2.0
     )
     assert not np.array_equal(out1, out2)
+
+
+def test_phase_swap_cache_and_offload():
+    """enable_phase_swap: encode once, text encoders freed between phases,
+    cached embeddings reproduce the non-swapped images exactly."""
+    pipe2 = FluxPipeline.random_init(
+        jax.random.PRNGKey(0),
+        dit_cfg=FluxDiTConfig.tiny(),
+        vae_cfg=FluxVAEConfig.tiny(),
+        t5_cfg=T5Config.tiny(),
+        clip_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    base = pipe2.generate(["a cat"], height=SIZE, width=SIZE, num_inference_steps=2, seed=7)
+    pipe2.enable_phase_swap(offload=("t5",))
+    assert pipe2.params["t5"] is None  # freed until first encode
+    out = pipe2.generate(["a cat"], height=SIZE, width=SIZE, num_inference_steps=2, seed=7)
+    np.testing.assert_array_equal(base, out)
+    assert pipe2.params["t5"] is None  # offloaded again after the miss batch
+    assert len(pipe2._embed_cache) == 1
+    # cache hit: no T5 upload needed at all
+    out2 = pipe2.generate(["a cat"], height=SIZE, width=SIZE, num_inference_steps=2, seed=7)
+    np.testing.assert_array_equal(base, out2)
+    # warm_prompt_cache covers new prompts in one phase
+    pipe2.warm_prompt_cache(["a dog", "a bird", "a cat"], max_sequence_length=16)
+    assert len(pipe2._embed_cache) >= 3
+    assert pipe2.params["t5"] is None
+
+
+def test_generate_accepts_precomputed_embeddings():
+    pipe2 = FluxPipeline.random_init(
+        jax.random.PRNGKey(0),
+        dit_cfg=FluxDiTConfig.tiny(),
+        vae_cfg=FluxVAEConfig.tiny(),
+        t5_cfg=T5Config.tiny(),
+        clip_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    base = pipe2.generate(["a cat"], height=SIZE, width=SIZE, num_inference_steps=2, seed=7)
+    txt, pooled = pipe2.encode_prompts(["a cat"], max_sequence_length=512)
+    out = pipe2.generate(
+        ["a cat"], height=SIZE, width=SIZE, num_inference_steps=2, seed=7, txt=txt, pooled=pooled
+    )
+    np.testing.assert_array_equal(base, out)
