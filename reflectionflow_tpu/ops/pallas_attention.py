@@ -49,7 +49,7 @@ def _flash_fwd_kernel(
     k_ref,  # (L, D)
     v_ref,  # (L, D)
     out_ref,  # (BQ, D)
-    lse_ref,  # (BQ,)
+    lse_ref,  # (BQ, 1)
     *,
     scale: float,
     block_k: int,
@@ -95,7 +95,7 @@ def _flash_fwd_kernel(
     m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
     l_safe = jnp.maximum(l, 1e-20)
     out_ref[:] = (acc / l_safe).astype(out_ref.dtype)
-    lse_ref[:] = (m + jnp.log(l_safe)).reshape(BQ)
+    lse_ref[:] = m + jnp.log(l_safe)  # (BQ, 1)
 
 
 def _flash_dq_kernel(
@@ -103,8 +103,8 @@ def _flash_dq_kernel(
     k_ref,  # (L, D)
     v_ref,  # (L, D)
     do_ref,  # (BQ, D)
-    lse_ref,  # (BQ,)
-    delta_ref,  # (BQ,)  rowsum(dO * O)
+    lse_ref,  # (BQ, 1)
+    delta_ref,  # (BQ, 1)  rowsum(dO * O)
     dq_ref,  # (BQ, D)
     *,
     scale: float,
@@ -118,8 +118,8 @@ def _flash_dq_kernel(
     q = q_ref[:].astype(jnp.float32) * scale
     do = do_ref[:].astype(jnp.float32)
     BQ, D = q.shape
-    lse = lse_ref[:].reshape(BQ, 1)
-    delta = delta_ref[:].reshape(BQ, 1)
+    lse = lse_ref[:]  # (BQ, 1)
+    delta = delta_ref[:]  # (BQ, 1)
     q_pos = qb * q_block + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
 
     num_k_blocks = pl.cdiv(seq_len, block_k)
@@ -152,8 +152,8 @@ def _flash_dkv_kernel(
     v_ref,  # (BK, D)
     q_ref,  # (L, D)
     do_ref,  # (L, D)
-    lse_ref,  # (L,)
-    delta_ref,  # (L,)
+    lse_ref,  # (1, L) transposed view
+    delta_ref,  # (1, L)
     dk_ref,  # (BK, D)
     dv_ref,  # (BK, D)
     *,
@@ -177,8 +177,8 @@ def _flash_dkv_kernel(
         q_start = qb * block_q
         q = q_ref[pl.ds(q_start, block_q), :].astype(jnp.float32) * scale  # (BQ, D)
         do = do_ref[pl.ds(q_start, block_q), :].astype(jnp.float32)
-        lse = lse_ref[pl.ds(q_start, block_q)].reshape(1, block_q)
-        delta = delta_ref[pl.ds(q_start, block_q)].reshape(1, block_q)
+        lse = lse_ref[:, pl.ds(q_start, block_q)]  # (1, BQ)
+        delta = delta_ref[:, pl.ds(q_start, block_q)]  # (1, BQ)
         # logits^T: (BK, BQ)
         logits_t = jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -248,11 +248,11 @@ def _fwd_impl(q, k, v, main_len, cross_bias, block_q, block_k, interpret):
         ],
         out_specs=[
             pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((None, block_q), lambda bh, qi: (bh, qi)),
+            pl.BlockSpec((None, block_q, 1), lambda bh, qi: (bh, qi, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B * H, Lp, D), q.dtype),
-            jax.ShapeDtypeStruct((B * H, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((B * H, Lp, 1), jnp.float32),
         ],
         interpret=interpret,
     )(qb, kb, vb)
@@ -285,7 +285,11 @@ def _flash_bwd_rule(main_len, cross_bias, block_q, block_k, interpret, res, g):
     qb, kb, vb = (_to_bh(x, B, H, Lp, D) for x in (qp, kp, vp))
     dob = _to_bh(g, B, H, Lp, D)
     # D_i = rowsum(dO * O): cheap elementwise-reduce, leave to XLA
-    delta = jnp.sum(dob.astype(jnp.float32) * out_bh.astype(jnp.float32), axis=-1)  # (B*H, Lp)
+    delta = jnp.sum(
+        dob.astype(jnp.float32) * out_bh.astype(jnp.float32), axis=-1, keepdims=True
+    )  # (B*H, Lp, 1)
+    lse_t = jnp.swapaxes(lse, 1, 2)  # (B*H, 1, Lp) for the k-major kernel
+    delta_t = jnp.swapaxes(delta, 1, 2)
 
     grid_q = (B * H, Lp // block_q)
     dq = pl.pallas_call(
@@ -300,8 +304,8 @@ def _flash_bwd_rule(main_len, cross_bias, block_q, block_k, interpret, res, g):
             pl.BlockSpec((None, Lp, D), lambda bh, qi: (bh, 0, 0)),
             pl.BlockSpec((None, Lp, D), lambda bh, qi: (bh, 0, 0)),
             pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((None, block_q), lambda bh, qi: (bh, qi)),
-            pl.BlockSpec((None, block_q), lambda bh, qi: (bh, qi)),
+            pl.BlockSpec((None, block_q, 1), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((None, block_q, 1), lambda bh, qi: (bh, qi, 0)),
         ],
         out_specs=pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, Lp, D), q.dtype),
@@ -321,8 +325,8 @@ def _flash_bwd_rule(main_len, cross_bias, block_q, block_k, interpret, res, g):
             pl.BlockSpec((None, block_k, D), lambda bh, ki: (bh, ki, 0)),
             pl.BlockSpec((None, Lp, D), lambda bh, ki: (bh, 0, 0)),
             pl.BlockSpec((None, Lp, D), lambda bh, ki: (bh, 0, 0)),
-            pl.BlockSpec((None, Lp), lambda bh, ki: (bh, 0)),
-            pl.BlockSpec((None, Lp), lambda bh, ki: (bh, 0)),
+            pl.BlockSpec((None, 1, Lp), lambda bh, ki: (bh, 0, 0)),
+            pl.BlockSpec((None, 1, Lp), lambda bh, ki: (bh, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((None, block_k, D), lambda bh, ki: (bh, ki, 0)),
@@ -333,7 +337,7 @@ def _flash_bwd_rule(main_len, cross_bias, block_q, block_k, interpret, res, g):
             jax.ShapeDtypeStruct((B * H, Lp, D), v.dtype),
         ],
         interpret=interpret,
-    )(kb, vb, qb, dob, lse, delta)
+    )(kb, vb, qb, dob, lse_t, delta_t)
 
     dq = _from_bh(dq, B, H, Lp, D)[:, :L]
     dk = _from_bh(dk, B, H, Lp, D)[:, :L]

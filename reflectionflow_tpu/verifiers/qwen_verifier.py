@@ -50,8 +50,11 @@ class QwenRewardVerifier(Verifier):
             from ..utils.hf_loader import load_qwen_vl
 
             model, tokenizer = load_qwen_vl(model_path)
-            head = head or self._load_head(model_path, model.lm_cfg.hidden_size)
+        if head is None and model_path is not None:
+            head = self._load_head(model_path, model.lm_cfg.hidden_size)
         assert head is not None, "QwenRewardVerifier needs a RewardHead"
+        if model_path is not None:
+            model = self._apply_rm_adapter(model, model_path, head)
         self.rm = QwenRewardModel(model, head)
         self.tokenizer = tokenizer
         self.max_pixels = max_pixels
@@ -83,6 +86,34 @@ class QwenRewardVerifier(Verifier):
             vq_mean=cfg.get("VQ_mean", 0.0),
             vq_std=cfg.get("VQ_std", 1.0),
         )
+
+    @staticmethod
+    def _apply_rm_adapter(model: QwenVLModel, model_path: str, head) -> QwenVLModel:
+        """Fold the trained LoRA into the LM and install the trained
+        `<|VQ_reward|>` embedding row — the inference-time reconstruction of
+        the reference's adapter + `non_lora_state_dict` merge
+        (`/root/reference/reward_modeling/utils.py:168-205`)."""
+        lora_path = os.path.join(model_path, "rm_lora.safetensors")
+        if not os.path.exists(lora_path):
+            return model
+        from ..lora.lora import fold_lora
+        from ..rm_train.train import load_rm_checkpoint
+
+        trainable, cfg = load_rm_checkpoint(model_path)
+        if trainable["lora"]:
+            model.lm_params = fold_lora(
+                model.lm_params,
+                {"_alpha": cfg.get("lora_alpha", 16.0), "_r": cfg.get("lora_r", 16),
+                 "adapters": {p: {k: jnp.asarray(v) for k, v in ab.items()}
+                              for p, ab in trainable["lora"].items()}},
+            )
+        special_id = head.special_token_id
+        if "special" in trainable and special_id is not None:
+            embed = jnp.asarray(model.lm_params["embed"])
+            model.lm_params["embed"] = embed.at[special_id].set(
+                jnp.asarray(trainable["special"], embed.dtype)
+            )
+        return model
 
     # ------------------------------------------------------------------
 

@@ -92,3 +92,53 @@ def test_rm_train_step_learns():
     assert losses[-1] < losses[0], losses
     # rewards A should now exceed rewards B (A is always chosen)
     assert float(aux["rewards_A"].mean()) > float(aux["rewards_B"].mean())
+
+
+def test_train_reward_cli_end_to_end(tmp_path):
+    """The CLI driver (reference train_reward.py:162-294 surface): GSB rows
+    -> train loop -> final_model checkpoint that scores images through
+    QwenRewardVerifier, LoRA + special-token row applied."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from reflectionflow_tpu.cli.train_reward import main as train_reward_main
+    from reflectionflow_tpu.models.qwen_vl.model import QwenVLModel
+    from reflectionflow_tpu.verifiers.qwen_verifier import QwenRewardVerifier
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(6):
+        pa, pb = tmp_path / f"a{i}.png", tmp_path / f"b{i}.png"
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)).save(pa)
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)).save(pb)
+        rows.append(
+            {"image_A": str(pa), "image_B": str(pb), "prompt": f"prompt {i}",
+             "gsb": ["G", "B", "S"][i % 3], "score_A": 4.0, "score_B": 3.0}
+        )
+    meta = tmp_path / "meta.jsonl"
+    meta.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    out = str(tmp_path / "rm_out")
+
+    final = train_reward_main(
+        ["--meta_data", str(meta), "--output_dir", out, "--synthetic_weights",
+         "--per_device_train_batch_size", "2", "--num_train_epochs", "1",
+         "--eval_fraction", "0.34", "--max_pixels", "1024", "--lora_r", "2",
+         "--loss_type", "btt"]
+    )
+    assert os.path.exists(os.path.join(final, "model_config.json"))
+    assert os.path.exists(os.path.join(final, "rm_head.safetensors"))
+    assert os.path.exists(os.path.join(final, "rm_lora.safetensors"))
+    cfg = json.load(open(os.path.join(final, "model_config.json")))
+    assert cfg["logits_processing"] == "special"
+    metrics = [json.loads(l) for l in open(os.path.join(out, "metrics.jsonl"))]
+    assert any("loss" in m for m in metrics)
+    assert any("eval_pairwise_accuracy" in m for m in metrics)
+
+    # the checkpoint scores images (same base seed as the CLI's random init)
+    model = QwenVLModel.random_init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    verifier = QwenRewardVerifier(model=model, model_path=final, max_pixels=1024)
+    img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    scored = verifier.reward([img], ["a test prompt"])
+    assert np.isfinite(scored[0]["VQ"])
