@@ -255,89 +255,92 @@ def init_int4_t5(t5_cfg):
     }
 
 
-def bench_e2e(rtt: float) -> dict | None:
+def bench_e2e(rtt: float, phase_swap: bool = False) -> dict | None:
     """TRUE end-to-end single-chip image cost: T5-XXL(int4) encode +
-    CLIP pooled + 30-step int8 DiT denoise + VAE decode + host image fetch,
-    all trees co-resident on the one 16 GB chip. This is the number the
+    CLIP pooled + 30-step int8 DiT denoise + VAE decode + host image fetch.
+    Co-resident by default; with `phase_swap` the T5 tree lives on host and
+    is uploaded once for the encode phase then freed (what the search loop
+    does via FluxPipeline.enable_phase_swap — embeddings are cached per
+    prompt, so steady-state rounds pay no upload). This is the number the
     reference produces with `pipe(prompt)` on an 80 GB H100
     (/root/reference/train_flux/flux/generate.py:148-307)."""
-    import gc
-
     from reflectionflow_tpu.config import CLIPTextConfig, FluxVAEConfig, T5Config
     from reflectionflow_tpu.models.flux.latents import unpack_latents
     from reflectionflow_tpu.models.flux.text import clip_text_encode, clip_text_init, t5_encode
     from reflectionflow_tpu.models.flux.vae import vae_decode, vae_decoder_init
 
+    import gc
+
     dit_cfg = FluxDiTConfig()
     t5_cfg = T5Config()
     clip_cfg = CLIPTextConfig()
     vae_cfg = FluxVAEConfig()
-    try:
-        dit = init_int8_on_device(dit_cfg)
-        t5 = init_int4_t5(t5_cfg)
-        clip = clip_text_init(jax.random.PRNGKey(3), clip_cfg, jnp.bfloat16)
-        vae_dec = vae_decoder_init(jax.random.PRNGKey(4), vae_cfg, jnp.bfloat16)
 
-        rng = np.random.default_rng(1)
-        t5_ids = jnp.asarray(rng.integers(0, t5_cfg.vocab_size, (BATCH, LT)), jnp.int32)
-        clip_ids = jnp.asarray(
-            rng.integers(0, clip_cfg.vocab_size, (BATCH, clip_cfg.max_position_embeddings)), jnp.int32
-        )
-        img_ids = jnp.asarray(make_image_ids(TY, TX))
-        txt_ids = jnp.asarray(make_text_ids(LT))
-        sigmas = jnp.asarray(FlowMatchSchedule.create(NUM_STEPS, TY * TX).sigmas)
-        latents = jnp.asarray(rng.standard_normal((BATCH, TY * TX, dit_cfg.in_channels)), jnp.bfloat16)
+    rng = np.random.default_rng(1)
+    t5_ids = jnp.asarray(rng.integers(0, t5_cfg.vocab_size, (BATCH, LT)), jnp.int32)
+    clip_ids = jnp.asarray(
+        rng.integers(0, clip_cfg.vocab_size, (BATCH, clip_cfg.max_position_embeddings)), jnp.int32
+    )
+    img_ids = jnp.asarray(make_image_ids(TY, TX))
+    txt_ids = jnp.asarray(make_text_ids(LT))
+    sigmas = jnp.asarray(FlowMatchSchedule.create(NUM_STEPS, TY * TX).sigmas)
+    latents = jnp.asarray(rng.standard_normal((BATCH, TY * TX, dit_cfg.in_channels)), jnp.bfloat16)
 
-        def encode():
-            txt = t5_encode(t5, t5_cfg, t5_ids).astype(jnp.bfloat16)
-            _, pooled = clip_text_encode(clip, clip_cfg, clip_ids)
-            return txt, pooled.astype(jnp.bfloat16)
+    # --- encode phase (T5 + CLIP resident; in swap mode the DiT is not yet up)
+    t5 = init_int4_t5(t5_cfg)
+    clip = clip_text_init(jax.random.PRNGKey(3), clip_cfg, jnp.bfloat16)
 
-        def run_denoise(txt, pooled):
-            return denoise(
-                dit, dit_cfg, latents, txt, pooled, img_ids, txt_ids, sigmas,
-                jnp.asarray(3.5, jnp.float32), NUM_STEPS, attn_impl="pallas",
-            )
+    def encode():
+        txt = t5_encode(t5, t5_cfg, t5_ids).astype(jnp.bfloat16)
+        _, pooled = clip_text_encode(clip, clip_cfg, clip_ids)
+        return txt, pooled.astype(jnp.bfloat16)
 
-        def decode(final):
-            grid = unpack_latents(final, TY, TX)
-            imgs = vae_decode(vae_dec, vae_cfg, grid)
-            return jnp.clip((imgs.astype(jnp.float32) + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+    txt, pooled = encode()
+    float(np.asarray(_SUM(txt)))  # compile + settle
+    t0 = time.perf_counter()
+    txt2, _ = encode()
+    float(np.asarray(_SUM(txt2)))
+    t_enc = max(time.perf_counter() - t0 - rtt, 0.0)
 
-        def run_e2e():
-            txt, pooled = encode()
-            return np.asarray(decode(run_denoise(txt, pooled)))  # fetch = part of e2e
-
-        img = run_e2e()  # compile + warmup
-        assert img.shape == (BATCH, TY * 16, TX * 16, 3), img.shape
-        times = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            run_e2e()
-            times.append(time.perf_counter() - t0)
-        t_e2e = max(min(times) - rtt, 1e-6)
-
-        # phase breakdown (one extra timed pass per phase)
-        txt, pooled = encode()
-        float(np.asarray(_SUM(txt)))  # settle
-        t0 = time.perf_counter(); txt2, _ = encode(); float(np.asarray(_SUM(txt2)))
-        t_enc = max(time.perf_counter() - t0 - rtt, 0.0)
-        final = run_denoise(txt, pooled)
-        t0 = time.perf_counter(); float(np.asarray(_SUM(run_denoise(txt, pooled))))
-        t_den = max(time.perf_counter() - t0 - rtt, 0.0)
-        t0 = time.perf_counter(); np.asarray(decode(final))
-        t_dec = max(time.perf_counter() - t0 - rtt, 0.0)
-        return {
-            "t_image_s": t_e2e,
-            "config": "e2e int4-T5 encode + int8 W8A8 DiT 19/38 (pallas) + VAE decode, co-resident",
-            "t_encode_s": round(t_enc, 3),
-            "t_denoise_s": round(t_den, 3),
-            "t_decode_fetch_s": round(t_dec, 3),
-        }
-    except Exception as e:
-        log(f"# e2e bench failed: {type(e).__name__}: {e}")
+    if phase_swap:
+        # embeddings (a few MB) survive on device; the 2.7 GB T5 is freed
+        # before the 11.9 GB DiT comes up — FluxPipeline.enable_phase_swap's
+        # phase order, with per-prompt caching across rounds
+        t5 = clip = txt2 = None
         gc.collect()
-        return None
+
+    # --- DiT + VAE phase
+    dit = init_int8_on_device(dit_cfg)
+    vae_dec = vae_decoder_init(jax.random.PRNGKey(4), vae_cfg, jnp.bfloat16)
+
+    def run_denoise(txt, pooled):
+        return denoise(
+            dit, dit_cfg, latents, txt, pooled, img_ids, txt_ids, sigmas,
+            jnp.asarray(3.5, jnp.float32), NUM_STEPS, attn_impl="pallas",
+        )
+
+    def decode(final):
+        grid = unpack_latents(final, TY, TX)
+        imgs = vae_decode(vae_dec, vae_cfg, grid)
+        return jnp.clip((imgs.astype(jnp.float32) + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+
+    img = np.asarray(decode(run_denoise(txt, pooled)))  # compile + warmup
+    assert img.shape == (BATCH, TY * 16, TX * 16, 3), img.shape
+    final = run_denoise(txt, pooled)
+    t0 = time.perf_counter()
+    float(np.asarray(_SUM(run_denoise(txt, pooled))))
+    t_den = max(time.perf_counter() - t0 - rtt, 0.0)
+    t0 = time.perf_counter()
+    np.asarray(decode(final))  # image fetch included
+    t_dec = max(time.perf_counter() - t0 - rtt, 0.0)
+    mode = "phase-swap" if phase_swap else "co-resident"
+    return {
+        "t_image_s": t_enc + t_den + t_dec,
+        "config": f"e2e int4-T5 encode + int8 W8A8 DiT 19/38 (pallas) + VAE decode, {mode}",
+        "t_encode_s": round(t_enc, 3),
+        "t_denoise_s": round(t_den, 3),
+        "t_decode_fetch_s": round(t_dec, 3),
+    }
 
 
 def bench_int8_full(rtt: float) -> dict | None:
@@ -382,15 +385,27 @@ def bench_bf16_extrapolated(rtt: float) -> dict:
     }
 
 
-def main():
+STAGES = ("e2e", "e2e_swap", "int8", "bf16")
+
+
+def run_stage(stage: str) -> None:
+    """Run ONE benchmark configuration in this process and print its JSON.
+    A stage that OOMs raises and exits nonzero — the parent moves on with a
+    clean TPU (a failed allocation can poison later allocations in the same
+    client, which burned the first e2e attempt)."""
     rtt = measure_rtt()
-    primary = bench_e2e(rtt)
+    if stage == "e2e":
+        primary = bench_e2e(rtt, phase_swap=False)
+    elif stage == "e2e_swap":
+        primary = bench_e2e(rtt, phase_swap=True)
+    elif stage == "int8":
+        primary = bench_int8_full(rtt)
+    else:
+        primary = bench_bf16_extrapolated(rtt)
+    if primary is None:
+        raise SystemExit(1)
     detail = {"tunnel_rtt_s": round(rtt, 3), "steps": NUM_STEPS, "batch": BATCH,
               "device": str(jax.devices()[0])}
-    if primary is None:
-        primary = bench_int8_full(rtt)
-    if primary is None:
-        primary = bench_bf16_extrapolated(rtt)
     t_img = primary.pop("t_image_s")
     detail.update(primary)
     imgs_per_sec = BATCH / t_img
@@ -401,6 +416,31 @@ def main():
         "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC_PER_CHIP, 4),
         "detail": dict(detail, t_image_s=round(t_img, 3)),
     }))
+
+
+def main():
+    import argparse
+    import subprocess
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--stage", choices=STAGES, default=None)
+    args = p.parse_args()
+    if args.stage:
+        run_stage(args.stage)
+        return
+    # parent: try stages best-first, each in its own TPU client process
+    for stage in STAGES:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--stage", stage],
+            capture_output=True, text=True, timeout=3600,
+        )
+        sys.stderr.write(proc.stderr)
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        if proc.returncode == 0 and line.startswith("{"):
+            print(line)
+            return
+        log(f"# stage {stage} failed (rc={proc.returncode}); falling back")
+    raise SystemExit("all bench stages failed")
 
 
 if __name__ == "__main__":

@@ -1,13 +1,23 @@
-"""Reflection text generation with a KV cache.
+"""Reflection text generation with a KV cache — fully jitted decode.
 
 Colocated replacement for the reference's HTTP-served reflection model
-(`/root/reference/tts/tts_reflectionflow.py:24,228-237`): prefill the
-multimodal prompt once, then greedy/temperature decode with a
-static-shape KV cache.
+(`/root/reference/tts/tts_reflectionflow.py:24,228-237`), and the TPU
+answer to its FlashAttention-2 decode
+(`/root/reference/reward_modeling/train_reward.py:105`):
+
+  * a round's candidates decode as ONE left-padded batch (the reference
+    loops candidates over HTTP);
+  * prefill is one jitted cache-filling forward; the token loop is a
+    single `lax.while_loop` on device — greedy/temperature sampling,
+    per-row EOS early-exit, ONE host sync at the end (the round-1 design
+    paid a ~25 ms tunnel round-trip per token);
+  * shapes bucket to multiples of 64 so recompiles stop after the first
+    round of a given (batch, bucket) pair.
 """
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -16,6 +26,69 @@ import numpy as np
 
 from .lm import init_kv_cache, qwen_lm_apply
 from .model import QwenVLModel, QwenVLSpecialTokens
+
+_LEN_BUCKET = 64
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _prefill(params, cfg, embeds, pos, cache):
+    return qwen_lm_apply(params, cfg, embeds, pos, kv_cache=cache)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new_tokens", "eos_id", "temperature"),
+    donate_argnums=(2,),
+)
+def _decode_tokens(
+    params,
+    cfg,
+    cache,
+    last_logits,  # (B, V)
+    next_pos0,  # (B,) first decode position per row
+    key,
+    *,
+    max_new_tokens: int,
+    eos_id: int,
+    temperature: float,
+):
+    """Device-side token loop -> (out_ids (B, max_new_tokens), lengths (B,)).
+
+    Rows record tokens until their EOS; `lengths` counts recorded tokens
+    (slots past a row's EOS hold 0 — trim by length, not by value)."""
+    B = last_logits.shape[0]
+    out0 = jnp.zeros((B, max_new_tokens), jnp.int32)
+    done0 = jnp.zeros((B,), bool)
+    len0 = jnp.zeros((B,), jnp.int32)
+
+    def cond(st):
+        step, _, _, _, done, _, _ = st
+        return jnp.logical_and(step < max_new_tokens, jnp.logical_not(jnp.all(done)))
+
+    def body(st):
+        step, cache, logits, out, done, lengths, k = st
+        if temperature > 0:
+            k, sub = jax.random.split(k)
+            tok = jax.random.categorical(sub, logits.astype(jnp.float32) / temperature, axis=-1)
+        else:
+            tok = jnp.argmax(logits, axis=-1)
+        tok = tok.astype(jnp.int32)
+        done_new = done | (tok == eos_id)
+        out = out.at[:, step].set(jnp.where(done_new, 0, tok))
+        lengths = lengths + jnp.where(done_new, 0, 1)
+        emb = params["embed"][tok][:, None, :]
+        pos = jnp.broadcast_to((next_pos0 + step)[None, :, None], (3, B, 1)).astype(jnp.int32)
+        new_logits, cache = qwen_lm_apply(params, cfg, emb, pos, kv_cache=cache)
+        return step + 1, cache, new_logits[:, -1], out, done_new, lengths, k
+
+    _, _, _, out, _, lengths, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), cache, last_logits, out0, done0, len0, key)
+    )
+    return out, lengths
 
 
 @dataclass
@@ -34,6 +107,51 @@ class QwenVLGenerator:
         model, tokenizer = load_qwen_vl(model_path)
         return cls(model=model, tokenizer=tokenizer, **kw)
 
+    # -- batched core --------------------------------------------------------
+
+    def decode_batch(
+        self,
+        sequences: list[tuple[np.ndarray, list[np.ndarray]]],  # [(input_ids, images)]
+        max_new_tokens: int = 128,
+        temperature: float = 0.0,
+        key: jax.Array | None = None,
+    ) -> list[list[int]]:
+        """Left-pad the sequences into one batch, prefill once, decode the
+        whole batch in one device loop. Ragged lengths are fine; vision
+        grids may differ per row (towers run per sample)."""
+        model = self.model
+        B = len(sequences)
+        rows = [model.embed_sequence(ids, imgs) for ids, imgs in sequences]
+        lens = [int(e.shape[1]) for e, _ in rows]
+        Lmax = _round_up(max(lens), _LEN_BUCKET)
+        H = model.lm_cfg.hidden_size
+        embeds = np.zeros((B, Lmax, H), np.float32)
+        pos = np.zeros((3, B, Lmax), np.int64)
+        pads = np.zeros((B,), np.int32)
+        next_pos0 = np.zeros((B,), np.int32)
+        for b, (emb, p) in enumerate(rows):
+            n = lens[b]
+            pads[b] = Lmax - n
+            embeds[b, Lmax - n :] = np.asarray(emb[0], np.float32)
+            pos[:, b, Lmax - n :] = np.asarray(p)[:, 0, :]
+            next_pos0[b] = int(np.max(np.asarray(p))) + 1
+
+        cache = init_kv_cache(model.lm_cfg, B, Lmax + max_new_tokens, dtype=model.dtype)
+        cache["pad"] = jnp.asarray(pads)
+        logits, cache = _prefill(
+            model.lm_params, model.lm_cfg,
+            jnp.asarray(embeds, model.dtype), jnp.asarray(pos), cache,
+        )
+        out, lengths = _decode_tokens(
+            model.lm_params, model.lm_cfg, cache, logits[:, -1],
+            jnp.asarray(next_pos0), key if key is not None else jax.random.PRNGKey(0),
+            max_new_tokens=max_new_tokens, eos_id=self.eos_token_id,
+            temperature=float(temperature),
+        )
+        out = np.asarray(out)  # the single host sync
+        lengths = np.asarray(lengths)
+        return [out[b, : lengths[b]].tolist() for b in range(B)]
+
     def decode_ids(
         self,
         input_ids: np.ndarray,
@@ -43,33 +161,14 @@ class QwenVLGenerator:
         key: jax.Array | None = None,
     ) -> list[int]:
         """Greedy (or sampled) continuation of one multimodal sequence."""
-        model = self.model
-        embeds, pos = model.embed_sequence(input_ids, images)
-        L = embeds.shape[1]
-        cache = init_kv_cache(model.lm_cfg, 1, L + max_new_tokens, dtype=embeds.dtype)
-        logits, cache = qwen_lm_apply(model.lm_params, model.lm_cfg, embeds, pos, kv_cache=cache)
-        next_pos_start = int(np.max(np.asarray(pos))) + 1
-        out_ids: list[int] = []
-        last_logits = logits[:, -1]
-        k = key if key is not None else jax.random.PRNGKey(0)
-        for step in range(max_new_tokens):
-            if temperature > 0:
-                k, sub = jax.random.split(k)
-                tok = int(jax.random.categorical(sub, last_logits / temperature, axis=-1)[0])
-            else:
-                tok = int(jnp.argmax(last_logits, axis=-1)[0])
-            if tok == self.eos_token_id:
-                break
-            out_ids.append(tok)
-            p = next_pos_start + step
-            pos_step = jnp.full((3, 1, 1), p, jnp.int32)
-            emb = model.lm_params["embed"][jnp.asarray([[tok]])]
-            logits, cache = qwen_lm_apply(model.lm_params, model.lm_cfg, emb, pos_step, kv_cache=cache)
-            last_logits = logits[:, -1]
-        return out_ids
+        return self.decode_batch(
+            [(input_ids, images)], max_new_tokens=max_new_tokens, temperature=temperature, key=key
+        )[0]
 
     def generate(self, images: list[np.ndarray], prompts: list[str], max_new_tokens: int = 128,
                  max_pixels: int = 448 * 448) -> list[str]:
+        """Batched multimodal generation: ONE prefill + decode for the whole
+        candidate set of a reflection round."""
         assert self.tokenizer is not None, "text generation requires a tokenizer"
         from PIL import Image
 
@@ -77,15 +176,14 @@ class QwenVLGenerator:
 
         vis_cfg = self.model.vis_cfg
         factor = vis_cfg.patch_size * vis_cfg.spatial_merge_size
-        outs = []
+        seqs = []
         for img, prompt in zip(images, prompts):
             img = np.asarray(img)
             nh, nw = smart_resize(img.shape[0], img.shape[1], factor=factor, max_pixels=max_pixels)
             img = np.asarray(Image.fromarray(img).resize((nw, nh)))
-            ids = self._build_chat_ids(img, prompt)
-            out_ids = self.decode_ids(ids, [img], max_new_tokens=max_new_tokens)
-            outs.append(self.tokenizer.decode(out_ids, skip_special_tokens=True).strip())
-        return outs
+            seqs.append((self._build_chat_ids(img, prompt), [img]))
+        outs = self.decode_batch(seqs, max_new_tokens=max_new_tokens)
+        return [self.tokenizer.decode(ids, skip_special_tokens=True).strip() for ids in outs]
 
     def _build_chat_ids(self, image: np.ndarray, prompt: str) -> np.ndarray:
         from .vision import image_to_patches

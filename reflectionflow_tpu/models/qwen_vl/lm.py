@@ -129,6 +129,9 @@ def qwen_lm_apply(
         causal = kpos[:, None, :] <= qpos[:, :, None]  # (1, L, S)
         valid = kpos[:, None, :] < (offset + L)
         mask = (causal & valid)[:, None, :, :]  # (1,1,L,S)
+        if "pad" in kv_cache:  # left-padded batched decode: mask pad slots
+            notpad = kpos >= kv_cache["pad"][:, None]  # (B, S)
+            mask = mask & notpad[:, None, None, :]
         bias = jnp.where(mask, 0.0, -1e9).astype(jnp.float32)
     else:
         causal = jnp.tril(jnp.ones((L, L), bool))
@@ -137,8 +140,7 @@ def qwen_lm_apply(
             pad = jnp.where(attention_mask[:, None, None, :].astype(bool), 0.0, -1e9)
             bias = bias + pad
 
-    def block(h, carry_bp):
-        bp, layer_idx = carry_bp
+    def block(h, bp, k_cache=None, v_cache=None):
         x = rms_norm(h, bp["ln1"]["scale"], cfg.rms_norm_eps)
         q = linear(bp["q"], x).reshape(B, L, nH, D)
         k = linear(bp["k"], x).reshape(B, L, nKV, D)
@@ -146,8 +148,8 @@ def qwen_lm_apply(
         q = apply_rope_rh(q, cos, sin)
         k = apply_rope_rh(k, cos, sin)
         if use_cache:
-            k_all = jax.lax.dynamic_update_slice(kv_cache["k"][layer_idx], k.astype(kv_cache["k"].dtype), (0, offset, 0, 0))
-            v_all = jax.lax.dynamic_update_slice(kv_cache["v"][layer_idx], v.astype(kv_cache["v"].dtype), (0, offset, 0, 0))
+            k_all = jax.lax.dynamic_update_slice(k_cache, k.astype(k_cache.dtype), (0, offset, 0, 0))
+            v_all = jax.lax.dynamic_update_slice(v_cache, v.astype(v_cache.dtype), (0, offset, 0, 0))
             new_k, new_v = k_all, v_all
         else:
             k_all, v_all = k, v
@@ -165,27 +167,29 @@ def qwen_lm_apply(
         mlp = linear(bp["down"], jax.nn.silu(linear(bp["gate"], x)) * linear(bp["up"], x))
         return h + mlp, (new_k, new_v)
 
-    n_layers = cfg.num_layers
-    new_ks, new_vs = [], []
+    # scan over stacked block params — one compiled body instead of 28
+    # inlined layers; the cached path scans the per-layer caches as xs and
+    # collects the updated caches as ys (jit-friendly decode step).
+    new_cache = None
     if use_cache:
-        # python loop over layers (stacked leaves indexed): per-layer cache io
-        for i in range(n_layers):
-            bp = jax.tree.map(lambda x: x[i], params["blocks"])
-            h, (nk, nv) = block(h, (bp, i))
-            new_ks.append(nk)
-            new_vs.append(nv)
+        def scan_body_cached(carry, xs):
+            bp, kc, vc = xs
+            out, (nk, nv) = block(carry, bp, kc, vc)
+            return out, (nk, nv)
+
+        h, (new_k, new_v) = jax.lax.scan(
+            scan_body_cached, h, (params["blocks"], kv_cache["k"], kv_cache["v"])
+        )
+        new_cache = {"k": new_k, "v": new_v, "len": kv_cache["len"] + L}
+        if "pad" in kv_cache:
+            new_cache["pad"] = kv_cache["pad"]
     else:
-        # no cache (verifier / reward path): scan over stacked block params —
-        # one compiled body instead of 28 inlined layers
         def scan_body(carry, bp):
-            out, _ = block(carry, (bp, 0))
+            out, _ = block(carry, bp)
             return out, None
 
         h, _ = jax.lax.scan(scan_body, h, params["blocks"])
     h = rms_norm(h, params["final_ln"]["scale"], cfg.rms_norm_eps)
-    new_cache = None
-    if use_cache:
-        new_cache = {"k": jnp.stack(new_ks), "v": jnp.stack(new_vs), "len": kv_cache["len"] + L}
     if return_hidden:
         return h, new_cache
     if "lm_head" in params:

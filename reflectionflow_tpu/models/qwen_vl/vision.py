@@ -120,6 +120,17 @@ def _seg_bias(seg: np.ndarray) -> jnp.ndarray:
     return jnp.asarray(np.where(same, 0.0, -1e9), jnp.float32)[None, None]
 
 
+import functools as _functools
+
+
+@_functools.partial(jax.jit, static_argnames=("cfg", "grid_thw"))
+def qwen_vision_batch_apply(params, cfg, patches_batch, grid_thw):
+    """(B, L, pd) -> (B, L/merge^2, H): the tower vmapped over a same-grid
+    batch under ONE stable jit (the verifier/reflector hot path — a fresh
+    vmap closure per call would retrace every round)."""
+    return jax.vmap(lambda p: qwen_vision_apply(params, cfg, p, grid_thw))(patches_batch)
+
+
 def qwen_vision_apply(
     params,
     cfg: QwenVLVisionConfig,

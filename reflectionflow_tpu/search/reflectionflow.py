@@ -42,6 +42,26 @@ def _resize(img: np.ndarray, size: int) -> np.ndarray:
     return np.asarray(Image.fromarray(img).resize((size, size)))
 
 
+def _score_grouped(verifier, images, prompts, tags, max_new_tokens):
+    """One order-preserving verifier pass over a mixed-tag batch.
+
+    The verifier API takes a single `tag` (it selects the per-tag GenEval
+    schema), so indices group by tag; each group is ONE batched score call
+    and results return in input order."""
+    by_tag: dict = {}
+    for i, t in enumerate(tags):
+        by_tag.setdefault(t, []).append(i)
+    out = [None] * len(images)
+    for tag, idxs in by_tag.items():
+        scores = verifier.score(
+            [images[i] for i in idxs], [prompts[i] for i in idxs], tag=tag,
+            max_new_tokens=max_new_tokens,
+        )
+        for i, sc in zip(idxs, scores):
+            out[i] = sc
+    return out
+
+
 def run_reflectionflow_prompt(
     pipeline,
     verifier: Verifier,
@@ -194,38 +214,75 @@ def run_reflectionflow_block(
         if not active:
             continue
         with timer.span("round"):
-            # --- host stages per prompt: verify prev, topk, reflect, refine ---
-            plans = []
+            # --- batched host stages: ONE verify / reflect / refine call per
+            # round across the whole block (the per-prompt version paid a
+            # full model dispatch per prompt; the verifier batches uniform
+            # shapes and the local reflector decodes the batch in one
+            # device loop) ---
+            with timer.span("verify"):
+                v_imgs, v_prompts, v_tags = [], [], []
+                for s in active:
+                    arrays = [load_image(p) for p in s["prev"]]
+                    s["_prev_arrays"] = arrays
+                    v_imgs += arrays
+                    v_prompts += [s["prompt"]] * len(arrays)
+                    v_tags += [s["tag"]] * len(arrays)
+                flat_outputs = _score_grouped(
+                    verifier, v_imgs, v_prompts, v_tags, cfg.verifier_args.max_new_tokens
+                )
+            # split scores back per prompt, pick top-k parents
+            off = 0
+            sel = []
             for s in active:
-                prev_arrays = [load_image(p) for p in s["prev"]]
-                with timer.span("verify"):
-                    outputs = verifier.score(prev_arrays, [s["prompt"]] * len(prev_arrays), tag=s["tag"], max_new_tokens=cfg.verifier_args.max_new_tokens)
+                n = len(s["prev"])
+                outputs = flat_outputs[off : off + n]
+                off += n
                 topk_idx = select_topk(outputs, branch, rule)
+                prev_arrays = s.pop("_prev_arrays")
                 sel_imgs = [s["prev"][i] for i in topk_idx]
                 sel_arrays = [prev_arrays[i] for i in topk_idx]
                 sel_outputs = [outputs[i] for i in topk_idx]
                 s["dirs"].append_detailed_scores(sel_outputs, sel_imgs)
+                sel.append((s, sel_imgs, sel_arrays, sel_outputs))
 
-                reflections = s["manifest"].reflections
-                reflection_performed = False
-                if cfg.reflection_args.run_reflection and reflector is not None:
-                    evaluations = [json.dumps(o) for o in sel_outputs]
-                    with timer.span("reflect"):
-                        reflections = reflector.generate(
-                            sel_arrays, [s["prompt"]] * branch, s["manifest"].updated_prompts,
-                            prev_reflections=s["manifest"].reflections, evaluations=evaluations,
-                        )
-                    reflection_performed = True
-                refined = s["manifest"].updated_prompts
-                refinement_performed = False
-                if cfg.prompt_refiner_args.run_refinement and refiner is not None:
-                    evaluations = [json.dumps(o) for o in sel_outputs]
-                    with timer.span("refine"):
-                        refined = refiner.refine(
-                            sel_arrays, [s["prompt"]] * branch, s["manifest"].updated_prompts,
-                            reflections=reflections, evaluations=evaluations,
-                        )
-                    refinement_performed = True
+            reflection_performed = cfg.reflection_args.run_reflection and reflector is not None
+            all_reflections: list[list[str]] = [s["manifest"].reflections for s, *_ in sel]
+            if reflection_performed:
+                r_args = {"images": [], "orig": [], "cur": [], "prev": [], "evals": []}
+                for s, _, sel_arrays, sel_outputs in sel:
+                    r_args["images"] += sel_arrays
+                    r_args["orig"] += [s["prompt"]] * branch
+                    r_args["cur"] += list(s["manifest"].updated_prompts)
+                    r_args["prev"] += list(s["manifest"].reflections)
+                    r_args["evals"] += [json.dumps(o) for o in sel_outputs]
+                with timer.span("reflect"):
+                    flat_refl = reflector.generate(
+                        r_args["images"], r_args["orig"], r_args["cur"],
+                        prev_reflections=r_args["prev"], evaluations=r_args["evals"],
+                    )
+                all_reflections = [flat_refl[i * branch : (i + 1) * branch] for i in range(len(sel))]
+
+            refinement_performed = cfg.prompt_refiner_args.run_refinement and refiner is not None
+            all_refined: list[list[str]] = [s["manifest"].updated_prompts for s, *_ in sel]
+            if refinement_performed:
+                f_args = {"images": [], "orig": [], "cur": [], "refl": [], "evals": []}
+                for i, (s, _, sel_arrays, sel_outputs) in enumerate(sel):
+                    f_args["images"] += sel_arrays
+                    f_args["orig"] += [s["prompt"]] * branch
+                    f_args["cur"] += list(s["manifest"].updated_prompts)
+                    f_args["refl"] += list(all_reflections[i])
+                    f_args["evals"] += [json.dumps(o) for o in sel_outputs]
+                with timer.span("refine"):
+                    flat_ref = refiner.refine(
+                        f_args["images"], f_args["orig"], f_args["cur"],
+                        reflections=f_args["refl"], evaluations=f_args["evals"],
+                    )
+                all_refined = [flat_ref[i * branch : (i + 1) * branch] for i in range(len(sel))]
+
+            plans = []
+            for i, (s, sel_imgs, sel_arrays, sel_outputs) in enumerate(sel):
+                reflections = list(all_reflections[i])
+                refined = list(all_refined[i])
                 if reflection_performed or refinement_performed:
                     s["dirs"].append_best_meta(
                         rnd,
@@ -284,7 +341,16 @@ def run_reflectionflow_block(
                     )
             images = np.concatenate(chunks, axis=0)
 
-            # --- per-prompt: save, re-verify, chains, manifest ---
+            # --- batched re-verify of the new candidates ---
+            with timer.span("verify"):
+                nv_imgs = [images[bi * branch + k] for bi in range(len(plans)) for k in range(branch)]
+                nv_prompts = [plan["state"]["prompt"] for plan in plans for _ in range(branch)]
+                nv_tags = [plan["state"]["tag"] for plan in plans for _ in range(branch)]
+                flat_new = _score_grouped(
+                    verifier, nv_imgs, nv_prompts, nv_tags, cfg.verifier_args.max_new_tokens
+                )
+
+            # --- per-prompt: save, chains, manifest ---
             for bi, plan in enumerate(plans):
                 s = plan["state"]
                 block_imgs = [images[bi * branch + k] for k in range(branch)]
@@ -293,8 +359,7 @@ def run_reflectionflow_block(
                     path = os.path.join(s["dirs"].midimg, round_image_name(rnd, seed))
                     save_image(path, block_imgs[k])
                     full_imgnames.append(path)
-                with timer.span("verify"):
-                    new_outputs = verifier.score(block_imgs, [s["prompt"]] * branch, tag=s["tag"], max_new_tokens=cfg.verifier_args.max_new_tokens)
+                new_outputs = flat_new[bi * branch : (bi + 1) * branch]
                 if rnd == 1:
                     s["chains"].init_round(full_imgnames, new_outputs)
                 else:

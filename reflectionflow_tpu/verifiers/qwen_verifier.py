@@ -26,6 +26,21 @@ from ..models.qwen_vl.reward import QwenRewardModel, RewardHead
 from ..models.qwen_vl.vision import image_to_patches, smart_resize
 from .base import Verifier
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "pooling", "special_token_id"))
+def _rm_scores_jit(lm_params, cfg, head_w, embeds, pos, ids, pooling, special_token_id):
+    """LM forward + pooling + rm_head as ONE stable jitted graph — the 7B
+    verifier forward used to dispatch op-by-op over the device tunnel."""
+    from ..models.qwen_vl.lm import qwen_lm_apply
+    from ..models.qwen_vl.reward import pool_hidden
+
+    hidden, _ = qwen_lm_apply(lm_params, cfg, embeds, pos, return_hidden=True)
+    mask = jnp.ones(ids.shape, jnp.int32)
+    pooled = pool_hidden(hidden, mask, pooling, input_ids=ids, special_token_id=special_token_id)
+    return pooled @ head_w.astype(pooled.dtype)
+
 DEFAULT_TEMPLATE = (
     "You are presented with a generated image and its associated text caption. "
     "Your task is to analyze the image across multiple dimensions in relation to the caption. "
@@ -164,10 +179,8 @@ class QwenRewardVerifier(Verifier):
         import jax
         import jax.numpy as jnp
 
-        from ..models.qwen_vl.lm import qwen_lm_apply
         from ..models.qwen_vl.model import get_rope_index
-        from ..models.qwen_vl.reward import pool_hidden
-        from ..models.qwen_vl.vision import image_to_patches, qwen_vision_apply
+        from ..models.qwen_vl.vision import image_to_patches, qwen_vision_batch_apply
 
         prepared = [self._prepare_ids(np.asarray(img), p) for img, p in zip(images, prompts)]
         # group key includes the vision GRID, not just sequence length —
@@ -185,9 +198,9 @@ class QwenRewardVerifier(Verifier):
             B = len(idxs)
             patch_list = [image_to_patches(prepared[i][1], vis_cfg)[0] for i in idxs]
             patches = jnp.asarray(np.stack(patch_list), model.dtype)  # (B, L, pd)
-            vis_batch = jax.vmap(
-                lambda p: qwen_vision_apply(model.vision_params, vis_cfg, p, grid)
-            )(patches)  # (B, n_img_tokens, H)
+            # stable jit (vision tower vmapped over the group) — retraces only
+            # on a new grid, not per call
+            vis_batch = qwen_vision_batch_apply(model.vision_params, vis_cfg, patches, grid)
 
             id_rows = np.stack([prepared[i][0] for i in idxs])  # (B, L)
             embeds = jnp.asarray(model.lm_params["embed"])[jnp.asarray(id_rows)]
@@ -198,14 +211,12 @@ class QwenRewardVerifier(Verifier):
                 id_rows[0], [grid], vis_cfg.spatial_merge_size, model.tokens.image_pad
             )
             batch_pos = jnp.asarray(np.broadcast_to(pos0[:, None, :], (3, B, pos0.shape[1])))
-            hidden, _ = qwen_lm_apply(model.lm_params, model.lm_cfg, embeds, batch_pos, return_hidden=True)
-            batch_ids = jnp.asarray(id_rows)
-            mask = jnp.ones(batch_ids.shape, jnp.int32)
-            pooled = pool_hidden(
-                hidden, mask, self.rm.head.pooling,
-                input_ids=batch_ids, special_token_id=self.rm.head.special_token_id,
+            raw = _rm_scores_jit(
+                model.lm_params, model.lm_cfg, jnp.asarray(self.rm.head.w),
+                embeds, batch_pos, jnp.asarray(id_rows),
+                self.rm.head.pooling, self.rm.head.special_token_id,
             )
-            raw = pooled @ jnp.asarray(self.rm.head.w, pooled.dtype)
+            raw = np.asarray(raw)  # one host sync per group
             for j, i in enumerate(idxs):
                 out[i] = float(raw[j, 0])
         return out
