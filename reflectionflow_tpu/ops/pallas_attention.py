@@ -59,7 +59,10 @@ def _flash_fwd_kernel(
     q_block: int,
 ):
     qb = pl.program_id(1)
-    q = q_ref[:].astype(jnp.float32) * scale  # (BQ, D)
+    # inputs stay in their storage dtype (bf16 in serving) — the MXU does
+    # bf16 x bf16 with fp32 accumulation via preferred_element_type; an
+    # explicit fp32 upcast would halve MXU throughput
+    q = q_ref[:]  # (BQ, D)
     BQ = q.shape[0]
     # keep every intermediate >= 2D (TPU vector layout requirement)
     q_pos = qb * q_block + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)  # (BQ, 1)
@@ -69,11 +72,11 @@ def _flash_fwd_kernel(
     def body(kb, carry):
         m_prev, l_prev, acc = carry  # (BQ, 1), (BQ, 1), (BQ, D)
         k_start = kb * block_k
-        k = k_ref[pl.ds(k_start, block_k), :].astype(jnp.float32)  # (BK, D)
-        v = v_ref[pl.ds(k_start, block_k), :].astype(jnp.float32)
+        k = k_ref[pl.ds(k_start, block_k), :]  # (BK, D)
+        v = v_ref[pl.ds(k_start, block_k), :]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (BQ, BK)
+        ) * scale  # (BQ, BK) fp32
         k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)  # (1, BK)
         logits = _cross_mask_bias(logits, q_pos, k_pos, main_len, cross_bias)
         logits = jnp.where(k_pos < seq_len, logits, NEG_INF)  # mask padding tail
@@ -81,10 +84,10 @@ def _flash_fwd_kernel(
         m_cur = jnp.max(logits, axis=1, keepdims=True)  # (BQ, 1)
         m_new = jnp.maximum(m_prev, m_cur)
         correction = jnp.exp(m_prev - m_new)  # (BQ, 1)
-        p = jnp.exp(logits - m_new)  # (BQ, BK)
+        p = jnp.exp(logits - m_new)  # (BQ, BK) fp32
         l_new = l_prev * correction + jnp.sum(p, axis=1, keepdims=True)
         acc = acc * correction + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         return m_new, l_new, acc
 
@@ -115,8 +118,8 @@ def _flash_dq_kernel(
     q_block: int,
 ):
     qb = pl.program_id(1)
-    q = q_ref[:].astype(jnp.float32) * scale
-    do = do_ref[:].astype(jnp.float32)
+    q = q_ref[:]  # native dtype; MXU accumulates fp32
+    do = do_ref[:]
     BQ, D = q.shape
     lse = lse_ref[:]  # (BQ, 1)
     delta = delta_ref[:]  # (BQ, 1)
@@ -126,19 +129,19 @@ def _flash_dq_kernel(
 
     def body(kb, dq):
         k_start = kb * block_k
-        k = k_ref[pl.ds(k_start, block_k), :].astype(jnp.float32)
-        v = v_ref[pl.ds(k_start, block_k), :].astype(jnp.float32)
+        k = k_ref[pl.ds(k_start, block_k), :]
+        v = v_ref[pl.ds(k_start, block_k), :]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        ) * scale
         k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
         logits = _cross_mask_bias(logits, q_pos, k_pos, main_len, cross_bias)
         logits = jnp.where(k_pos < seq_len, logits, NEG_INF)
-        p = jnp.exp(logits - lse)  # (BQ, BK)
+        p = jnp.exp(logits - lse)  # (BQ, BK) fp32
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BQ, BK)
-        ds = p * (dp - delta)
+        ds = (p * (dp - delta)).astype(k.dtype)
         return dq + jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
@@ -165,8 +168,8 @@ def _flash_dkv_kernel(
     k_block: int,
 ):
     kb = pl.program_id(1)
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
+    k = k_ref[:]  # native dtype; MXU accumulates fp32
+    v = v_ref[:]
     BK, D = k.shape
     k_pos = kb * k_block + jax.lax.broadcasted_iota(jnp.int32, (BK, 1), 0)  # (BK, 1)
 
@@ -175,34 +178,34 @@ def _flash_dkv_kernel(
     def body(qb, carry):
         dk, dv = carry
         q_start = qb * block_q
-        q = q_ref[pl.ds(q_start, block_q), :].astype(jnp.float32) * scale  # (BQ, D)
-        do = do_ref[pl.ds(q_start, block_q), :].astype(jnp.float32)
+        q = q_ref[pl.ds(q_start, block_q), :]  # (BQ, D)
+        do = do_ref[pl.ds(q_start, block_q), :]
         lse = lse_ref[:, pl.ds(q_start, block_q)]  # (1, BQ)
         delta = delta_ref[:, pl.ds(q_start, block_q)]  # (1, BQ)
         # logits^T: (BK, BQ)
         logits_t = jax.lax.dot_general(
             k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
+        ) * scale
         q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_q), 1)  # (1, BQ)
         logits_t = _cross_mask_bias(logits_t, k_pos, q_pos, main_len, cross_bias)
-        p_t = jnp.exp(logits_t - lse)  # (BK, BQ)
+        p_t = jnp.exp(logits_t - lse)  # (BK, BQ) fp32
         p_t = jnp.where(q_pos < seq_len, p_t, 0.0)  # mask padded q rows
         dv = dv + jax.lax.dot_general(
-            p_t, do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
         dp_t = jax.lax.dot_general(
             v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (BK, BQ)
-        ds_t = p_t * (dp_t - delta)
+        ds_t = (p_t * (dp_t - delta)).astype(q.dtype)
         dk = dk + jax.lax.dot_general(
             ds_t, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )  # note: q already has `scale` folded in
+        )
         return dk, dv
 
     dk0 = jnp.zeros((BK, D), jnp.float32)
     dv0 = jnp.zeros((BK, D), jnp.float32)
     dk, dv = jax.lax.fori_loop(0, num_q_blocks, body, (dk0, dv0))
-    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dk_ref[:] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
