@@ -69,16 +69,17 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray) -> jnp.n
 # NF4 codebook (QLoRA, Dettmers et al. 2023): the 16 quantile-optimal levels
 # for N(0,1) weights scaled to [-1, 1]. ~30% lower quantization error than
 # uniform int4 on gaussian-distributed weights.
-NF4_CODES = jnp.asarray(
-    [
-        -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
-        -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
-        0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
-        0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
-        0.7229568362236023, 1.0,
-    ],
-    jnp.float32,
+NF4_CODE_VALUES = (
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0,
 )
+
+
+def _nf4_codes() -> jnp.ndarray:
+    return jnp.asarray(NF4_CODE_VALUES, jnp.float32)
 
 
 def quantize_linear_int4(p: dict, group: int = 128) -> dict:
@@ -101,7 +102,8 @@ def quantize_linear_int4(p: dict, group: int = 128) -> dict:
     amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)  # (..., G, 1, out)
     scale = jnp.maximum(amax, 1e-12)
     w_norm = wg / scale  # in [-1, 1]
-    mids = (NF4_CODES[1:] + NF4_CODES[:-1]) / 2.0
+    codes = _nf4_codes()
+    mids = (codes[1:] + codes[:-1]) / 2.0
     idx = jnp.searchsorted(mids, w_norm).astype(jnp.uint8)  # nearest code
     packed = (idx[..., 0::2, :] | (idx[..., 1::2, :] << 4)).astype(jnp.uint8)
     out = {"w_p4": packed, "w_scale4": scale.astype(jnp.float32)}
@@ -110,13 +112,30 @@ def quantize_linear_int4(p: dict, group: int = 128) -> dict:
     return out
 
 
+def _nf4_decode(idx: jnp.ndarray) -> jnp.ndarray:
+    """idx in [0,15] -> NF4 code values via a binary select tree.
+
+    A table GATHER per weight element is catastrophically slow on the TPU
+    VPU (measured: one T5-XXL encode took 32 s); 15 fused elementwise
+    selects over scalar constants compile to one vectorized loop."""
+    b0 = (idx & 1).astype(bool)
+    b1 = (idx & 2).astype(bool)
+    b2 = (idx & 4).astype(bool)
+    b3 = (idx & 8).astype(bool)
+    c = NF4_CODE_VALUES
+    v = [jnp.where(b0, c[2 * i + 1], c[2 * i]) for i in range(8)]
+    v = [jnp.where(b1, v[2 * i + 1], v[2 * i]) for i in range(4)]
+    v = [jnp.where(b2, v[2 * i + 1], v[2 * i]) for i in range(2)]
+    return jnp.where(b3, v[1], v[0])
+
+
 def int4_matmul(x: jnp.ndarray, w_p4: jnp.ndarray, w_scale4: jnp.ndarray) -> jnp.ndarray:
     """W4A16 matmul: NF4 unpack + dequant one layer, then a bf16 MXU matmul.
 
     x: (..., in); w_p4: (G, group/2, out) uint8; w_scale4: (G, 1, out).
     """
-    lo = NF4_CODES[(w_p4 & 0xF).astype(jnp.int32)]
-    hi = NF4_CODES[(w_p4 >> 4).astype(jnp.int32)]
+    lo = _nf4_decode(w_p4 & 0xF)
+    hi = _nf4_decode(w_p4 >> 4)
     q = jnp.stack([lo, hi], axis=-2)  # (G, group/2, 2, out): (2j, 2j+1) pairs
     G, half, _, dout = q.shape
     w = (q * w_scale4[:, :, None, :]).astype(x.dtype)
