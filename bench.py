@@ -327,6 +327,8 @@ def bench_e2e(rtt: float, phase_swap: bool = False) -> dict | None:
     img = np.asarray(decode(run_denoise(txt, pooled)))  # compile + warmup
     assert img.shape == (BATCH, TY * 16, TX * 16, 3), img.shape
     final = run_denoise(txt, pooled)
+    float(np.asarray(_SUM(final)))  # force: the device queue is serial —
+    # an unfetched dispatch would otherwise be included in the timed run
     t0 = time.perf_counter()
     float(np.asarray(_SUM(run_denoise(txt, pooled))))
     t_den = max(time.perf_counter() - t0 - rtt, 0.0)
@@ -385,7 +387,9 @@ def bench_bf16_extrapolated(rtt: float) -> dict:
     }
 
 
-STAGES = ("e2e", "e2e_swap", "int8", "bf16")
+# e2e_swap first: full co-residency (15 GB + transients) measured-OOMs on a
+# 16 GB v5e, so the phase-swap profile is the honest single-chip number
+STAGES = ("e2e_swap", "e2e", "int8", "bf16")
 
 
 def run_stage(stage: str) -> None:
