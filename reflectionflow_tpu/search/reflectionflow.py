@@ -220,23 +220,30 @@ def run_reflectionflow_block(
             # shapes and the local reflector decodes the batch in one
             # device loop) ---
             with timer.span("verify"):
+                # the previous round already scored its fresh candidates
+                # (the reference re-scores them, tts_reflectionflow.py:144 +
+                # :337 — a 2x verifier cost); reuse cached per-path scores
+                # and only verify images without one (round 0 / resume)
                 v_imgs, v_prompts, v_tags = [], [], []
+                need_idx = []  # (state, path) needing a fresh score
                 for s in active:
-                    arrays = [load_image(p) for p in s["prev"]]
-                    s["_prev_arrays"] = arrays
-                    v_imgs += arrays
-                    v_prompts += [s["prompt"]] * len(arrays)
-                    v_tags += [s["tag"]] * len(arrays)
-                flat_outputs = _score_grouped(
+                    cache = s.setdefault("_score_cache", {})
+                    for p in s["prev"]:
+                        if p not in cache:
+                            v_imgs.append(load_image(p))
+                            v_prompts.append(s["prompt"])
+                            v_tags.append(s["tag"])
+                            need_idx.append((s, p))
+                fresh = _score_grouped(
                     verifier, v_imgs, v_prompts, v_tags, cfg.verifier_args.max_new_tokens
                 )
+                for (s, p), out in zip(need_idx, fresh):
+                    s["_score_cache"][p] = out
             # split scores back per prompt, pick top-k parents
-            off = 0
             sel = []
             for s in active:
-                n = len(s["prev"])
-                outputs = flat_outputs[off : off + n]
-                off += n
+                s["_prev_arrays"] = [load_image(p) for p in s["prev"]]
+                outputs = [s["_score_cache"][p] for p in s["prev"]]
                 topk_idx = select_topk(outputs, branch, rule)
                 prev_arrays = s.pop("_prev_arrays")
                 sel_imgs = [s["prev"][i] for i in topk_idx]
@@ -360,6 +367,8 @@ def run_reflectionflow_block(
                     save_image(path, block_imgs[k])
                     full_imgnames.append(path)
                 new_outputs = flat_new[bi * branch : (bi + 1) * branch]
+                # next round's "verify prev" reuses these scores by path
+                s.setdefault("_score_cache", {}).update(zip(full_imgnames, new_outputs))
                 if rnd == 1:
                     s["chains"].init_round(full_imgnames, new_outputs)
                 else:
