@@ -121,7 +121,27 @@ class QwenVLGenerator:
         grids may differ per row (towers run per sample)."""
         model = self.model
         B = len(sequences)
-        rows = [model.embed_sequence(ids, imgs) for ids, imgs in sequences]
+        # batch the vision towers across same-grid single-image rows (a
+        # reflection round's candidates share a resolution)
+        from .vision import image_to_patches, qwen_vision_batch_apply
+
+        precomp: list = [None] * B
+        by_grid: dict = {}
+        for b, (_ids, imgs) in enumerate(sequences):
+            if len(imgs) == 1:
+                patches, grid = image_to_patches(imgs[0], model.vis_cfg)
+                by_grid.setdefault(grid, []).append((b, patches))
+        for grid, items in by_grid.items():
+            if len(items) < 2:
+                continue  # nothing to batch
+            stack = jnp.asarray(np.stack([p for _, p in items]), model.dtype)
+            embs = qwen_vision_batch_apply(model.vision_params, model.vis_cfg, stack, grid)
+            for (b, _), e in zip(items, embs):
+                precomp[b] = ([e], [grid])
+        rows = [
+            model.embed_sequence(ids, imgs, precomputed=precomp[b])
+            for b, (ids, imgs) in enumerate(sequences)
+        ]
         lens = [int(e.shape[1]) for e, _ in rows]
         Lmax = _round_up(max(lens), _LEN_BUCKET)
         H = model.lm_cfg.hidden_size

@@ -91,18 +91,25 @@ class QwenVLModel:
             dtype,
         )
 
-    def embed_sequence(self, input_ids: np.ndarray, images: list[np.ndarray]):
+    def embed_sequence(self, input_ids: np.ndarray, images: list[np.ndarray], precomputed=None):
         """One sequence: token embeds with image-pad positions replaced by
-        vision embeds. Returns (embeds (1, L, H), position_ids (3, 1, L))."""
-        grids = []
-        vision_embeds = []
-        for img in images:
-            patches, grid = image_to_patches(img, self.vis_cfg)
-            emb = qwen_vision_apply(
-                self.vision_params, self.vis_cfg, jnp.asarray(patches, self.dtype), grid
-            )
-            grids.append(grid)
-            vision_embeds.append(emb)
+        vision embeds. Returns (embeds (1, L, H), position_ids (3, 1, L)).
+
+        `precomputed`: optional (vision_embeds, grids) from a batched tower
+        pass (`qwen_vision_batch_apply`) — callers with many same-grid
+        images batch the tower instead of running it per sample."""
+        if precomputed is not None:
+            vision_embeds, grids = precomputed
+        else:
+            grids = []
+            vision_embeds = []
+            for img in images:
+                patches, grid = image_to_patches(img, self.vis_cfg)
+                emb = qwen_vision_apply(
+                    self.vision_params, self.vis_cfg, jnp.asarray(patches, self.dtype), grid
+                )
+                grids.append(grid)
+                vision_embeds.append(emb)
         ids = jnp.asarray(input_ids[None])
         embeds = jnp.asarray(self.lm_params["embed"])[ids]  # (1, L, H)
         if vision_embeds:

@@ -1,0 +1,65 @@
+"""Sweep flash-attention block sizes on the real TPU at the FLUX shape.
+
+The kernel default (bq 256, bk 512) measured ~59 TFLOP/s at 5632 tokens;
+attention is ~half the serving step, so block-shape tuning is a first-order
+lever. Prints one JSON line of ms per (block_q, block_k).
+
+Usage: python tools/attn_sweep.py [L] [H]
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from reflectionflow_tpu.ops.pallas_attention import flash_attention_structured  # noqa: E402
+
+_SUM = jax.jit(lambda v: jnp.sum(v.astype(jnp.float32)))
+
+
+def fetch(x):
+    return float(np.asarray(_SUM(x)))
+
+
+def main():
+    L = int(sys.argv[1]) if len(sys.argv) > 1 else 4608  # T2I serving shape
+    H = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    B, D = 1, 128
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.standard_normal((B, L, H, D)), jnp.bfloat16) for _ in range(3))
+
+    small = jnp.ones((8, 8), jnp.bfloat16)
+    fetch(small)
+    t0 = time.perf_counter()
+    fetch(small)
+    rtt = time.perf_counter() - t0
+
+    flops = 4.0 * L * L * H * D
+    out = {"shape": f"B{B} L{L} H{H} D{D} bf16", "rtt_ms": round(rtt * 1e3, 1),
+           "ideal_ms_at_peak": round(flops / 197e12 * 1e3, 2)}
+    for bq in (256, 512, 1024):
+        for bk in (512, 1024, 2304):
+            if L % bq or L % bk:
+                continue
+            try:
+                fn = lambda: flash_attention_structured(q, k, v, block_q=bq, block_k=bk)  # noqa: E731
+                fetch(fn())  # compile
+                ts = []
+                for _ in range(5):
+                    t0 = time.perf_counter()
+                    fetch(fn())
+                    ts.append(time.perf_counter() - t0)
+                t = max(min(ts) - rtt, 1e-9)
+                out[f"bq{bq}_bk{bk}"] = {"ms": round(t * 1e3, 2), "tflops": round(flops / t / 1e12, 1)}
+            except Exception as e:
+                out[f"bq{bq}_bk{bk}"] = f"failed: {type(e).__name__}"
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

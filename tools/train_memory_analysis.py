@@ -48,22 +48,27 @@ def main():
         "cond_ids": jax.ShapeDtypeStruct((L_cond, 3), jnp.float32),
     }
 
-    out = {"batch": B, "shapes": f"img {L_img} + cond {L_cond} + txt {L_txt} tokens, FLUX-dev scale"}
+    grad_only = len(sys.argv) > 2 and sys.argv[2] == "grad_only"
+    out = {"batch": B, "shapes": f"img {L_img} + cond {L_cond} + txt {L_txt} tokens, FLUX-dev scale",
+           "mode": "grad_only" if grad_only else "full_step"}
     for attn in ("pallas", "xla"):
-        def step(adapters, base, opt_state, batch, key, _attn=attn):
+        def grad_step(adapters, base, batch, key, _attn=attn):
             (loss, metrics), grads = jax.value_and_grad(rf_loss, has_aux=True)(
                 adapters, base, cfg, batch, key, alpha=32.0, r=32, attn_impl=_attn
             )
+            return grads, metrics
+
+        def full_step(adapters, base, opt_state, batch, key, _attn=attn):
+            grads, metrics = grad_step(adapters, base, batch, key, _attn)
             updates, opt_state = optimizer.update(grads, opt_state, adapters)
             return optax.apply_updates(adapters, updates), opt_state, metrics
 
         try:
-            compiled = (
-                jax.jit(step)
-                .lower(adapters_s, base_s, opt_s, batch_s, key_s)
-                .compile()
-            )
-            m = compiled.memory_analysis()
+            if grad_only:
+                lowered = jax.jit(grad_step).lower(adapters_s, base_s, batch_s, key_s)
+            else:
+                lowered = jax.jit(full_step).lower(adapters_s, base_s, opt_s, batch_s, key_s)
+            m = lowered.compile().memory_analysis()
             gb = 1024**3
             out[attn] = {
                 "argument_gb": round(m.argument_size_in_bytes / gb, 2),
@@ -74,7 +79,7 @@ def main():
                 ),
             }
         except Exception as e:
-            out[attn] = f"failed: {type(e).__name__}: {str(e)[:200]}"
+            out[attn] = f"failed: {type(e).__name__}: {str(e)[:160]}"
     print(json.dumps(out))
 
 
