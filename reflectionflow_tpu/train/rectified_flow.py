@@ -103,13 +103,18 @@ def make_train_step(
     """Returns jitted `step(adapters, opt_state, batch, key) ->
     (adapters, opt_state, metrics)` over the trainable adapter tree.
 
+    The frozen base weights are passed as a jit ARGUMENT every call (free —
+    they already live on device): closing the jit over them would embed the
+    multi-GB tree as HLO constants, exploding trace/compile time and
+    doubling device memory (the zero-arg-closure pitfall).
+
     NOTE: `optimizer` must be the SAME transformation whose `.init` produced
     `opt_state` — use `make_optimizer` (which already chains grad clipping).
     `grad_clip` here is unused and kept for signature stability."""
 
-    def step(adapters, opt_state, batch, key):
+    def step(adapters, opt_state, batch, key, base_params):
         (loss, metrics), grads = jax.value_and_grad(rf_loss, has_aux=True)(
-            adapters, base_dit_params, dit_cfg, batch, key,
+            adapters, base_params, dit_cfg, batch, key,
             alpha=alpha, r=r, latent_lora=latent_lora, model_flags=model_flags,
             attn_impl=attn_impl,
         )
@@ -125,15 +130,21 @@ def make_train_step(
         repl = NamedSharding(mesh, P())
         data = NamedSharding(mesh, P("data"))
 
-        def sharded_step(lora_params, opt_state, batch, key):
+        def sharded_step(lora_params, opt_state, batch, key, base_params):
             batch = {
                 k: jax.lax.with_sharding_constraint(v, data if k in ("x0", "cond", "txt", "pooled") else repl)
                 for k, v in batch.items()
             }
-            return step(lora_params, opt_state, batch, key)
+            return step(lora_params, opt_state, batch, key, base_params)
 
-        return jax.jit(sharded_step)
-    return jax.jit(step)
+        jitted = jax.jit(sharded_step)
+    else:
+        jitted = jax.jit(step)
+
+    def run(adapters, opt_state, batch, key):
+        return jitted(adapters, opt_state, batch, key, base_dit_params)
+
+    return run
 
 
 # ---------------------------------------------------------------------------
