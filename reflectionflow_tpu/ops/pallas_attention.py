@@ -379,10 +379,13 @@ def flash_attention(q, k, v, bias=None, main_len=None, cross_bias=0.0, interpret
     """Entry used by ops.attention: structural bias only (dense `bias` is the
     XLA path's job)."""
     assert bias is None, "pallas path takes structural (main_len, cross_bias), not dense bias"
-    # block sizes tuned down for short sequences
+    # block policy (v5e sweep, tools/attn_sweep.py): full-length K blocks win
+    # at FLUX sequence lengths — one k-iteration, logits tile bq x L fp32
+    # stays well under VMEM (256 x 5632 x 4 = 5.8 MB) and the online-softmax
+    # correction work disappears. Cap at 6144 for longer sequences.
     L = q.shape[1]
     bq = min(256, _round_up(L, 128))
-    bk = min(512, _round_up(L, 128))
+    bk = min(6144, _round_up(L, 128))
     return flash_attention_structured(
         q, k, v, main_len=main_len, cross_bias=cross_bias, block_q=bq, block_k=bk, interpret=interpret
     )
