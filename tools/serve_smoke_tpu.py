@@ -1,0 +1,102 @@
+"""Full-scale serving smoke on real TPU: the ReflectionFlow loop end-to-end.
+
+Builds a REAL-SCALE pipeline (int8 W8A8 FLUX-dev DiT, int4 T5-XXL, CLIP,
+VAE — synthetic weights, production formats), phase-swap enabled, and runs
+the actual `run_reflectionflow_block` search loop at 1024px / 512px cond /
+30 steps / branch 2 with the fake verifier+reflector+refiner. Reports the
+PhaseTimer spans — p50 reflection-round latency measured on hardware, the
+serving metric BASELINE.json tracks.
+
+Usage: python tools/serve_smoke_tpu.py [rounds] [branch] [steps]
+"""
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+import bench  # noqa: E402  (synthetic real-scale int8/int4 init)
+from reflectionflow_tpu.config import (  # noqa: E402
+    CLIPTextConfig, FluxDiTConfig, FluxVAEConfig, T5Config, TTSConfig,
+)
+from reflectionflow_tpu.models.flux.text import clip_text_init  # noqa: E402
+from reflectionflow_tpu.models.flux.vae import vae_init  # noqa: E402
+from reflectionflow_tpu.reflect import load_reflector, load_refiner  # noqa: E402
+from reflectionflow_tpu.sampler.pipeline import FluxPipeline  # noqa: E402
+from reflectionflow_tpu.search.reflectionflow import run_reflectionflow_block  # noqa: E402
+from reflectionflow_tpu.utils.timing import PhaseTimer  # noqa: E402
+from reflectionflow_tpu.utils.tokenizers import load_tokenizer  # noqa: E402
+from reflectionflow_tpu.verifiers import load_verifier  # noqa: E402
+
+
+def main():
+    rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    branch = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    steps = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+
+    dit_cfg = FluxDiTConfig()
+    vae_cfg = FluxVAEConfig()
+    t5_cfg = T5Config()
+    clip_cfg = CLIPTextConfig()
+    params = {
+        "dit": bench.init_int8_on_device(dit_cfg),
+        "t5": bench.init_int4_t5(t5_cfg),
+        "clip": clip_text_init(jax.random.PRNGKey(3), clip_cfg, jnp.bfloat16),
+        "vae": vae_init(jax.random.PRNGKey(4), vae_cfg, jnp.bfloat16),
+    }
+    pipe = FluxPipeline(
+        dit_cfg=dit_cfg, vae_cfg=vae_cfg, t5_cfg=t5_cfg, clip_cfg=clip_cfg,
+        params=params,
+        t5_tokenizer=load_tokenizer(None, "t5", t5_cfg.vocab_size, 1),
+        clip_tokenizer=load_tokenizer(None, "clip", clip_cfg.vocab_size, clip_cfg.eos_token_id),
+        dtype=jnp.bfloat16, attn_impl="pallas",
+    )
+    pipe.enable_phase_swap(offload=("t5",))
+
+    import tempfile
+
+    cfg_dict = {
+        "pipeline_args": {
+            "height": 1024, "width": 1024, "condition_size": 512,
+            "num_inference_steps": steps, "guidance_scale": 3.5, "max_sequence_length": 512,
+        },
+        "search_args": {"search_branch": branch, "search_rounds": rounds},
+        "reflection_args": {"run_reflection": True, "name": "fake"},
+        "prompt_refiner_args": {"run_refinement": True, "name": "fake"},
+        # micro-batch 1: B=2 at 1024px OOMs next to the 11.9 GB DiT (W8A8
+        # int32 transients + VAE decode activations); candidates >1/chip is
+        # the multi-chip data axis, not a single-chip batch
+        "batch_size_for_img_gen": 1,
+    }
+    out = {"scale": "FLUX-dev int8 W8A8 + int4 T5 (synthetic weights), 1024px, pallas",
+           "rounds": rounds, "branch": branch, "steps": steps}
+    # pass 1: full loop (reflection rewrites prompts every round, so each
+    # round re-encodes -> phase swap re-uploads the 2.7 GB T5 through the
+    # dev tunnel; on production interconnects that upload is ~0.1-0.3 s)
+    # pass 2: fixed prompts (cache hits) -> pure device round latency
+    for label, reflect_on in (("refined_prompts", True), ("fixed_prompts", False)):
+        cfg_dict["reflection_args"]["run_reflection"] = reflect_on
+        cfg_dict["prompt_refiner_args"]["run_refinement"] = reflect_on
+        with tempfile.TemporaryDirectory() as tmp:
+            cfg_path = f"{tmp}/cfg.json"
+            with open(cfg_path, "w") as f:
+                json.dump(cfg_dict, f)
+            cfg = TTSConfig.load(cfg_path)
+            timer = PhaseTimer()
+            run_reflectionflow_block(
+                pipe, load_verifier("fake"), load_reflector("fake"), load_refiner("fake"),
+                cfg, [{"prompt": "a red cube on a blue sphere", "tag": "colors"}],
+                output_root=f"{tmp}/out", run_seed=0, timer=timer,
+            )
+            out[label] = {
+                phase: {"count": st["count"], "p50_s": round(st["p50_s"], 2), "p90_s": round(st["p90_s"], 2)}
+                for phase, st in timer.summary().items()
+            }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
