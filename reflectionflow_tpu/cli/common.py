@@ -126,6 +126,8 @@ def build_verifier(cfg: TTSConfig):
         kw = dict(model_path=va.model_path)
         if va.cache_dir:
             kw["cache_dir"] = va.cache_dir
+        if va.quantize:
+            kw["quantize"] = va.quantize
     elif va.name == "nvila":
         if va.model_name:
             kw["model_name"] = va.model_name
@@ -149,7 +151,10 @@ def build_reflector(cfg: TTSConfig):
         from ..models.qwen_vl import load_generator
 
         return load_reflector(
-            "local_qwen", model=load_generator(ra.model_path or cfg.verifier_args.model_path)
+            "local_qwen",
+            model=load_generator(
+                ra.model_path or cfg.verifier_args.model_path, quantize=ra.quantize
+            ),
         )
     return load_reflector("fake")
 

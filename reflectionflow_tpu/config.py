@@ -264,6 +264,7 @@ class VerifierArgs:
     max_workers: int = 4
     max_new_tokens: Optional[int] = None
     choice_of_metric: str = "overall_score"
+    quantize: Optional[str] = None  # "int8": 7B verifier fits one 16 GB chip
     # prompt-asset overrides (reference key names)
     verifier_prompt_relpath: str = "verifier_prompt.txt"
     refine_prompt_relpath: str = "refine_prompt.txt"
@@ -277,6 +278,7 @@ class ReflectionArgs:
     base_url: Optional[str] = None  # OpenAI-compatible endpoint (e.g. a local server)
     model_name: Optional[str] = None
     model_path: Optional[str] = None  # local_qwen weights
+    quantize: Optional[str] = None  # "int8" for 16 GB colocated serving
     max_retries: int = 5
     retry_delay_s: float = 2.0
 

@@ -99,12 +99,23 @@ class QwenVLGenerator:
     max_len: int = 2048
 
     @classmethod
-    def from_pretrained(cls, model_path: str | None, **kw):
+    def from_pretrained(cls, model_path: str | None, quantize: str | None = None, quantize_min_size: int = 1 << 18, **kw):
         if model_path is None:
             raise ValueError("local_qwen reflector needs a model path (or pass a QwenVLModel directly)")
         from ...utils.hf_loader import load_qwen_vl
 
         model, tokenizer = load_qwen_vl(model_path)
+        if quantize == "int8":
+            from ...ops.quant import quantize_dit_params
+
+            model.lm_params = dict(
+                model.lm_params,
+                blocks=quantize_dit_params({"b": model.lm_params["blocks"]}, min_size=quantize_min_size)["b"],
+            )
+            model.vision_params = dict(
+                model.vision_params,
+                blocks=quantize_dit_params({"b": model.vision_params["blocks"]}, min_size=quantize_min_size)["b"],
+            )
         return cls(model=model, tokenizer=tokenizer, **kw)
 
     # -- batched core --------------------------------------------------------

@@ -59,6 +59,8 @@ class QwenRewardVerifier(Verifier):
         head: RewardHead | None = None,
         max_pixels: int = 448 * 448,
         use_norm: bool = True,
+        quantize: str | None = None,
+        quantize_min_size: int = 1 << 18,
         **_,
     ):
         if model is None:
@@ -70,6 +72,19 @@ class QwenRewardVerifier(Verifier):
         assert head is not None, "QwenRewardVerifier needs a RewardHead"
         if model_path is not None:
             model = self._apply_rm_adapter(model, model_path, head)
+        if quantize == "int8":
+            # serve the 7B verifier in int8 on a 16 GB chip: W8A8 LM blocks
+            # (after the LoRA fold so deltas are captured), int8 vision blocks
+            from ..ops.quant import quantize_dit_params
+
+            model.lm_params = dict(
+                model.lm_params,
+                blocks=quantize_dit_params({"b": model.lm_params["blocks"]}, min_size=quantize_min_size)["b"],
+            )
+            model.vision_params = dict(
+                model.vision_params,
+                blocks=quantize_dit_params({"b": model.vision_params["blocks"]}, min_size=quantize_min_size)["b"],
+            )
         self.rm = QwenRewardModel(model, head)
         self.tokenizer = tokenizer
         self.max_pixels = max_pixels

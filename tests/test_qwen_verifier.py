@@ -51,3 +51,28 @@ def test_special_pooling_appends_token():
     v = QwenRewardVerifier(model=model, head=head, max_pixels=16 * 16)
     ids, _ = v._prepare_ids(np.zeros((16, 16, 3), np.uint8), "p")
     assert ids[-1] == 77
+
+
+def test_qwen_verifier_int8_serving():
+    """quantize='int8' (the 16 GB colocated-serving profile) still scores."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from reflectionflow_tpu.models.qwen_vl.model import QwenVLModel
+    from reflectionflow_tpu.models.qwen_vl.reward import RewardHead
+    from reflectionflow_tpu.verifiers.qwen_verifier import QwenRewardVerifier
+
+    model = QwenVLModel.random_init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    head = RewardHead.random_init(jax.random.PRNGKey(1), model.lm_cfg.hidden_size)
+    base = QwenRewardVerifier(model=model, head=head, max_pixels=1024)
+    img = np.random.default_rng(0).integers(0, 255, (32, 32, 3), dtype=np.uint8)
+    ref = base.raw_scores([img], ["a prompt"])[0]
+
+    model_q = QwenVLModel.random_init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    vq = QwenRewardVerifier(model=model_q, head=head, max_pixels=1024, quantize="int8", quantize_min_size=16)
+    assert "w_q" in vq.rm.model.lm_params["blocks"]["q"]
+    out = vq.raw_scores([img], ["a prompt"])[0]
+    assert np.isfinite(out)
+    # int8 stays in the same scoring regime as fp32 (tiny model, loose tol)
+    assert abs(out - ref) < max(1.0, abs(ref)), (out, ref)
