@@ -434,10 +434,16 @@ def main():
         return
     # parent: try stages best-first, each in its own TPU client process
     for stage in STAGES:
-        proc = subprocess.run(
-            [sys.executable, __file__, "--stage", stage],
-            capture_output=True, text=True, timeout=3600,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, __file__, "--stage", stage],
+                capture_output=True, text=True, timeout=3600,
+            )
+        except subprocess.TimeoutExpired as e:
+            # a hung stage (e.g. device init during a service wedge) must not
+            # abort the whole bench — move on to the next stage
+            log(f"# stage {stage} timed out after {e.timeout}s; falling back")
+            continue
         sys.stderr.write(proc.stderr)
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
         if proc.returncode == 0 and line.startswith("{"):

@@ -372,6 +372,12 @@ def flash_attention_structured(
     """
     B, L, H, D = q.shape
     main_len = L if main_len is None else main_len
+    hi, lo = max(block_q, block_k), min(block_q, block_k)
+    if hi % lo:
+        # Lp pads to max(bq, bk); both grids floor-divide by their block, so
+        # the smaller block MUST divide the larger or tail rows are never
+        # computed (silent garbage)
+        raise ValueError(f"block_q={block_q} and block_k={block_k} must divide one another")
     return _flash(q, k, v, main_len, float(cross_bias), block_q, block_k, interpret)
 
 
@@ -382,10 +388,15 @@ def flash_attention(q, k, v, bias=None, main_len=None, cross_bias=0.0, interpret
     # block policy (v5e sweep, tools/attn_sweep.py): full-length K blocks win
     # at FLUX sequence lengths — one k-iteration, logits tile bq x L fp32
     # stays well under VMEM (256 x 5632 x 4 = 5.8 MB) and the online-softmax
-    # correction work disappears. Cap at 6144 for longer sequences.
+    # correction work disappears. bk must be a bq-multiple DIVIDING the padded
+    # length (grids floor-divide), so pick the largest divisor of
+    # ceil(L / bq) under the ~6144 VMEM cap — worst case bk == bq.
     L = q.shape[1]
     bq = min(256, _round_up(L, 128))
-    bk = min(6144, _round_up(L, 128))
+    m = -(-L // bq)  # padded length = m * bq
+    cap = max(1, 6144 // bq)
+    d = max(dd for dd in range(1, min(m, cap) + 1) if m % dd == 0)
+    bk = d * bq
     return flash_attention_structured(
         q, k, v, main_len=main_len, cross_bias=cross_bias, block_q=bq, block_k=bk, interpret=interpret
     )

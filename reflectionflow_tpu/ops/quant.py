@@ -95,7 +95,9 @@ def quantize_linear_int4(p: dict, group: int = 128) -> dict:
     w = p["w"].astype(jnp.float32)
     din = w.shape[-2]
     if din % group or din < group:
-        return quantize_linear(p)  # shape not groupable: fall back to int8
+        # shape not groupable: fall back to weight-only int8 — int4 trees are
+        # chosen for quality-sensitive encoders, so keep activations fp
+        return quantize_linear(p, act_quant=False)
     lead = w.shape[:-2]
     G = din // group
     wg = w.reshape(*lead, G, group, w.shape[-1])

@@ -77,25 +77,30 @@ def make_rm_train_step(
     batch: {embeds_A, pos_A, mask_A, ids_A, embeds_B, pos_B, mask_B, ids_B,
             scores_A (B,N), scores_B, chosen_label (B,N)}."""
 
-    def loss_fn(trainable, batch):
+    def loss_fn(trainable, batch, base_lm):
         rw_A = rm_forward_rewards(
-            trainable, lm_params, lm_cfg, batch["embeds_A"], batch["pos_A"],
+            trainable, base_lm, lm_cfg, batch["embeds_A"], batch["pos_A"],
             batch["mask_A"], batch["ids_A"], pooling, special_token_id, alpha, r,
         )
         rw_B = rm_forward_rewards(
-            trainable, lm_params, lm_cfg, batch["embeds_B"], batch["pos_B"],
+            trainable, base_lm, lm_cfg, batch["embeds_B"], batch["pos_B"],
             batch["mask_B"], batch["ids_B"], pooling, special_token_id, alpha, r,
         )
         loss = reward_loss(rw_A, rw_B, batch["scores_A"], batch["scores_B"],
                            batch["chosen_label"], loss_type)
         return loss, {"loss": loss, "rewards_A": rw_A, "rewards_B": rw_B}
 
+    # the frozen 7B LM is a jit ARGUMENT, not a closure — a closure would
+    # embed it as HLO constants (trace/compile blowup + doubled HBM)
     @jax.jit
-    def step(trainable, opt_state, batch):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable, batch)
+    def jitted(trainable, opt_state, batch, base_lm):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable, batch, base_lm)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, aux
+
+    def step(trainable, opt_state, batch):
+        return jitted(trainable, opt_state, batch, lm_params)
 
     return step
 

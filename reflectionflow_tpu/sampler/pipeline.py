@@ -150,6 +150,8 @@ class FluxPipeline:
         self._swap = tuple(n for n in offload if n in self.params)
         self._host_params = {n: jax.tree.map(np.asarray, self.params[n]) for n in self._swap}
         self._embed_cache: dict = {}
+        self._embed_cache_cap = 2048  # ~8 GB host RAM worst case at 512x4096
+        self._hold_encoders = False
         for n in self._swap:  # free device copies until first encode
             self.params[n] = None
         return self
@@ -179,6 +181,7 @@ class FluxPipeline:
             return self._encode_raw(prompts, max_sequence_length)
         misses = sorted({p for p in prompts if (p, max_sequence_length) not in cache})
         if misses:
+            hold = getattr(self, "_hold_encoders", False)
             for n in self._swap:
                 self._ensure_on_device(n)
             txt_m, pooled_m = self._encode_raw(misses, max_sequence_length)
@@ -186,8 +189,13 @@ class FluxPipeline:
             pooled_m = np.asarray(pooled_m)
             for i, p in enumerate(misses):
                 cache[(p, max_sequence_length)] = (txt_m[i], pooled_m[i])
-            for n in self._swap:
-                self._offload(n)
+            # bounded: refined-prompt loops mint new prompts every round and
+            # would otherwise leak ~4 MB of host RAM per prompt forever
+            while len(cache) > self._embed_cache_cap:
+                cache.pop(next(iter(cache)))  # FIFO eviction
+            if not hold:
+                for n in self._swap:
+                    self._offload(n)
         txt = np.stack([cache[(p, max_sequence_length)][0] for p in prompts])
         pooled = np.stack([cache[(p, max_sequence_length)][1] for p in prompts])
         return jnp.asarray(txt), jnp.asarray(pooled)
@@ -195,10 +203,17 @@ class FluxPipeline:
     def warm_prompt_cache(self, prompts: Sequence[str], max_sequence_length: int = 512, batch: int = 16) -> None:
         """Encode every prompt once (batched) so later `generate` calls never
         need the text encoders on device — the encode-all / drop-T5 /
-        run-DiT-rounds phase structure for fixed-prompt search loops."""
+        run-DiT-rounds phase structure for fixed-prompt search loops. The
+        encoders upload ONCE for the whole warm, not per batch."""
         uniq = sorted(set(prompts))
-        for i in range(0, len(uniq), batch):
-            self.encode_prompts(uniq[i : i + batch], max_sequence_length)
+        self._hold_encoders = True
+        try:
+            for i in range(0, len(uniq), batch):
+                self.encode_prompts(uniq[i : i + batch], max_sequence_length)
+        finally:
+            self._hold_encoders = False
+            for n in getattr(self, "_swap", ()):
+                self._offload(n)
 
     def _encode_raw(self, prompts: Sequence[str], max_sequence_length: int):
         t5_in = self.t5_tokenizer(list(prompts), max_length=max_sequence_length)

@@ -242,10 +242,9 @@ def run_reflectionflow_block(
             # split scores back per prompt, pick top-k parents
             sel = []
             for s in active:
-                s["_prev_arrays"] = [load_image(p) for p in s["prev"]]
+                prev_arrays = [load_image(p) for p in s["prev"]]
                 outputs = [s["_score_cache"][p] for p in s["prev"]]
                 topk_idx = select_topk(outputs, branch, rule)
-                prev_arrays = s.pop("_prev_arrays")
                 sel_imgs = [s["prev"][i] for i in topk_idx]
                 sel_arrays = [prev_arrays[i] for i in topk_idx]
                 sel_outputs = [outputs[i] for i in topk_idx]

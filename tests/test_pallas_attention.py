@@ -147,3 +147,24 @@ def test_backward_nondivisible_length():
     g_out = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_out, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("L", [160, 640, 384, 2900])
+def test_block_policy_odd_lengths(L):
+    """The auto block policy must cover every row for lengths where the
+    padded length is not a multiple of a naive bk choice (regression: grids
+    floor-divide, so an unaligned bk left tail q-rows unwritten)."""
+    B, H, D = 1, 2, 32
+    key = jax.random.PRNGKey(7)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (B, L, H, D), jnp.float32) for i in range(3))
+    ref = sdpa(q, k, v)
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_mismatched_blocks_rejected():
+    from reflectionflow_tpu.ops.pallas_attention import flash_attention_structured
+
+    q = jnp.zeros((1, 640, 2, 32), jnp.float32)
+    with pytest.raises(ValueError, match="divide"):
+        flash_attention_structured(q, q, q, block_q=256, block_k=640, interpret=True)
