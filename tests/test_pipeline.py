@@ -127,3 +127,31 @@ def test_generate_accepts_precomputed_embeddings():
         ["a cat"], height=SIZE, width=SIZE, num_inference_steps=2, seed=7, txt=txt, pooled=pooled
     )
     np.testing.assert_array_equal(base, out)
+
+
+def test_phase_swap_cache_eviction_and_hold():
+    pipe2 = FluxPipeline.random_init(
+        jax.random.PRNGKey(0),
+        dit_cfg=FluxDiTConfig.tiny(),
+        vae_cfg=FluxVAEConfig.tiny(),
+        t5_cfg=T5Config.tiny(),
+        clip_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    pipe2.enable_phase_swap(offload=("t5",))
+    pipe2._embed_cache_cap = 3
+    # warm uploads the encoders once for all batches, then offloads
+    uploads = {"n": 0}
+    orig = pipe2._ensure_on_device
+
+    def counting(name):
+        if pipe2.params.get(name) is None:
+            uploads["n"] += 1
+        orig(name)
+
+    pipe2._ensure_on_device = counting
+    pipe2.warm_prompt_cache([f"prompt {i}" for i in range(5)], max_sequence_length=16, batch=2)
+    assert uploads["n"] == 1, uploads
+    assert pipe2.params["t5"] is None
+    # FIFO eviction keeps the cache bounded
+    assert len(pipe2._embed_cache) == 3

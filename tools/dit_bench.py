@@ -22,16 +22,21 @@ def strip_act_q(tree):
 
 def main():
     attn = sys.argv[1] if len(sys.argv) > 1 else "pallas"
+    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    skip_w8a16 = len(sys.argv) > 3 and sys.argv[3] == "w8a8_only"
+    bench.BATCH = batch
     rtt = bench.measure_rtt()
     cfg = FluxDiTConfig()
     params = bench.init_int8_on_device(cfg)
-    out = {"rtt_ms": round(rtt * 1e3, 1), "steps": bench.NUM_STEPS, "attn": attn}
+    out = {"rtt_ms": round(rtt * 1e3, 1), "steps": bench.NUM_STEPS, "attn": attn, "batch": batch}
     t8 = bench.time_runner(bench.build_runner(cfg, params, attn_impl=attn), rtt)
     out["w8a8_s"] = round(t8, 3)
-    params16 = strip_act_q(params)
-    t16 = bench.time_runner(bench.build_runner(cfg, params16, attn_impl=attn), rtt)
-    out["w8a16_s"] = round(t16, 3)
-    out["w8a8_speedup"] = round(t16 / t8, 3)
+    out["w8a8_img_per_s"] = round(batch / t8, 4)
+    if not skip_w8a16:
+        params16 = strip_act_q(params)
+        t16 = bench.time_runner(bench.build_runner(cfg, params16, attn_impl=attn), rtt)
+        out["w8a16_s"] = round(t16, 3)
+        out["w8a8_speedup"] = round(t16 / t8, 3)
     print(json.dumps(out))
 
 
