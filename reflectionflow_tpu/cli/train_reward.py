@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--conduct_eval", action="store_true", default=True)
     p.add_argument("--eval_fraction", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--resume_from", type=str, default=None,
+                   help="checkpoint dir (checkpoint-N/final_model) to resume weights + optimizer from")
     p.add_argument("--synthetic_weights", action="store_true",
                    help="tiny random base model (hermetic smoke runs)")
     return p
@@ -127,6 +129,15 @@ def main(argv=None):
         lr=args.learning_rate, head_lr=args.head_lr, special_lr=args.special_token_lr
     )
     opt_state = optimizer.init(trainable)
+    if args.resume_from:
+        from ..rm_train.train import load_rm_checkpoint, load_rm_opt_state
+
+        import jax.numpy as _jnp
+
+        resumed, _cfg = load_rm_checkpoint(args.resume_from)
+        trainable = jax.tree.map(_jnp.asarray, {**trainable, **resumed})
+        opt_state = load_rm_opt_state(args.resume_from, opt_state)
+        print(f"resumed from {args.resume_from}")
     step_fn = make_rm_train_step(
         model.lm_params, model.lm_cfg, optimizer,
         loss_type=args.loss_type, pooling=pooling,
@@ -164,11 +175,14 @@ def main(argv=None):
             append_jsonl(metrics_path, rec)
             print(f"step {step}/{total_steps} loss={rec['loss']:.4f}")
             if step % save_every == 0 or step == total_steps:
+                from ..rm_train.train import save_rm_opt_state
+
                 ckpt = os.path.join(args.output_dir, f"checkpoint-{step}")
                 save_rm_checkpoint(
                     ckpt, trainable, pooling, special_token_id,
                     lora_alpha=args.lora_alpha, lora_r=args.lora_r,
                 )
+                save_rm_opt_state(ckpt, opt_state)
 
     # eval: pairwise accuracy on the held-out slice (trainer.py:602-641)
     eval_acc = None

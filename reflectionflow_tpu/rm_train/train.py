@@ -170,6 +170,33 @@ def save_rm_checkpoint(path: str, trainable: dict, pooling: str, special_token_i
         )
 
 
+def save_rm_opt_state(path: str, opt_state) -> None:
+    """Persist the optimizer pytree next to the adapter weights so training
+    resumes exactly (the reference's HF Trainer checkpoints do the same,
+    trainer.py:528-556)."""
+    import os
+
+    leaves = jax.tree.leaves(opt_state)
+    np.savez(os.path.join(path, "opt_state.npz"), *[np.asarray(x) for x in leaves])
+
+
+def load_rm_opt_state(path: str, opt_state_template):
+    """-> opt_state restored into the template's tree structure, or the
+    template unchanged when no saved state exists."""
+    import os
+
+    fp = os.path.join(path, "opt_state.npz")
+    if not os.path.exists(fp):
+        return opt_state_template
+    data = np.load(fp)
+    leaves = [data[f"arr_{i}"] for i in range(len(data.files))]
+    treedef = jax.tree.structure(opt_state_template)
+    template_leaves = jax.tree.leaves(opt_state_template)
+    assert len(leaves) == len(template_leaves), "optimizer state shape mismatch"
+    leaves = [jnp.asarray(x, getattr(t, "dtype", None)) for x, t in zip(leaves, template_leaves)]
+    return jax.tree.unflatten(treedef, leaves)
+
+
 def load_rm_checkpoint(path: str) -> tuple[dict, dict]:
     """-> (trainable tree, model_config dict)."""
     import json

@@ -142,3 +142,32 @@ def test_train_reward_cli_end_to_end(tmp_path):
     img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
     scored = verifier.reward([img], ["a test prompt"])
     assert np.isfinite(scored[0]["VQ"])
+
+
+def test_rm_opt_state_roundtrip(tmp_path):
+    from reflectionflow_tpu.models.qwen_vl.lm import qwen_lm_init
+    from reflectionflow_tpu.config import QwenLMConfig
+    from reflectionflow_tpu.rm_train.train import (
+        load_rm_opt_state, make_rm_optimizer, rm_lora_init, save_rm_opt_state,
+    )
+
+    cfg = QwenLMConfig.tiny()
+    lm = qwen_lm_init(jax.random.PRNGKey(0), cfg)
+    trainable = {
+        "lora": rm_lora_init(jax.random.PRNGKey(1), lm, r=2, alpha=2)["adapters"],
+        "rm_head": jnp.ones((cfg.hidden_size, 1)),
+        "special": jnp.ones((cfg.hidden_size,)),
+    }
+    opt = make_rm_optimizer(lr=1e-3)
+    state = opt.init(trainable)
+    # perturb one step so the state is nontrivial
+    grads = jax.tree.map(jnp.ones_like, trainable)
+    updates, state = opt.update(grads, state, trainable)
+    save_rm_opt_state(str(tmp_path), state)
+    restored = load_rm_opt_state(str(tmp_path), opt.init(trainable))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b)), restored, state
+    )
+    # missing file -> template unchanged
+    fresh = opt.init(trainable)
+    assert load_rm_opt_state(str(tmp_path / "nope"), fresh) is fresh
