@@ -37,7 +37,8 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--quantize", type=str, default=None, choices=[None, "int8"],
-        help="int8 (W8A8) DiT + int4 T5 quantization (fits the whole pipeline on one 16 GB chip)",
+        help="int8 (W8A8) DiT + int4 T5 quantization; implies --phase_swap "
+        "(the single-chip 16 GB profile keeps text encoders host-side between encode phases)",
     )
     p.add_argument(
         "--phase_swap", action="store_true",
@@ -100,11 +101,15 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
         pipe.params["dit"] = main
         pipe.cond_dit_params = cond_view
     if getattr(args, "quantize", None) == "int8":
-        pipe.quantize()  # int8 W8A8 DiT + int4 T5: all trees co-resident on 16 GB
+        pipe.quantize()  # int8 W8A8 DiT + int4 T5
+    # phase swap is implied by the int8 single-chip profile: full co-residency
+    # (~15 GB + transients) measured-OOMs on a 16 GB v5e (docs/DEPLOYMENT.md).
+    # Enable BEFORE to_device so the T5 tree is never uploaded just to be
+    # pulled back to host.
+    if getattr(args, "phase_swap", False) or getattr(args, "quantize", None) == "int8":
+        pipe.enable_phase_swap()
     if not args.synthetic_weights:
         pipe.to_device()
-    if getattr(args, "phase_swap", False):
-        pipe.enable_phase_swap()
     return pipe
 
 

@@ -30,11 +30,16 @@ def main(argv=None):
     p.add_argument("--synthetic_data", action="store_true")
     p.add_argument("--synthetic_weights", action="store_true")
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--attn_impl", type=str, default=None,
+                   choices=["xla", "pallas", "pallas_interpret"],
+                   help="override TrainConfig.attn_impl (pallas = flash fwd+bwd at FLUX scale)")
     args = p.parse_args(argv)
 
     cfg = TrainConfig.load(args.config) if args.config else TrainConfig()
     if args.max_steps is not None:
         cfg.max_steps = args.max_steps
+    if args.attn_impl is not None:
+        cfg.attn_impl = args.attn_impl
 
     if os.environ.get("COORDINATOR_ADDRESS"):
         jax.distributed.initialize()

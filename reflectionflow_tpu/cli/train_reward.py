@@ -129,7 +129,10 @@ def main(argv=None):
         lr=args.learning_rate, head_lr=args.head_lr, special_lr=args.special_token_lr
     )
     opt_state = optimizer.init(trainable)
+    start_step = 0
     if args.resume_from:
+        import re
+
         from ..rm_train.train import load_rm_checkpoint, load_rm_opt_state
 
         import jax.numpy as _jnp
@@ -137,7 +140,12 @@ def main(argv=None):
         resumed, _cfg = load_rm_checkpoint(args.resume_from)
         trainable = jax.tree.map(_jnp.asarray, {**trainable, **resumed})
         opt_state = load_rm_opt_state(args.resume_from, opt_state)
-        print(f"resumed from {args.resume_from}")
+        m = re.search(r"checkpoint-(\d+)", args.resume_from)
+        start_step = int(m.group(1)) if m else 0
+        # continue the data stream, don't replay it: fold the resume point
+        # into the permutation stream so early batches are not re-trained
+        rng = np.random.default_rng(args.seed + start_step)
+        print(f"resumed from {args.resume_from} at step {start_step}")
     step_fn = make_rm_train_step(
         model.lm_params, model.lm_cfg, optimizer,
         loss_type=args.loss_type, pooling=pooling,
@@ -158,7 +166,8 @@ def main(argv=None):
         )
 
     all_rewards: list[float] = []
-    step = 0
+    step = start_step
+    total_steps += start_step
     t0 = time.time()
     while step < total_steps:
         epoch_order = rng.permutation(len(train_rows))

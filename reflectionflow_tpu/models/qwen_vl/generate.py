@@ -155,23 +155,29 @@ class QwenVLGenerator:
         ]
         lens = [int(e.shape[1]) for e, _ in rows]
         Lmax = _round_up(max(lens), _LEN_BUCKET)
-        H = model.lm_cfg.hidden_size
-        embeds = np.zeros((B, Lmax, H), np.float32)
+        # embeddings stay ON DEVICE: left-pad each row with jnp.pad and stack
+        # (fetching B x Lmax x H to host would add B tunnel round-trips and
+        # hundreds of MB of host traffic before the "single host sync")
+        padded = [
+            jnp.pad(emb[0].astype(model.dtype), ((Lmax - n, 0), (0, 0)))
+            for (emb, _), n in zip(rows, lens)
+        ]
+        embeds_dev = jnp.stack(padded)
+        # position ids are tiny (3 x B x Lmax ints) — built host-side
         pos = np.zeros((3, B, Lmax), np.int64)
         pads = np.zeros((B,), np.int32)
         next_pos0 = np.zeros((B,), np.int32)
-        for b, (emb, p) in enumerate(rows):
+        for b, (_, p) in enumerate(rows):
             n = lens[b]
+            p_host = np.asarray(p)
             pads[b] = Lmax - n
-            embeds[b, Lmax - n :] = np.asarray(emb[0], np.float32)
-            pos[:, b, Lmax - n :] = np.asarray(p)[:, 0, :]
-            next_pos0[b] = int(np.max(np.asarray(p))) + 1
+            pos[:, b, Lmax - n :] = p_host[:, 0, :]
+            next_pos0[b] = int(np.max(p_host)) + 1
 
         cache = init_kv_cache(model.lm_cfg, B, Lmax + max_new_tokens, dtype=model.dtype)
         cache["pad"] = jnp.asarray(pads)
         logits, cache = _prefill(
-            model.lm_params, model.lm_cfg,
-            jnp.asarray(embeds, model.dtype), jnp.asarray(pos), cache,
+            model.lm_params, model.lm_cfg, embeds_dev, jnp.asarray(pos), cache,
         )
         out, lengths = _decode_tokens(
             model.lm_params, model.lm_cfg, cache, logits[:, -1],

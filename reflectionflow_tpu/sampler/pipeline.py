@@ -99,7 +99,7 @@ class FluxPipeline:
         `exclude=("t5",)` keeps T5-XXL off the 16 GB chip; its encode then
         streams weights per call (slow but memory-safe)."""
         for name in list(self.params):
-            if name in exclude:
+            if name in exclude or self.params[name] is None:  # offloaded by phase swap
                 continue
             self.params[name] = jax.device_put(self.params[name])
         if self.cond_dit_params is not None and "dit" not in exclude:
@@ -190,9 +190,14 @@ class FluxPipeline:
             for i, p in enumerate(misses):
                 cache[(p, max_sequence_length)] = (txt_m[i], pooled_m[i])
             # bounded: refined-prompt loops mint new prompts every round and
-            # would otherwise leak ~4 MB of host RAM per prompt forever
+            # would otherwise leak ~4 MB of host RAM per prompt forever.
+            # Never evict keys the CURRENT call is about to read.
+            needed = {(p, max_sequence_length) for p in prompts}
             while len(cache) > self._embed_cache_cap:
-                cache.pop(next(iter(cache)))  # FIFO eviction
+                victim = next((k for k in cache if k not in needed), None)
+                if victim is None:
+                    break  # everything left is in-flight; allow overflow
+                cache.pop(victim)
             if not hold:
                 for n in self._swap:
                     self._offload(n)

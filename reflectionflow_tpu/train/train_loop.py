@@ -77,6 +77,7 @@ def train(
         latent_lora=False,
         grad_clip=cfg.optimizer.grad_clip,
         mesh=mesh,
+        attn_impl=cfg.attn_impl,
     )
 
     start_step = 0
