@@ -145,6 +145,7 @@ def int4_matmul(x: jnp.ndarray, w_p4: jnp.ndarray, w_scale4: jnp.ndarray) -> jnp
 
 
 def _quantize_tree(params, quantizer, min_size: int):
+    """quantizer(node, path) -> quantized node, applied to every /w parent."""
     out = params
     seen_dicts = set()
     for path, leaf in tree_paths(params):
@@ -157,21 +158,33 @@ def _quantize_tree(params, quantizer, min_size: int):
         if id(node) in seen_dicts:
             continue
         seen_dicts.add(id(node))
-        out = update_path(out, parent_path, quantizer(node))
+        out = update_path(out, parent_path, quantizer(node, path))
     return out
 
 
-def quantize_dit_params(params, min_size: int = 1 << 20, act_quant: bool = True):
+def quantize_dit_params(
+    params,
+    min_size: int = 1 << 20,
+    act_quant: bool = True,
+    act_quant_exclude: tuple[str, ...] = (),
+):
     """Int8-quantize every linear weight bigger than `min_size` elements.
 
-    Embedding/modulation layers below the threshold stay bf16 (negligible
-    memory, quality-sensitive)."""
-    return _quantize_tree(params, lambda p: quantize_linear(p, act_quant=act_quant), min_size)
+    Embedding layers below the threshold stay bf16 (negligible memory,
+    quality-sensitive). `act_quant_exclude` path substrings (e.g. "_mod")
+    keep those layers weight-only int8 — a quality knob for activation-
+    sensitive layers like the AdaLN modulation projections."""
+
+    def quantizer(node, path):
+        aq = act_quant and not any(sub in path for sub in act_quant_exclude)
+        return quantize_linear(node, act_quant=aq)
+
+    return _quantize_tree(params, quantizer, min_size)
 
 
 def quantize_params_int4(params, min_size: int = 1 << 20, group: int = 128):
     """Int4 (w4a16, group-wise) quantize every big linear weight."""
-    return _quantize_tree(params, lambda p: quantize_linear_int4(p, group=group), min_size)
+    return _quantize_tree(params, lambda p, _path: quantize_linear_int4(p, group=group), min_size)
 
 
 def _get(tree, path):

@@ -205,3 +205,12 @@ def test_pipeline_quantize_generate(key):
     assert out.shape == base.shape
     # nothing quantized at tiny sizes -> fused-only result matches baseline
     np.testing.assert_allclose(base.astype(np.int32), out.astype(np.int32), atol=2)
+
+
+def test_act_quant_exclude_paths(key):
+    cfg = FluxDiTConfig.tiny()
+    params = flux_dit_init(key, cfg)
+    q = quantize_dit_params(params, min_size=64 * 64, act_quant_exclude=("_mod", "mod/"))
+    # modulation projections stay weight-only (no act_q marker)
+    assert "w_q" in q["double_blocks"]["img_mod"] and "act_q" not in q["double_blocks"]["img_mod"]
+    assert "act_q" in q["double_blocks"]["attn"]["q"]
