@@ -3,8 +3,14 @@ prompt refinement (no corrector conditioning).
 
 Capability parity with `/root/reference/tts/tts_t2i_noise_prompt_scaling.py:22-251`:
 per round, score the previous candidates, keep top-k, refine the prompt from
-the best image's evaluation, and regenerate with fresh noise; refined
+the best images' evaluations, and regenerate with fresh noise; refined
 prompts feed the next round.
+
+TPU-native: prompts run in LOCKSTEP BLOCKS — a round's generation for the
+whole block is one batched (mesh-shardable) `generate` call, and the
+verify/refine host stages are one batched call each across the block
+(tag-grouped for the per-GenEval-tag schemas), mirroring
+`reflectionflow.run_reflectionflow_block`.
 """
 
 from __future__ import annotations
@@ -18,6 +24,7 @@ from ..config import TTSConfig
 from ..utils.timing import PhaseTimer
 from ..verifiers.base import RankingRule, Verifier, select_topk
 from .artifacts import PromptDirs, load_image, round_image_name, save_image
+from .reflectionflow import _score_grouped
 from .seeds import candidate_seeds, seeds_to_latents
 
 
@@ -32,6 +39,8 @@ def run_noise_prompt_scaling(
     run_seed: int = 0,
     timer: PhaseTimer | None = None,
 ) -> None:
+    import jax.numpy as jnp
+
     timer = timer or PhaseTimer()
     pa, sa = cfg.pipeline_args, cfg.search_args
     branch = sa.search_branch
@@ -39,51 +48,92 @@ def run_noise_prompt_scaling(
         kind="yes_no" if verifier.name.endswith("nvila") else "score",
         choice_of_metric=cfg.verifier_args.choice_of_metric,
     )
+    refine_on = refiner is not None and cfg.prompt_refiner_args.run_refinement
+
+    states = []
     for offset, row in enumerate(prompts):
-        original_prompt = row["prompt"] if isinstance(row, dict) else row
+        prompt = row["prompt"] if isinstance(row, dict) else row
         tag = row.get("tag") if isinstance(row, dict) else None
         idx = start_index + offset
-        dirs = PromptDirs.create(output_root, idx)
-        current_prompts = [original_prompt] * branch
-        prev_images: list[str] = []
-        for rnd in range(1, sa.search_rounds + 1):
-            # refine from the previous round's best (skipped in round 1)
-            if rnd > 1 and refiner is not None and cfg.prompt_refiner_args.run_refinement:
-                arrays = [load_image(p) for p in prev_images]
-                with timer.span("verify"):
-                    outputs = verifier.score(arrays, [original_prompt] * len(arrays), tag=tag, max_new_tokens=cfg.verifier_args.max_new_tokens)
-                topk_idx = select_topk(outputs, branch, rule)
-                evaluations = [json.dumps(outputs[i]) for i in topk_idx]
-                with timer.span("refine"):
-                    current_prompts = refiner.refine(
-                        [arrays[i] for i in topk_idx],
-                        [original_prompt] * branch,
-                        current_prompts,
-                        evaluations=evaluations,
-                    )
-                dirs.append_detailed_scores([outputs[i] for i in topk_idx], [prev_images[i] for i in topk_idx])
+        states.append(
+            {
+                "idx": idx, "prompt": prompt, "tag": tag,
+                "dirs": PromptDirs.create(output_root, idx),
+                "current": [prompt] * branch, "prev": [],
+            }
+        )
 
-            seeds = candidate_seeds(run_seed, idx, rnd, branch)
-            latents = seeds_to_latents(
-                seeds, pa.height, pa.width, pipeline.vae_cfg.latent_channels, pipeline.dtype,
-                pipeline.vae_cfg.downscale,
-            )
+    chunk = max(1, cfg.batch_size_for_img_gen // branch)
+    for c0 in range(0, len(states), chunk):
+        block = states[c0 : c0 + chunk]
+        for rnd in range(1, sa.search_rounds + 1):
+            # --- batched refine from the previous round's best (skipped rnd 1)
+            if rnd > 1 and refine_on:
+                with timer.span("verify"):
+                    v_imgs, v_prompts, v_tags = [], [], []
+                    arrays_of = []
+                    for s in block:
+                        arrays = [load_image(p) for p in s["prev"]]
+                        arrays_of.append(arrays)
+                        v_imgs += arrays
+                        v_prompts += [s["prompt"]] * len(arrays)
+                        v_tags += [s["tag"]] * len(arrays)
+                    flat = _score_grouped(
+                        verifier, v_imgs, v_prompts, v_tags, cfg.verifier_args.max_new_tokens
+                    )
+                r_args = {"images": [], "orig": [], "cur": [], "evals": []}
+                off = 0
+                topk_of = []
+                for s, arrays in zip(block, arrays_of):
+                    outputs = flat[off : off + len(s["prev"])]
+                    off += len(s["prev"])
+                    topk_idx = select_topk(outputs, branch, rule)
+                    topk_of.append(topk_idx)
+                    r_args["images"] += [arrays[i] for i in topk_idx]
+                    r_args["orig"] += [s["prompt"]] * branch
+                    r_args["cur"] += list(s["current"])
+                    r_args["evals"] += [json.dumps(outputs[i]) for i in topk_idx]
+                    s["dirs"].append_detailed_scores(
+                        [outputs[i] for i in topk_idx], [s["prev"][i] for i in topk_idx]
+                    )
+                with timer.span("refine"):
+                    flat_refined = refiner.refine(
+                        r_args["images"], r_args["orig"], r_args["cur"], evaluations=r_args["evals"]
+                    )
+                for i, s in enumerate(block):
+                    s["current"] = list(flat_refined[i * branch : (i + 1) * branch])
+
+            # --- one batched generate for the whole block
+            flux_prompts, lat_parts, seed_lists = [], [], []
+            for s in block:
+                seeds = candidate_seeds(run_seed, s["idx"], rnd, branch)
+                seed_lists.append(seeds)
+                lat_parts.append(
+                    seeds_to_latents(
+                        seeds, pa.height, pa.width, pipeline.vae_cfg.latent_channels,
+                        pipeline.dtype, pipeline.vae_cfg.downscale,
+                    )
+                )
+                flux_prompts += list(s["current"])
+            latents = jnp.concatenate(lat_parts, axis=0)
             with timer.span("generate"):
                 images = pipeline.generate(
-                    current_prompts, height=pa.height, width=pa.width,
+                    flux_prompts, height=pa.height, width=pa.width,
                     num_inference_steps=pa.num_inference_steps, guidance_scale=pa.guidance_scale,
                     max_sequence_length=pa.max_sequence_length, latents=latents,
                 )
-            prev_images = []
-            for seed, img in zip(seeds, images):
-                path = os.path.join(dirs.samples, round_image_name(rnd, seed))
-                save_image(path, img)
-                prev_images.append(path)
-            dirs.append_metadata(
-                {
-                    "prompt": original_prompt,
-                    "current_prompts": current_prompts,
-                    "search_round": rnd,
-                    "seeds": [int(s) for s in seeds],
-                }
-            )
+
+            for bi, s in enumerate(block):
+                s["prev"] = []
+                for k, seed in enumerate(seed_lists[bi]):
+                    path = os.path.join(s["dirs"].samples, round_image_name(rnd, seed))
+                    save_image(path, images[bi * branch + k])
+                    s["prev"].append(path)
+                s["dirs"].append_metadata(
+                    {
+                        "prompt": s["prompt"],
+                        "current_prompts": s["current"],
+                        "search_round": rnd,
+                        "seeds": [int(x) for x in seed_lists[bi]],
+                    }
+                )
