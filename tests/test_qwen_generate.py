@@ -40,3 +40,24 @@ def test_generate_builds_chat_and_decodes():
     imgs = [rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)]
     outs = gen.generate(imgs, ["make it better"], max_new_tokens=4)
     assert len(outs) == 1 and isinstance(outs[0], str) and outs[0]
+
+
+def test_decode_batch_matches_per_row():
+    """Ragged left-padded batch decode == independent per-row decodes
+    (mixed sequence lengths AND mixed vision grids in one batch)."""
+    model = QwenVLModel.random_init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    gen = QwenVLGenerator(model=model, tokenizer=_StubTokenizer(), eos_token_id=-1, max_len=64)
+    rng = np.random.default_rng(2)
+
+    def seq(img_px, extra_text):
+        img = rng.integers(0, 255, (img_px, img_px, 3), dtype=np.uint8)
+        grid_tokens = (img_px // 8) ** 2  # patch 4, merge 2
+        ids = np.concatenate(
+            [[7], [151652], [151655] * grid_tokens, [151653], [9] * extra_text]
+        ).astype(np.int64)
+        return ids, [img]
+
+    seqs = [seq(16, 2), seq(16, 7), seq(24, 3)]  # two same-grid rows + one odd grid
+    batched = gen.decode_batch(seqs, max_new_tokens=6)
+    singles = [gen.decode_batch([s], max_new_tokens=6)[0] for s in seqs]
+    assert batched == singles, (batched, singles)
