@@ -321,5 +321,10 @@ class FluxPipeline:
             return final
         grid = unpack_latents(final, ty, tx)
         images = vae_decode(self.params["vae"]["decoder"], self.vae_cfg, grid)
-        images = jnp.clip((images.astype(jnp.float32) + 1.0) * 127.5, 0, 255)
-        return np.asarray(jax.device_get(images)).astype(np.uint8)
+        images = jnp.clip((images.astype(jnp.float32) + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+        if output_type == "jax":
+            # async handle (a few MB of uint8 on device): callers dispatch
+            # several micro-batches back-to-back and fetch in order, so the
+            # host image fetch/save overlaps the next chunk's denoise
+            return images
+        return np.asarray(jax.device_get(images))

@@ -188,18 +188,18 @@ def run_reflectionflow_block(
             flux_prompts.extend([s["prompt"]] * branch)
         all_latents = jnp.concatenate(lat_parts, axis=0)
         micro = max(1, cfg.batch_size_for_img_gen)
-        chunks = []
         with timer.span("generate"):
-            for m0 in range(0, len(flux_prompts), micro):
-                chunks.append(
-                    pipeline.generate(
-                        flux_prompts[m0 : m0 + micro], height=pa.height, width=pa.width,
-                        num_inference_steps=pa.num_inference_steps, guidance_scale=pa.guidance_scale,
-                        max_sequence_length=pa.max_sequence_length,
-                        latents=all_latents[m0 : m0 + micro],
-                    )
+            pending = [
+                pipeline.generate(
+                    flux_prompts[m0 : m0 + micro], height=pa.height, width=pa.width,
+                    num_inference_steps=pa.num_inference_steps, guidance_scale=pa.guidance_scale,
+                    max_sequence_length=pa.max_sequence_length,
+                    latents=all_latents[m0 : m0 + micro],
+                    output_type="jax",
                 )
-        images = np.concatenate(chunks, axis=0)
+                for m0 in range(0, len(flux_prompts), micro)
+            ]
+            images = np.concatenate([np.asarray(p) for p in pending], axis=0)
         for bi, s in enumerate(need):
             paths = []
             for k, seed in enumerate(seed_lists[bi]):
@@ -332,20 +332,22 @@ def run_reflectionflow_block(
             ]
             all_latents = jnp.concatenate(lat_parts, axis=0)
             micro = max(1, cfg.batch_size_for_img_gen)
-            chunks = []
             with timer.span("generate"):
-                for m0 in range(0, len(all_prompts), micro):
-                    chunks.append(
-                        pipeline.generate(
-                            all_prompts[m0 : m0 + micro], height=pa.height, width=pa.width,
-                            num_inference_steps=pa.num_inference_steps, guidance_scale=pa.guidance_scale,
-                            max_sequence_length=pa.max_sequence_length,
-                            latents=all_latents[m0 : m0 + micro],
-                            conditions=all_conditions[m0 : m0 + micro],
-                            image_guidance_scale=pa.image_guidance_scale,
-                        )
+                # dispatch every micro-batch before fetching any — the device
+                # queue stays full while the host fetches/saves in order
+                pending = [
+                    pipeline.generate(
+                        all_prompts[m0 : m0 + micro], height=pa.height, width=pa.width,
+                        num_inference_steps=pa.num_inference_steps, guidance_scale=pa.guidance_scale,
+                        max_sequence_length=pa.max_sequence_length,
+                        latents=all_latents[m0 : m0 + micro],
+                        conditions=all_conditions[m0 : m0 + micro],
+                        image_guidance_scale=pa.image_guidance_scale,
+                        output_type="jax",
                     )
-            images = np.concatenate(chunks, axis=0)
+                    for m0 in range(0, len(all_prompts), micro)
+                ]
+                images = np.concatenate([np.asarray(p) for p in pending], axis=0)
 
             # --- batched re-verify of the new candidates ---
             with timer.span("verify"):
