@@ -441,8 +441,19 @@ def main():
             )
         except subprocess.TimeoutExpired as e:
             # a hung stage (e.g. device init during a service wedge) must not
-            # abort the whole bench — move on to the next stage
-            log(f"# stage {stage} timed out after {e.timeout}s; falling back")
+            # abort the whole bench; killing its client wedges the service
+            # ~30-40 min, so PROBE (trivial jitted sum) before the next stage
+            # rather than launching a fresh client straight into the wedge
+            log(f"# stage {stage} timed out after {e.timeout}s; probing service before next stage")
+            try:
+                subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp, numpy as np;"
+                     "print(float(np.asarray(jax.jit(lambda x: jnp.sum(x))(jnp.ones((8, 8))))))"],
+                    capture_output=True, timeout=3000,
+                )
+            except subprocess.TimeoutExpired:
+                log("# service probe also timed out; trying the next stage anyway")
             continue
         sys.stderr.write(proc.stderr)
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""

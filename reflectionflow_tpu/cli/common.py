@@ -44,6 +44,11 @@ def build_parser(description: str) -> argparse.ArgumentParser:
         "--phase_swap", action="store_true",
         help="offload text encoders between encode phases + cache prompt embeddings",
     )
+    p.add_argument(
+        "--act_quant_exclude", type=str, nargs="*", default=[],
+        help="path substrings kept int8 weight-only inside the W8A8 DiT "
+        "(quality knob, e.g. '_mod' for the AdaLN modulation projections)",
+    )
     return p
 
 
@@ -101,7 +106,7 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
         pipe.params["dit"] = main
         pipe.cond_dit_params = cond_view
     if getattr(args, "quantize", None) == "int8":
-        pipe.quantize()  # int8 W8A8 DiT + int4 T5
+        pipe.quantize(act_quant_exclude=tuple(getattr(args, "act_quant_exclude", []) or ()))
     # phase swap is implied by the int8 single-chip profile: full co-residency
     # (~15 GB + transients) measured-OOMs on a 16 GB v5e (docs/DEPLOYMENT.md).
     # Enable BEFORE to_device so the T5 tree is never uploaded just to be

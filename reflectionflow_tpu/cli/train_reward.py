@@ -116,6 +116,17 @@ def main(argv=None):
     if not train_rows:
         raise SystemExit("no training rows after split")
 
+    if args.resume_from:
+        # the checkpoint's LoRA geometry wins — a mismatched alpha/r would
+        # silently rescale the adapter contribution
+        with open(os.path.join(args.resume_from, "model_config.json")) as f:
+            ck = json.load(f)
+        if (ck.get("lora_r"), ck.get("lora_alpha")) != (args.lora_r, args.lora_alpha):
+            print(f"resume: overriding lora_r/alpha {args.lora_r}/{args.lora_alpha} "
+                  f"-> checkpoint {ck['lora_r']}/{ck['lora_alpha']}")
+            args.lora_r = int(ck["lora_r"])
+            args.lora_alpha = float(ck["lora_alpha"])
+
     H = model.lm_cfg.hidden_size
     special_token_id = model.lm_cfg.vocab_size - 1 if args.use_special_tokens else None
     pooling = args.reward_token if args.reward_token != "special" or special_token_id is not None else "last"
@@ -135,10 +146,8 @@ def main(argv=None):
 
         from ..rm_train.train import load_rm_checkpoint, load_rm_opt_state
 
-        import jax.numpy as _jnp
-
         resumed, _cfg = load_rm_checkpoint(args.resume_from)
-        trainable = jax.tree.map(_jnp.asarray, {**trainable, **resumed})
+        trainable = jax.tree.map(jnp.asarray, {**trainable, **resumed})
         opt_state = load_rm_opt_state(args.resume_from, opt_state)
         m = re.search(r"checkpoint-(\d+)", args.resume_from)
         start_step = int(m.group(1)) if m else 0
@@ -166,8 +175,9 @@ def main(argv=None):
         )
 
     all_rewards: list[float] = []
+    # resume FINISHES the original schedule (HF Trainer semantics): steps
+    # already done count toward total_steps
     step = start_step
-    total_steps += start_step
     t0 = time.time()
     while step < total_steps:
         epoch_order = rng.permutation(len(train_rows))

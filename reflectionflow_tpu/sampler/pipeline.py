@@ -111,6 +111,7 @@ class FluxPipeline:
         which: tuple[str, ...] = ("dit",),
         fuse_qkv: bool = True,
         int4: tuple[str, ...] = ("t5",),
+        act_quant_exclude: tuple[str, ...] = (),
     ) -> "FluxPipeline":
         """Quantize the big weight trees in place (`ops.quant`) — the
         single-chip 16 GB serving configuration. `which` trees go int8
@@ -130,12 +131,16 @@ class FluxPipeline:
                 self.cond_dit_params = fuse_dit_qkv(self.cond_dit_params)
         for name in which:
             if name in self.params:
-                self.params[name] = quantize_dit_params(self.params[name])
+                self.params[name] = quantize_dit_params(
+                    self.params[name], act_quant_exclude=act_quant_exclude
+                )
         for name in int4:
             if name in self.params and name not in which:
                 self.params[name] = quantize_params_int4(self.params[name])
         if self.cond_dit_params is not None and "dit" in which:
-            self.cond_dit_params = quantize_dit_params(self.cond_dit_params)
+            self.cond_dit_params = quantize_dit_params(
+                self.cond_dit_params, act_quant_exclude=act_quant_exclude
+            )
         return self
 
     # -- phase swap (single-chip memory orchestration) -----------------------

@@ -116,12 +116,18 @@ def run_noise_prompt_scaling(
                 )
                 flux_prompts += list(s["current"])
             latents = jnp.concatenate(lat_parts, axis=0)
+            micro = max(1, cfg.batch_size_for_img_gen)  # the per-call memory cap
             with timer.span("generate"):
-                images = pipeline.generate(
-                    flux_prompts, height=pa.height, width=pa.width,
-                    num_inference_steps=pa.num_inference_steps, guidance_scale=pa.guidance_scale,
-                    max_sequence_length=pa.max_sequence_length, latents=latents,
-                )
+                pending = [
+                    pipeline.generate(
+                        flux_prompts[m0 : m0 + micro], height=pa.height, width=pa.width,
+                        num_inference_steps=pa.num_inference_steps, guidance_scale=pa.guidance_scale,
+                        max_sequence_length=pa.max_sequence_length,
+                        latents=latents[m0 : m0 + micro], output_type="jax",
+                    )
+                    for m0 in range(0, len(flux_prompts), micro)
+                ]
+                images = np.concatenate([np.asarray(p) for p in pending], axis=0)
 
             for bi, s in enumerate(block):
                 s["prev"] = []

@@ -49,41 +49,21 @@ def run_noise_scaling(
         with timer.span("encode"):
             pipeline.warm_prompt_cache([e[1] for e in entries], pa.max_sequence_length)
 
+    # rounds are independent here (fixed prompts, fresh noise): keep up to
+    # MAX_PENDING dispatched rounds in flight so host image fetch + PNG save
+    # overlaps device compute, without accumulating every round's uint8
+    # output buffer on the 16 GB chip
+    MAX_PENDING = 4
+
     for c0 in range(0, len(entries), chunk):
         block = entries[c0 : c0 + chunk]
-        # rounds are independent here (fixed prompts, fresh noise): dispatch
-        # EVERY round's generate before fetching any, so host image
-        # fetch/save fully overlaps device compute (a few MB of device uint8
-        # per pending round)
         pending: list[tuple[int, list[list[int]], object]] = []
-        with timer.span("generate"):
-            for rnd in range(1, sa.search_rounds + 1):
-                all_seeds: list[list[int]] = []
-                lat_parts = []
-                flux_prompts = []
-                for idx, prompt, _dirs in block:
-                    seeds = candidate_seeds(run_seed, idx, rnd, branch)
-                    all_seeds.append(seeds)
-                    lat_parts.append(
-                        seeds_to_latents(
-                            seeds, pa.height, pa.width, pipeline.vae_cfg.latent_channels,
-                            pipeline.dtype, pipeline.vae_cfg.downscale,
-                        )
-                    )
-                    flux_prompts.extend([prompt] * branch)
-                handle = pipeline.generate(
-                    flux_prompts,
-                    height=pa.height,
-                    width=pa.width,
-                    num_inference_steps=pa.num_inference_steps,
-                    guidance_scale=pa.guidance_scale,
-                    max_sequence_length=pa.max_sequence_length,
-                    latents=jnp.concatenate(lat_parts, axis=0),
-                    output_type="jax",
-                )
-                pending.append((rnd, all_seeds, handle))
-        for rnd, all_seeds, handle in pending:
-            images = np.asarray(handle)
+
+        def drain_one():
+            rnd, all_seeds, handle = pending.pop(0)
+            with timer.span("generate"):
+                # the fetch is where the async dispatch's device time lands
+                images = np.asarray(handle)
             for bi, (idx, prompt, dirs) in enumerate(block):
                 for k, seed in enumerate(all_seeds[bi]):
                     save_image(
@@ -98,3 +78,34 @@ def run_noise_scaling(
                         "seeds": [int(s) for s in all_seeds[bi]],
                     }
                 )
+
+        for rnd in range(1, sa.search_rounds + 1):
+            all_seeds: list[list[int]] = []
+            lat_parts = []
+            flux_prompts = []
+            for idx, prompt, _dirs in block:
+                seeds = candidate_seeds(run_seed, idx, rnd, branch)
+                all_seeds.append(seeds)
+                lat_parts.append(
+                    seeds_to_latents(
+                        seeds, pa.height, pa.width, pipeline.vae_cfg.latent_channels,
+                        pipeline.dtype, pipeline.vae_cfg.downscale,
+                    )
+                )
+                flux_prompts.extend([prompt] * branch)
+            with timer.span("generate"):
+                handle = pipeline.generate(
+                    flux_prompts,
+                    height=pa.height,
+                    width=pa.width,
+                    num_inference_steps=pa.num_inference_steps,
+                    guidance_scale=pa.guidance_scale,
+                    max_sequence_length=pa.max_sequence_length,
+                    latents=jnp.concatenate(lat_parts, axis=0),
+                    output_type="jax",
+                )
+            pending.append((rnd, all_seeds, handle))
+            if len(pending) >= MAX_PENDING:
+                drain_one()
+        while pending:
+            drain_one()
