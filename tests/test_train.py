@@ -201,3 +201,34 @@ def test_grad_accumulation(pipe, shard, tmp_path):
     np.testing.assert_array_equal(np.asarray(adapters["img_in/w"]["B"]), a0)
     adapters, opt_state, _ = step(adapters, opt_state, batch, jax.random.PRNGKey(1))
     assert not np.array_equal(np.asarray(adapters["img_in/w"]["B"]), a0)
+
+
+def test_rf_loss_grads_match_across_attn_impls(pipe, shard):
+    """Gradients through the pallas custom_vjp backward == XLA autodiff in
+    the full rectified-flow loss (the train path TrainConfig.attn_impl
+    selects)."""
+    ds = GenRefDataset(
+        shards=[shard], batch_size=1, target_size=16, condition_size=8,
+        schedule=StageSchedule({"general": [1.0]}, [0]),
+    )
+    raw = next(iter(ds))
+    batch = prepare_batch_tensors(pipe, raw, position_delta=(0, -1))
+    lora = lora_init(jax.random.PRNGKey(1), pipe.params["dit"], r=2, alpha=2)
+
+    def grads_with(impl):
+        return jax.grad(
+            lambda a: rf_loss(
+                a, pipe.params["dit"], pipe.dit_cfg, batch, jax.random.PRNGKey(2),
+                alpha=2, r=2, attn_impl=impl,
+            )[0]
+        )(lora["adapters"])
+
+    g_xla = grads_with("xla")
+    g_pallas = grads_with("pallas_interpret")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-3
+        ),
+        g_pallas,
+        g_xla,
+    )
