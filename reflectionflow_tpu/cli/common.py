@@ -90,7 +90,10 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
         "union_cond_attn": cfg.model.union_cond_attn,
         "add_cond_attn": cfg.model.add_cond_attn,
     }
-    pipe.attn_impl = args.attn_impl
+    # serving profile: config values apply unless CLI flags override them
+    quantize = getattr(args, "quantize", None) or cfg.pipeline_args.quantize
+    attn_impl = args.attn_impl if args.attn_impl != "xla" else (cfg.pipeline_args.attn_impl or "xla")
+    pipe.attn_impl = attn_impl
     if cfg.pipeline_args.lora_path and not args.synthetic_weights:
         from safetensors.numpy import load_file
 
@@ -105,13 +108,13 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
         main, cond_view = make_dit_param_views(pipe.params["dit"], lora, latent_lora=False)
         pipe.params["dit"] = main
         pipe.cond_dit_params = cond_view
-    if getattr(args, "quantize", None) == "int8":
+    if quantize == "int8":
         pipe.quantize(act_quant_exclude=tuple(getattr(args, "act_quant_exclude", []) or ()))
     # phase swap is implied by the int8 single-chip profile: full co-residency
     # (~15 GB + transients) measured-OOMs on a 16 GB v5e (docs/DEPLOYMENT.md).
     # Enable BEFORE to_device so the T5 tree is never uploaded just to be
     # pulled back to host.
-    if getattr(args, "phase_swap", False) or getattr(args, "quantize", None) == "int8":
+    if getattr(args, "phase_swap", False) or quantize == "int8":
         pipe.enable_phase_swap()
     if not args.synthetic_weights:
         pipe.to_device()

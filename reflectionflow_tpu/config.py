@@ -240,6 +240,9 @@ class PipelineArgs:
     torch_dtype: str = "bf16"  # reference key name; maps through DTYPE_MAP
     lora_path: Optional[str] = None
     image_guidance_scale: float = 1.0
+    # serving profile (config-driven; CLI flags override)
+    quantize: Optional[str] = None  # "int8": W8A8 DiT + int4 T5, implies phase swap
+    attn_impl: Optional[str] = None  # "pallas" | "xla"
 
     @property
     def dtype(self):
