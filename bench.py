@@ -46,6 +46,7 @@ _SUM = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 BASELINE_IMGS_PER_SEC_PER_CHIP = 0.1  # H100, FLUX.1-dev 1024px/30 steps (see docstring)
 NUM_STEPS = 30
 BATCH = 1
+FUSE_SINGLE_IO = True  # serving layout (ops.fuse.fuse_single_block_io)
 TY = TX = 64  # 1024px -> 64x64 packed tokens
 LT = 512
 
@@ -144,15 +145,26 @@ def _assemble_int8_tree(cfg: FluxDiTConfig, rand_qlin, small_lin):
         "img_mlp": {"fc1": rand_qlin(H, M, nd), "fc2": rand_qlin(M, H, nd)},
         "txt_mlp": {"fc1": rand_qlin(H, M, nd), "fc2": rand_qlin(M, H, nd)},
     }
-    single = {
-        "mod": rand_qlin(H, 3 * H, ns),
-        "attn": {
-            "qkv": rand_qlin(H, 3 * H, ns),
-            "q_norm": rms(ns), "k_norm": rms(ns),
-        },
-        "mlp_in": rand_qlin(H, M, ns),
-        "out": rand_qlin(H + M, H, ns),
-    }
+    if FUSE_SINGLE_IO:
+        # serving layout after ops.fuse.fuse_single_block_io: one input panel
+        # (one act-quant for qkv+mlp), split output panels (no (L, H+M) concat)
+        single = {
+            "mod": rand_qlin(H, 3 * H, ns),
+            "attn": {"q_norm": rms(ns), "k_norm": rms(ns)},
+            "in_proj": rand_qlin(H, 3 * H + M, ns),
+            "out_attn": rand_qlin(H, H, ns),
+            "out_mlp": rand_qlin(M, H, ns),
+        }
+    else:
+        single = {
+            "mod": rand_qlin(H, 3 * H, ns),
+            "attn": {
+                "qkv": rand_qlin(H, 3 * H, ns),
+                "q_norm": rms(ns), "k_norm": rms(ns),
+            },
+            "mlp_in": rand_qlin(H, M, ns),
+            "out": rand_qlin(H + M, H, ns),
+        }
     return {
         "img_in": small_lin(cfg.in_channels, H),
         "txt_in": rand_qlin(cfg.text_dim, H),

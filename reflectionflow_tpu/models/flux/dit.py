@@ -185,15 +185,22 @@ def _unheads(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(B, L, nH * D)
 
 
+def _qkv_split(attn_p, cfg, qkv, prefix=""):
+    """Split a packed (..., 3H[+extra]) projection into normed per-head q/k/v."""
+    H = cfg.num_heads * cfg.head_dim
+    q_r, k_r, v_r = qkv[..., :H], qkv[..., H : 2 * H], qkv[..., 2 * H : 3 * H]
+    q = rms_norm(_heads(cfg, q_r), attn_p[prefix + "q_norm"]["scale"])
+    k = rms_norm(_heads(cfg, k_r), attn_p[prefix + "k_norm"]["scale"])
+    v = _heads(cfg, v_r)
+    return q, k, v
+
+
 def _qkv(attn_p, cfg, x, prefix=""):
     if prefix + "qkv" in attn_p:  # fused projection (ops.fuse.fuse_dit_qkv)
-        H = cfg.num_heads * cfg.head_dim
-        qkv = linear(attn_p[prefix + "qkv"], x)
-        q_r, k_r, v_r = qkv[..., :H], qkv[..., H : 2 * H], qkv[..., 2 * H :]
-    else:
-        q_r = linear(attn_p[prefix + "q"], x)
-        k_r = linear(attn_p[prefix + "k"], x)
-        v_r = linear(attn_p[prefix + "v"], x)
+        return _qkv_split(attn_p, cfg, linear(attn_p[prefix + "qkv"], x), prefix)
+    q_r = linear(attn_p[prefix + "q"], x)
+    k_r = linear(attn_p[prefix + "k"], x)
+    v_r = linear(attn_p[prefix + "v"], x)
     q = rms_norm(_heads(cfg, q_r), attn_p[prefix + "q_norm"]["scale"])
     k = rms_norm(_heads(cfg, k_r), attn_p[prefix + "k_norm"]["scale"])
     v = _heads(cfg, v_r)
@@ -273,30 +280,49 @@ def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rop
     return img, txt, cond
 
 
+def _single_in(bp, cfg, h_n):
+    """(mlp_pre_gelu, q, k, v) for one single-block stream; `in_proj` is the
+    fused serving panel (ops.fuse.fuse_single_block_io): one matmul — and
+    under W8A8 one per-token activation quantization — for all four."""
+    if "in_proj" in bp:
+        fused = linear(bp["in_proj"], h_n)
+        q, k, v = _qkv_split(bp["attn"], cfg, fused)
+        mlp = gelu_tanh(fused[..., 3 * cfg.num_heads * cfg.head_dim :])
+    else:
+        mlp = gelu_tanh(linear(bp["mlp_in"], h_n))
+        q, k, v = _qkv(bp["attn"], cfg, h_n)
+    return mlp, q, k, v
+
+
+def _single_out(bp, attn_out, mlp):
+    """proj_out(concat([attn, mlp])); the split serving layout computes the
+    two halves as separate matmuls summed in the epilogue, so the (L, H+M)
+    concat never hits HBM."""
+    if "out_attn" in bp:
+        return linear(bp["out_attn"], attn_out) + linear(bp["out_mlp"], mlp)
+    return linear(bp["out"], jnp.concatenate([attn_out, mlp], axis=-1))
+
+
 def _single_block_apply(bp, cfg, hidden, cond, temb, cond_temb, rope_main, rope_cond, bias, flags, attn_impl, bp_c=None):
     bp_c = bp if bp_c is None else bp_c
     use_cond = cond is not None
     sh, sc, gate = _mod(bp["mod"], temb, 3)
     h_n = adaln_modulate(hidden, sh, sc)
-    mlp = gelu_tanh(linear(bp["mlp_in"], h_n))
-    q, k, v = _qkv(bp["attn"], cfg, h_n)
+    mlp, q, k, v = _single_in(bp, cfg, h_n)
     q, k = _rope_qk(q, k, rope_main)
     streams_q, streams_k, streams_v = [q], [k], [v]
     if use_cond:
         c_sh, c_sc, c_gate = _mod(bp_c["mod"], cond_temb, 3)
         cond_n = adaln_modulate(cond, c_sh, c_sc)
-        cond_mlp = gelu_tanh(linear(bp_c["mlp_in"], cond_n))
-        cq, ck, cv = _qkv(bp_c["attn"], cfg, cond_n)
+        cond_mlp, cq, ck, cv = _single_in(bp_c, cfg, cond_n)
         cq, ck = _rope_qk(cq, ck, rope_cond)
         streams_q.append(cq)
         streams_k.append(ck)
         streams_v.append(cv)
     outs = joint_attention(streams_q, streams_k, streams_v, impl=attn_impl, **bias)
-    hidden = hidden + gate[:, None, :] * linear(bp["out"], jnp.concatenate([_unheads(outs[0]), mlp], axis=-1))
+    hidden = hidden + gate[:, None, :] * _single_out(bp, _unheads(outs[0]), mlp)
     if use_cond:
-        cond = cond + c_gate[:, None, :] * linear(
-            bp_c["out"], jnp.concatenate([_unheads(outs[1]), cond_mlp], axis=-1)
-        )
+        cond = cond + c_gate[:, None, :] * _single_out(bp_c, _unheads(outs[1]), cond_mlp)
     return hidden, cond
 
 

@@ -104,7 +104,9 @@ def joint_attention(
 
         out = flash_attention(
             q, k, v, main_len=q.shape[1] - cond_len, cross_bias=cross_bias,
-            interpret=impl == "pallas_interpret",
+            interpret=impl.endswith("interpret"),
+            # "pallas_int8[_interpret]": serving-only int8 QK^T (no backward)
+            int8="int8" in impl,
         )
     else:
         out = sdpa(q, k, v, bias=bias)

@@ -6,7 +6,17 @@ narrow ones, and HBM reads coalesce. Applied AFTER LoRA folding (the fused
 tree is not a LoRA target) and BEFORE int8 quantization (per-output-channel
 scales survive concatenation).
 
-`models.flux.dit._qkv` dispatches on the presence of the fused key.
+`fuse_single_block_io` goes further for the single-stream blocks, whose
+four hot matmuls all touch the same modulated hidden state: Q/K/V and
+`mlp_in` become ONE `in_proj` panel (H, 3H+M) — under W8A8 the per-token
+activation quantization runs once instead of twice — and the `out`
+projection (H+M, H) splits into `out_attn` + `out_mlp` so the (L, H+M)
+concat of [attn_out, gelu(mlp)] is never materialized in HBM.
+
+`models.flux.dit._qkv` / `_single_block_apply` dispatch on the presence of
+the fused keys. Fused layouts are the SINGLE-CHIP serving profile: the TP
+partition specs (`parallel.specs`) shard the unfused per-head panels, so a
+model-parallel mesh keeps the unfused layout.
 """
 
 from __future__ import annotations
@@ -38,4 +48,39 @@ def fuse_dit_qkv(params: dict) -> dict:
                 del attn[key]
         blocks["attn"] = attn
         out[family] = blocks
+    return out
+
+
+def fuse_single_block_io(params: dict) -> dict:
+    """Fuse the single-block input panel and split its output panel.
+
+    [q|k|v|mlp_in] -> `in_proj` (H, 3H+M); `out` (H+M, H) ->
+    `out_attn` (H, H) + `out_mlp` (M, H) (bias stays on `out_attn`).
+    Expects float weights (apply after LoRA folding / `fuse_dit_qkv`,
+    before quantization); returns the tree unchanged if the layout does
+    not match (already quantized, already fused, or no single blocks).
+    """
+    if "single_blocks" not in params:
+        return params
+    blocks = dict(params["single_blocks"])
+    attn = dict(blocks["attn"])
+    if "qkv" not in attn:
+        if not ("q" in attn and "w" in attn["q"]):
+            return params
+        attn["qkv"] = _fuse_three(attn.pop("q"), attn.pop("k"), attn.pop("v"))
+    if not all("w" in d for d in (attn["qkv"], blocks.get("mlp_in", {}), blocks.get("out", {}))):
+        return params
+    qkv = attn.pop("qkv")
+    mlp_in = blocks.pop("mlp_in")
+    blocks["in_proj"] = {
+        "w": jnp.concatenate([qkv["w"], mlp_in["w"]], axis=-1),
+        "b": jnp.concatenate([qkv["b"], mlp_in["b"]], axis=-1),
+    }
+    o = blocks.pop("out")
+    hidden = qkv["w"].shape[-2]
+    blocks["out_attn"] = {"w": o["w"][..., :hidden, :], "b": o["b"]}
+    blocks["out_mlp"] = {"w": o["w"][..., hidden:, :]}
+    blocks["attn"] = attn
+    out = dict(params)
+    out["single_blocks"] = blocks
     return out

@@ -209,6 +209,129 @@ def _flash_dkv_kernel(
     dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
+def _flash_fwd_int8_kernel(
+    q_ref,  # (BQ, D) int8
+    k_ref,  # (L, D) int8
+    v_ref,  # (L, D) bf16
+    qs_ref,  # (BQ, 1) f32  per-token scale (softmax scale absorbed)
+    ks_ref,  # (1, L) f32   per-token scale
+    out_ref,  # (BQ, D)
+    *,
+    block_k: int,
+    seq_len: int,
+    main_len: int,
+    cross_bias: float,
+    q_block: int,
+):
+    """Serving forward with int8 QK^T on the MXU (~2x the bf16 dot rate).
+
+    Q/K are pre-quantized per token in XLA (`_quant_qk_int8`), with K
+    mean-centered first — the per-row `q . mean(K)` logit shift cancels in
+    softmax, so centering costs nothing and tightens the int8 range
+    (SageAttention, Zhang et al. 2024). P@V stays bf16 for accuracy."""
+    qb = pl.program_id(1)
+    q = q_ref[:]  # int8
+    qs = qs_ref[:]  # (BQ, 1)
+    BQ = q.shape[0]
+    q_pos = qb * q_block + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
+
+    num_k_blocks = pl.cdiv(seq_len, block_k)
+
+    def body(kb, carry):
+        m_prev, l_prev, acc = carry
+        k_start = kb * block_k
+        k = k_ref[pl.ds(k_start, block_k), :]  # (BK, D) int8
+        v = v_ref[pl.ds(k_start, block_k), :]
+        ks = ks_ref[:, pl.ds(k_start, block_k)]  # (1, BK)
+        logits_i = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+        )  # (BQ, BK) int32
+        logits = logits_i.astype(jnp.float32) * qs * ks
+        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        logits = _cross_mask_bias(logits, q_pos, k_pos, main_len, cross_bias)
+        logits = jnp.where(k_pos < seq_len, logits, NEG_INF)
+
+        m_cur = jnp.max(logits, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        correction = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)
+        l_new = l_prev * correction + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * correction + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc
+
+    D = v_ref.shape[-1]
+    m0 = jnp.full((BQ, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((BQ, 1), jnp.float32)
+    acc0 = jnp.zeros((BQ, D), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
+    out_ref[:] = (acc / jnp.maximum(l, 1e-20)).astype(out_ref.dtype)
+
+
+def _quant_qk_int8(q, k, scale):
+    """Per-token int8 quantization of q/k (B, L, H, D) with K mean-centering.
+
+    Returns (q_i8, k_i8, q_scale, k_scale); `scale` (1/sqrt(D)) is absorbed
+    into q_scale. The k mean over tokens shifts every row's logits by the
+    constant q . mean_k, which softmax ignores."""
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32) - jnp.mean(k.astype(jnp.float32), axis=1, keepdims=True)
+    q_amax = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-12)
+    k_amax = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1, keepdims=True), 1e-12)
+    q_i8 = jnp.round(qf * (127.0 / q_amax)).astype(jnp.int8)
+    k_i8 = jnp.round(kf * (127.0 / k_amax)).astype(jnp.int8)
+    return q_i8, k_i8, q_amax * (scale / 127.0), k_amax / 127.0
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("main_len", "cross_bias", "block_q", "block_k", "interpret"),
+)
+def flash_attention_int8(
+    q: jnp.ndarray,  # (B, L, H, D)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    main_len: int | None = None,
+    cross_bias: float = 0.0,
+    block_q: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Int8-QK^T flash attention (serving only — no backward)."""
+    B, L, H, D = q.shape
+    main_len = L if main_len is None else main_len
+    scale = 1.0 / math.sqrt(D)
+    Lp = _round_up(L, max(block_q, block_k))
+    q, k, v = _pad_len(q, k, v, L, Lp)
+    q_i8, k_i8, q_s, k_s = _quant_qk_int8(q, k, scale)
+    qb, kb, vb = _to_bh(q_i8, B, H, Lp, D), _to_bh(k_i8, B, H, Lp, D), _to_bh(v, B, H, Lp, D)
+    qs_b = q_s.transpose(0, 2, 1, 3).reshape(B * H, Lp, 1)
+    ks_b = k_s.transpose(0, 2, 3, 1).reshape(B * H, 1, Lp)
+
+    kernel = functools.partial(
+        _flash_fwd_int8_kernel,
+        block_k=block_k, seq_len=L, main_len=main_len,
+        cross_bias=float(cross_bias), q_block=block_q,
+    )
+    grid = (B * H, Lp // block_q)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((None, Lp, D), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((None, Lp, D), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((None, block_q, 1), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((None, 1, Lp), lambda bh, qi: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Lp, D), v.dtype),
+        interpret=interpret,
+    )(qb, kb, vb, qs_b, ks_b)
+    return _from_bh(out, B, H, Lp, D)[:, :L]
+
+
 def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
@@ -381,22 +504,26 @@ def flash_attention_structured(
     return _flash(q, k, v, main_len, float(cross_bias), block_q, block_k, interpret)
 
 
-def flash_attention(q, k, v, bias=None, main_len=None, cross_bias=0.0, interpret=False):
-    """Entry used by ops.attention: structural bias only (dense `bias` is the
-    XLA path's job)."""
-    assert bias is None, "pallas path takes structural (main_len, cross_bias), not dense bias"
+def _block_policy(L):
     # block policy (v5e sweep, tools/attn_sweep.py): full-length K blocks win
     # at FLUX sequence lengths — one k-iteration, logits tile bq x L fp32
     # stays well under VMEM (256 x 5632 x 4 = 5.8 MB) and the online-softmax
     # correction work disappears. bk must be a bq-multiple DIVIDING the padded
     # length (grids floor-divide), so pick the largest divisor of
     # ceil(L / bq) under the ~6144 VMEM cap — worst case bk == bq.
-    L = q.shape[1]
     bq = min(256, _round_up(L, 128))
     m = -(-L // bq)  # padded length = m * bq
     cap = max(1, 6144 // bq)
     d = max(dd for dd in range(1, min(m, cap) + 1) if m % dd == 0)
-    bk = d * bq
-    return flash_attention_structured(
+    return bq, d * bq
+
+
+def flash_attention(q, k, v, bias=None, main_len=None, cross_bias=0.0, interpret=False, int8=False):
+    """Entry used by ops.attention: structural bias only (dense `bias` is the
+    XLA path's job). `int8=True` selects the serving-only int8-QK^T kernel."""
+    assert bias is None, "pallas path takes structural (main_len, cross_bias), not dense bias"
+    bq, bk = _block_policy(q.shape[1])
+    fn = flash_attention_int8 if int8 else flash_attention_structured
+    return fn(
         q, k, v, main_len=main_len, cross_bias=cross_bias, block_q=bq, block_k=bk, interpret=interpret
     )

@@ -122,13 +122,16 @@ class FluxPipeline:
         /root/reference/tts/tts_reflectionflow.py:503-512). QKV projections
         are fused first (`ops.fuse`) so the int8 panels are as wide as
         possible."""
-        from ..ops.fuse import fuse_dit_qkv
+        from ..ops.fuse import fuse_dit_qkv, fuse_single_block_io
         from ..ops.quant import quantize_dit_params, quantize_params_int4
 
-        if fuse_qkv:
-            self.params["dit"] = fuse_dit_qkv(self.params["dit"])
+        # fused panels are incompatible with the per-head TP partition specs
+        # (parallel.specs shards q/k/v by heads); keep unfused under model-TP
+        tp = self.mesh is not None and self.mesh.shape.get("model", 1) > 1
+        if fuse_qkv and not tp:
+            self.params["dit"] = fuse_single_block_io(fuse_dit_qkv(self.params["dit"]))
             if self.cond_dit_params is not None:
-                self.cond_dit_params = fuse_dit_qkv(self.cond_dit_params)
+                self.cond_dit_params = fuse_single_block_io(fuse_dit_qkv(self.cond_dit_params))
         for name in which:
             if name in self.params:
                 self.params[name] = quantize_dit_params(

@@ -89,6 +89,47 @@ def test_dit_with_pallas_interpret():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
 
 
+@pytest.mark.parametrize(
+    "cond_len,cross_bias",
+    [(0, 0.0), (32, float(np.log(2.0))), (32, -1e30)],
+    ids=["plain", "cond_c_factor", "cond_masked"],
+)
+def test_int8_qk_parity(qkv, cond_len, cross_bias):
+    """Serving int8-QK^T kernel: per-token quantized logits stay within int8
+    tolerance of the exact path in every structural-bias mode."""
+    q, k, v = qkv
+    L = q.shape[1]
+    bias = (
+        cond_attention_bias(L, cond_len, cross_bias != -1e30, np.exp(cross_bias) if abs(cross_bias) < 100 else None)
+        if cond_len
+        else None
+    )
+    ref = np.asarray(sdpa(q, k, v, bias=bias))
+    out = np.asarray(
+        flash_attention(
+            q, k, v, main_len=L - cond_len, cross_bias=cross_bias, interpret=True, int8=True
+        )
+    )
+    cos = float((ref.ravel() @ out.ravel()) / (np.linalg.norm(ref) * np.linalg.norm(out)))
+    assert cos > 0.999, cos
+    assert np.abs(out - ref).max() < 0.05, np.abs(out - ref).max()
+
+
+def test_int8_qk_unaligned_and_joint(qkv):
+    q, k, v = (x[:, :137] for x in qkv)
+    ref = np.asarray(sdpa(q, k, v))
+    out = np.asarray(flash_attention(q, k, v, interpret=True, int8=True))
+    assert np.abs(out - ref).max() < 0.05
+    # and via the joint_attention impl string used by the DiT
+    sq = [q[:, :100], q[:, 100:]]
+    outs = joint_attention(
+        [q[:, :100], q[:, 100:]], [k[:, :100], k[:, 100:]], [v[:, :100], v[:, 100:]],
+        impl="pallas_int8_interpret", cond_len=37, cross_bias=0.0,
+    )
+    cat = np.concatenate([np.asarray(o) for o in outs], axis=1)
+    assert np.abs(cat - ref).max() < 0.05
+
+
 def _loss_weights(q):
     # fixed random cotangent-like weighting so grads are informative
     return jax.random.normal(jax.random.PRNGKey(99), q.shape, jnp.float32)

@@ -77,6 +77,47 @@ def test_fuse_qkv_matches(key):
     assert err < 0.05
 
 
+def test_fuse_single_block_io_matches(key):
+    """in_proj fusion + out split == the unfused single blocks, with and
+    without a condition stream, and composes with W8A8 quantization."""
+    from reflectionflow_tpu.ops.fuse import fuse_dit_qkv, fuse_single_block_io
+
+    cfg = FluxDiTConfig.tiny()
+    params = flux_dit_init(key, cfg)
+    fused = fuse_single_block_io(fuse_dit_qkv(params))
+    sb = fused["single_blocks"]
+    assert "in_proj" in sb and "out_attn" in sb and "out_mlp" in sb
+    assert "mlp_in" not in sb and "out" not in sb and "qkv" not in sb["attn"]
+    inputs = dict(
+        img=jax.random.normal(jax.random.PRNGKey(1), (1, 16, cfg.in_channels)),
+        txt=jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.text_dim)),
+        pooled=jax.random.normal(jax.random.PRNGKey(3), (1, cfg.pooled_dim)),
+        timestep=jnp.array([0.5]),
+        img_ids=jnp.asarray(make_image_ids(4, 4)),
+        txt_ids=jnp.asarray(make_text_ids(8)),
+        guidance=jnp.array([3.5]),
+    )
+    cond_inputs = dict(
+        inputs,
+        cond=jax.random.normal(jax.random.PRNGKey(4), (1, 4, cfg.in_channels)),
+        cond_ids=jnp.asarray(make_image_ids(2, 2)),
+        c_factor=2.0,
+    )
+    for inp in (inputs, cond_inputs):
+        ref = flux_dit_apply(params, cfg, **inp)
+        out = flux_dit_apply(fused, cfg, **inp)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # idempotent / layout-guarded: re-fusing or fusing a quantized tree is a no-op
+    assert fuse_single_block_io(fused) is fused or "in_proj" in fuse_single_block_io(fused)["single_blocks"]
+    q = quantize_dit_params(fused, min_size=64 * 64, act_quant=True)
+    assert "act_q" in q["single_blocks"]["in_proj"]
+    assert fuse_single_block_io(q)["single_blocks"].keys() == q["single_blocks"].keys()
+    out_q = flux_dit_apply(q, cfg, **inputs)
+    ref = flux_dit_apply(params, cfg, **inputs)
+    err = float(jnp.abs(out_q - ref).mean() / jnp.abs(ref).mean())
+    assert err < 0.05, err
+
+
 def test_quantized_t5_and_qwen_lm_run(key):
     """int8 path through T5 and the Qwen LM (review fix: raw matmuls)."""
     from reflectionflow_tpu.config import QwenLMConfig, T5Config

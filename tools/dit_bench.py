@@ -21,14 +21,18 @@ def strip_act_q(tree):
 
 
 def main():
-    attn = sys.argv[1] if len(sys.argv) > 1 else "pallas"
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-    skip_w8a16 = len(sys.argv) > 3 and sys.argv[3] == "w8a8_only"
+    args = [a for a in sys.argv[1:] if a != "unfused"]
+    if "unfused" in sys.argv:
+        bench.FUSE_SINGLE_IO = False
+    attn = args[0] if len(args) > 0 else "pallas"
+    batch = int(args[1]) if len(args) > 1 else 1
+    skip_w8a16 = len(args) > 2 and args[2] == "w8a8_only"
     bench.BATCH = batch
     rtt = bench.measure_rtt()
     cfg = FluxDiTConfig()
     params = bench.init_int8_on_device(cfg)
-    out = {"rtt_ms": round(rtt * 1e3, 1), "steps": bench.NUM_STEPS, "attn": attn, "batch": batch}
+    out = {"rtt_ms": round(rtt * 1e3, 1), "steps": bench.NUM_STEPS, "attn": attn, "batch": batch,
+           "single_layout": "fused" if bench.FUSE_SINGLE_IO else "unfused"}
     t8 = bench.time_runner(bench.build_runner(cfg, params, attn_impl=attn), rtt)
     out["w8a8_s"] = round(t8, 3)
     out["w8a8_img_per_s"] = round(batch / t8, 4)
