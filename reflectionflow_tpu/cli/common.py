@@ -33,7 +33,7 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--synthetic_weights", action="store_true", help="random tiny weights (smoke runs, no model files)")
     p.add_argument(
         "--attn_impl", type=str, default="xla",
-        choices=["xla", "pallas", "pallas_interpret"],
+        choices=["xla", "pallas", "pallas_interpret", "pallas_int8", "pallas_int8_interpret"],
     )
     p.add_argument(
         "--quantize", type=str, default=None, choices=[None, "int8"],

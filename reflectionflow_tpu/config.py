@@ -242,7 +242,7 @@ class PipelineArgs:
     image_guidance_scale: float = 1.0
     # serving profile (config-driven; CLI flags override)
     quantize: Optional[str] = None  # "int8": W8A8 DiT + int4 T5, implies phase swap
-    attn_impl: Optional[str] = None  # "pallas" | "xla"
+    attn_impl: Optional[str] = None  # "pallas" | "pallas_int8" (serving only) | "xla"
 
     @property
     def dtype(self):

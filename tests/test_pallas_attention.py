@@ -130,6 +130,32 @@ def test_int8_qk_unaligned_and_joint(qkv):
     assert np.abs(cat - ref).max() < 0.05
 
 
+def test_dit_with_pallas_int8_interpret():
+    """Tiny DiT forward through attn_impl='pallas_int8_interpret' stays
+    directionally faithful to the exact XLA path (serving profile check)."""
+    from reflectionflow_tpu.config import FluxDiTConfig
+    from reflectionflow_tpu.models.flux.dit import flux_dit_apply, flux_dit_init
+    from reflectionflow_tpu.models.flux.rope import make_image_ids, make_text_ids
+
+    cfg = FluxDiTConfig.tiny()
+    params = flux_dit_init(jax.random.PRNGKey(0), cfg)
+    inputs = dict(
+        img=jax.random.normal(jax.random.PRNGKey(1), (1, 16, cfg.in_channels)),
+        txt=jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.text_dim)),
+        pooled=jax.random.normal(jax.random.PRNGKey(3), (1, cfg.pooled_dim)),
+        timestep=jnp.array([0.5]),
+        img_ids=jnp.asarray(make_image_ids(4, 4)),
+        txt_ids=jnp.asarray(make_text_ids(8)),
+        guidance=jnp.array([3.5]),
+    )
+    ref = np.asarray(flux_dit_apply(params, cfg, **inputs)).ravel()
+    out = np.asarray(
+        flux_dit_apply(params, cfg, **inputs, attn_impl="pallas_int8_interpret")
+    ).ravel()
+    cos = float(ref @ out / (np.linalg.norm(ref) * np.linalg.norm(out)))
+    assert cos > 0.999, cos
+
+
 def _loss_weights(q):
     # fixed random cotangent-like weighting so grads are informative
     return jax.random.normal(jax.random.PRNGKey(99), q.shape, jnp.float32)

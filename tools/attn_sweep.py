@@ -17,7 +17,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
-from reflectionflow_tpu.ops.pallas_attention import flash_attention_structured  # noqa: E402
+from reflectionflow_tpu.ops.pallas_attention import (  # noqa: E402
+    flash_attention_int8,
+    flash_attention_structured,
+)
 
 _SUM = jax.jit(lambda v: jnp.sum(v.astype(jnp.float32)))
 
@@ -27,8 +30,12 @@ def fetch(x):
 
 
 def main():
-    L = int(sys.argv[1]) if len(sys.argv) > 1 else 4608  # T2I serving shape
-    H = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    # usage: attn_sweep.py [L] [H] [int8]
+    int8 = "int8" in sys.argv[1:]
+    args = [a for a in sys.argv[1:] if a != "int8"]
+    attn_fn = flash_attention_int8 if int8 else flash_attention_structured
+    L = int(args[0]) if len(args) > 0 else 4608  # T2I serving shape
+    H = int(args[1]) if len(args) > 1 else 24
     B, D = 1, 128
     rng = np.random.default_rng(0)
     q, k, v = (jnp.asarray(rng.standard_normal((B, L, H, D)), jnp.bfloat16) for _ in range(3))
@@ -41,7 +48,8 @@ def main():
 
     inner = 16  # loop inside jit: single-call times are below the tunnel RTT
     flops = 4.0 * L * L * H * D * inner
-    out = {"shape": f"B{B} L{L} H{H} D{D} bf16 (x{inner} inner)", "rtt_ms": round(rtt * 1e3, 1),
+    out = {"shape": f"B{B} L{L} H{H} D{D} {'int8qk' if int8 else 'bf16'} (x{inner} inner)",
+           "rtt_ms": round(rtt * 1e3, 1),
            "ideal_ms_at_peak": round(flops / inner / 197e12 * 1e3, 2)}
     for bq in (256, 512, 1024):
         for bk in (512, 1024, 2304, 4608):
@@ -51,7 +59,7 @@ def main():
                 @jax.jit
                 def many(q, k, v, _bq=bq, _bk=bk):
                     def body(i, acc):
-                        o = flash_attention_structured(
+                        o = attn_fn(
                             jnp.roll(q, i, axis=1), k, v, block_q=_bq, block_k=_bk
                         )
                         return acc + jnp.sum(o.astype(jnp.float32))

@@ -20,7 +20,10 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from reflectionflow_tpu.ops.attention import cond_attention_bias, sdpa  # noqa: E402
-from reflectionflow_tpu.ops.pallas_attention import flash_attention_structured  # noqa: E402
+from reflectionflow_tpu.ops.pallas_attention import (  # noqa: E402
+    flash_attention_int8,
+    flash_attention_structured,
+)
 
 
 _SUM = jax.jit(lambda v: jnp.sum(v.astype(jnp.float32)))
@@ -79,6 +82,13 @@ def main():
     o_p, o_x = pallas_fwd(), xla_fwd()
     out["forward"] = stats(o_p, o_x)
     out["forward"]["pallas_ms"] = round(time_call(pallas_fwd, rtt=rtt) * 1e3, 2)
+
+    # serving int8-QK^T kernel: numerics vs the exact XLA path + speed
+    def int8_fwd():
+        return flash_attention_int8(q, k, v, main_len=main_len, cross_bias=cross_bias)
+
+    out["forward_int8qk"] = stats(int8_fwd(), o_x)
+    out["forward_int8qk"]["pallas_ms"] = round(time_call(int8_fwd, rtt=rtt) * 1e3, 2)
     try:
         out["forward"]["xla_ms"] = round(time_call(jax.jit(xla_fwd), rtt=rtt) * 1e3, 2)
         out["forward"]["speedup"] = round(out["forward"]["xla_ms"] / out["forward"]["pallas_ms"], 2)
