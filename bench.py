@@ -47,6 +47,9 @@ BASELINE_IMGS_PER_SEC_PER_CHIP = 0.1  # H100, FLUX.1-dev 1024px/30 steps (see do
 NUM_STEPS = 30
 BATCH = 1
 FUSE_SINGLE_IO = True  # serving layout (ops.fuse.fuse_single_block_io)
+# serving rope layout: contiguous-half rotation (ops.fuse.permute_rope_layout;
+# synthetic random weights need no actual permutation, only the apply path)
+ROPE_LAYOUT = "split"
 TY = TX = 64  # 1024px -> 64x64 packed tokens
 LT = 512
 
@@ -67,6 +70,7 @@ def build_runner(cfg: FluxDiTConfig, params, attn_impl: str = "xla"):
         out = denoise(
             params, cfg, latents, txt, pooled, img_ids, txt_ids, sigmas,
             jnp.asarray(3.5, jnp.float32), NUM_STEPS, attn_impl=attn_impl,
+            rope_layout=ROPE_LAYOUT,
         )
         return _SUM(out)
 
@@ -329,6 +333,7 @@ def bench_e2e(rtt: float, phase_swap: bool = False) -> dict | None:
         return denoise(
             dit, dit_cfg, latents, txt, pooled, img_ids, txt_ids, sigmas,
             jnp.asarray(3.5, jnp.float32), NUM_STEPS, attn_impl="pallas_int8",
+            rope_layout=ROPE_LAYOUT,
         )
 
     def decode(final):

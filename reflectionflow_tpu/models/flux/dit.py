@@ -213,10 +213,11 @@ def _mod(p, temb, n):
 
 
 def _rope_qk(q, k, tables):
-    from .rope import apply_rope
+    from .rope import apply_rope, apply_rope_split
 
-    cos, sin = tables
-    return apply_rope(q, cos, sin), apply_rope(k, cos, sin)
+    cos, sin, split = tables
+    fn = apply_rope_split if split else apply_rope
+    return fn(q, cos, sin), fn(k, cos, sin)
 
 
 def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rope_cond, bias, flags, attn_impl, bp_c=None):
@@ -345,11 +346,16 @@ def flux_dit_apply(
     attn_impl: str = "xla",
     remat: bool = False,
     cond_params=None,
+    rope_layout: str = "pair",
 ) -> jnp.ndarray:
     """Predict rectified-flow velocity for the packed image tokens.
 
+    `rope_layout="split"` expects weights transformed by
+    `ops.fuse.permute_rope_layout` (serving: contiguous-half rotation
+    instead of stride-2 shuffles).
+
     Returns (B, L_img, in_channels)."""
-    from .rope import rope_tables
+    from .rope import rope_split_perm, rope_tables
 
     use_cond = cond is not None
     flags = {"add_cond_attn": add_cond_attn}
@@ -380,8 +386,17 @@ def flux_dit_apply(
             )
 
     main_ids = jnp.concatenate([txt_ids, img_ids], axis=0)
-    rope_main = rope_tables(main_ids, cfg.axes_dims_rope, cfg.rope_theta)
-    rope_cond = rope_tables(cond_ids, cfg.axes_dims_rope, cfg.rope_theta) if use_cond else None
+    split = rope_layout == "split"
+
+    def tables(ids):
+        cos, sin = rope_tables(ids, cfg.axes_dims_rope, cfg.rope_theta)
+        if split:
+            perm = jnp.asarray(rope_split_perm(cfg.head_dim))
+            cos, sin = cos[:, perm], sin[:, perm]
+        return cos, sin, split
+
+    rope_main = tables(main_ids)
+    rope_cond = tables(cond_ids) if use_cond else None
 
     L_main = img.shape[1] + txt.shape[1]
     L_cond = cond_h.shape[1] if use_cond else 0

@@ -52,6 +52,36 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return (xf * c + rotated * s).astype(x.dtype)
 
 
+# --- half-split serving layout -------------------------------------------
+#
+# The interleaved-pair rotation above compiles to stride-2 lane shuffles,
+# which are VPU-bound on TPU (measured 107 ms/step of the full-depth FLUX
+# serve, tools/step_ablation.py). Permuting the head dim to "all even
+# positions, then all odd positions" turns the rotation partner of lane i
+# into lane i + D/2 — two contiguous half-slices, no shuffles. Pairs
+# (2i, 2i+1) never straddle the 3-axis segment boundaries (each axis dim
+# is even), so ONE global permutation is exact. Attention logits are
+# invariant as long as q, k, the QK-norm scales, and the tables all use
+# the same permutation; v and the out projection are untouched.
+
+
+def rope_split_perm(head_dim: int) -> np.ndarray:
+    """Permutation old->new ordering: evens then odds."""
+    return np.concatenate([np.arange(0, head_dim, 2), np.arange(1, head_dim, 2)])
+
+
+def apply_rope_split(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """Rotate (B, L, H, D) in the half-split layout: tables pre-permuted by
+    `rope_split_perm` (cos/sin halves are then identical copies)."""
+    xf = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    x1, x2 = xf[..., :half], xf[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    return (xf * c + rotated * s).astype(x.dtype)
+
+
 def make_image_ids(height_tokens: int, width_tokens: int, position_delta=(0, 0)) -> np.ndarray:
     """(h*w, 3) grid ids for packed 2x2 latents: (0, y+dy, x+dx)."""
     ys, xs = np.meshgrid(np.arange(height_tokens), np.arange(width_tokens), indexing="ij")

@@ -84,3 +84,68 @@ def fuse_single_block_io(params: dict) -> dict:
     out = dict(params)
     out["single_blocks"] = blocks
     return out
+
+
+def permute_rope_layout(params: dict, head_dim: int) -> dict:
+    """Permute Q/K projection outputs (and QK-norm scales) to the half-split
+    RoPE layout (`models.flux.rope.rope_split_perm`): the serving forward
+    then rotates via two contiguous half-slices instead of stride-2 lane
+    shuffles (measured 107 ms/step of VPU time in the pair layout).
+
+    Apply together with the other load-time fusions, BEFORE quantization;
+    the caller must run the model with `rope_layout="split"`. V and the
+    output projections are untouched (attention logits are invariant under
+    a consistent q/k/table permutation)."""
+    import numpy as np
+
+    from ..models.flux.rope import rope_split_perm
+
+    perm = rope_split_perm(head_dim)
+
+    def perm_cols(p: dict, col_slice: tuple[int, int] | None = None) -> dict:
+        """Permute within each head of the output (last) axis of w/b."""
+        w = p["w"]
+        n_out = w.shape[-1] if col_slice is None else col_slice[1] - col_slice[0]
+        n_heads = n_out // head_dim
+        base = 0 if col_slice is None else col_slice[0]
+        idx = np.arange(w.shape[-1])
+        for h in range(n_heads):
+            idx[base + h * head_dim : base + (h + 1) * head_dim] = base + h * head_dim + perm
+        out = {"w": jnp.take(w, jnp.asarray(idx), axis=-1)}
+        if "b" in p:
+            out["b"] = jnp.take(p["b"], jnp.asarray(idx), axis=-1)
+        return out
+
+    def do_attn(attn: dict, hidden: int) -> dict:
+        attn = dict(attn)
+        for pref in ("", "txt_"):
+            if pref + "qkv" in attn:  # permute q and k thirds
+                attn[pref + "qkv"] = perm_cols(
+                    perm_cols(attn[pref + "qkv"], (0, hidden)), (hidden, 2 * hidden)
+                )
+            elif pref + "q" in attn and "w" in attn[pref + "q"]:
+                attn[pref + "q"] = perm_cols(attn[pref + "q"])
+                attn[pref + "k"] = perm_cols(attn[pref + "k"])
+            if pref + "q_norm" in attn:
+                for nk in (pref + "q_norm", pref + "k_norm"):
+                    attn[nk] = {"scale": jnp.take(attn[nk]["scale"], jnp.asarray(perm), axis=-1)}
+        return attn
+
+    out = dict(params)
+    for family in ("double_blocks", "single_blocks"):
+        if family not in out:
+            continue
+        blocks = dict(out[family])
+        hidden = None
+        for probe in ("in_proj", "mod", "img_mod"):
+            if probe in blocks and "w" in blocks[probe]:
+                hidden = blocks[probe]["w"].shape[-2]
+                break
+        if hidden is None:
+            return params  # quantized already: caller fused/permuted too late
+        if "in_proj" in blocks:  # fused single layout: q/k are the first thirds
+            p1 = perm_cols(blocks["in_proj"], (0, hidden))
+            blocks["in_proj"] = perm_cols(p1, (hidden, 2 * hidden))
+        blocks["attn"] = do_attn(blocks["attn"], hidden)
+        out[family] = blocks
+    return out

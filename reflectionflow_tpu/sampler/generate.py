@@ -36,6 +36,7 @@ from .scheduler import FlowMatchSchedule
         "union_cond_attn",
         "add_cond_attn",
         "attn_impl",
+        "rope_layout",
         "num_steps",
         "c_factor",  # static so the Pallas path can burn log(c) into the kernel
     ),
@@ -60,6 +61,7 @@ def denoise(
     union_cond_attn: bool = True,
     add_cond_attn: bool = False,
     attn_impl: str = "xla",
+    rope_layout: str = "pair",
 ) -> jnp.ndarray:
     """Run the full Euler loop; returns final packed latents (B, L_img, C)."""
     B = latents.shape[0]
@@ -82,6 +84,7 @@ def denoise(
                 cond=cond2, cond_ids=cond_ids, c_factor=c_factor,
                 union_cond_attn=union_cond_attn, add_cond_attn=add_cond_attn,
                 attn_impl=attn_impl, cond_params=cond_dit_params,
+                rope_layout=rope_layout,
             )
             v_cond, v_unc = v2[:B], v2[B:]
             return v_unc + jnp.asarray(image_guidance_scale, v2.dtype) * (v_cond - v_unc)
@@ -91,6 +94,7 @@ def denoise(
             cond=cond, cond_ids=cond_ids, c_factor=c_factor,
             union_cond_attn=union_cond_attn, add_cond_attn=add_cond_attn,
             attn_impl=attn_impl, cond_params=cond_dit_params,
+            rope_layout=rope_layout,
         )
 
     def euler_step(lat, step_inputs):

@@ -45,6 +45,7 @@ class FluxPipeline:
     attn_impl: str = "xla"
     cond_dit_params: Any = None  # LoRA-folded view for the cond stream (lora.make_dit_param_views)
     mesh: Any = None  # jax.sharding.Mesh: candidates sharded over "data"
+    rope_layout: str = "pair"  # "split" after quantize() permutes q/k (ops.fuse)
 
     # -- construction -------------------------------------------------------
 
@@ -122,16 +123,22 @@ class FluxPipeline:
         /root/reference/tts/tts_reflectionflow.py:503-512). QKV projections
         are fused first (`ops.fuse`) so the int8 panels are as wide as
         possible."""
-        from ..ops.fuse import fuse_dit_qkv, fuse_single_block_io
+        from ..ops.fuse import fuse_dit_qkv, fuse_single_block_io, permute_rope_layout
         from ..ops.quant import quantize_dit_params, quantize_params_int4
 
         # fused panels are incompatible with the per-head TP partition specs
         # (parallel.specs shards q/k/v by heads); keep unfused under model-TP
         tp = self.mesh is not None and self.mesh.shape.get("model", 1) > 1
         if fuse_qkv and not tp:
-            self.params["dit"] = fuse_single_block_io(fuse_dit_qkv(self.params["dit"]))
+            D = self.dit_cfg.head_dim
+
+            def serving_layout(tree):
+                return permute_rope_layout(fuse_single_block_io(fuse_dit_qkv(tree)), D)
+
+            self.params["dit"] = serving_layout(self.params["dit"])
             if self.cond_dit_params is not None:
-                self.cond_dit_params = fuse_single_block_io(fuse_dit_qkv(self.cond_dit_params))
+                self.cond_dit_params = serving_layout(self.cond_dit_params)
+            self.rope_layout = "split"
         for name in which:
             if name in self.params:
                 self.params[name] = quantize_dit_params(
@@ -324,6 +331,7 @@ class FluxPipeline:
             union_cond_attn=self.model_flags.get("union_cond_attn", True),
             add_cond_attn=self.model_flags.get("add_cond_attn", False),
             attn_impl=self.attn_impl,
+            rope_layout=self.rope_layout,
         )
         if output_type == "latent":
             return final

@@ -118,6 +118,60 @@ def test_fuse_single_block_io_matches(key):
     assert err < 0.05, err
 
 
+def test_rope_split_layout_matches(key):
+    """Half-split RoPE layout (permuted q/k weights + tables, contiguous-half
+    rotation) == the pair layout, through the full DiT with and without the
+    cond stream, composed with the serving fusions and quantization."""
+    from reflectionflow_tpu.models.flux.rope import (
+        apply_rope,
+        apply_rope_split,
+        rope_split_perm,
+        rope_tables,
+    )
+    from reflectionflow_tpu.ops.fuse import fuse_dit_qkv, fuse_single_block_io, permute_rope_layout
+
+    # op-level: rotating permuted lanes with permuted tables == permuting the
+    # pair-layout rotation
+    D = 8
+    x = jax.random.normal(key, (1, 6, 2, D))
+    ids = jnp.asarray(np.arange(6, dtype=np.float32)[:, None] * np.ones((1, 3), np.float32))
+    cos, sin = rope_tables(ids, (2, 2, 4))
+    perm = rope_split_perm(D)
+    ref = apply_rope(x, cos, sin)[..., perm]
+    out = apply_rope_split(x[..., perm], cos[:, perm], sin[:, perm])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    # model-level
+    cfg = FluxDiTConfig.tiny()
+    params = flux_dit_init(key, cfg)
+    serving = permute_rope_layout(fuse_single_block_io(fuse_dit_qkv(params)), cfg.head_dim)
+    inputs = dict(
+        img=jax.random.normal(jax.random.PRNGKey(1), (1, 16, cfg.in_channels)),
+        txt=jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.text_dim)),
+        pooled=jax.random.normal(jax.random.PRNGKey(3), (1, cfg.pooled_dim)),
+        timestep=jnp.array([0.5]),
+        img_ids=jnp.asarray(make_image_ids(4, 4)),
+        txt_ids=jnp.asarray(make_text_ids(8)),
+        guidance=jnp.array([3.5]),
+    )
+    cond_inputs = dict(
+        inputs,
+        cond=jax.random.normal(jax.random.PRNGKey(4), (1, 4, cfg.in_channels)),
+        cond_ids=jnp.asarray(make_image_ids(2, 2)),
+        c_factor=2.0,
+    )
+    for inp in (inputs, cond_inputs):
+        ref = flux_dit_apply(params, cfg, **inp)
+        out = flux_dit_apply(serving, cfg, **inp, rope_layout="split")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    # quantization on top stays close
+    q = quantize_dit_params(serving, min_size=64 * 64, act_quant=True)
+    out_q = flux_dit_apply(q, cfg, **inputs, rope_layout="split")
+    ref = flux_dit_apply(params, cfg, **inputs)
+    err = float(jnp.abs(out_q - ref).mean() / jnp.abs(ref).mean())
+    assert err < 0.05, err
+
+
 def test_quantized_t5_and_qwen_lm_run(key):
     """int8 path through T5 and the Qwen LM (review fix: raw matmuls)."""
     from reflectionflow_tpu.config import QwenLMConfig, T5Config

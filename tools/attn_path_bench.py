@@ -1,0 +1,114 @@
+"""Decompose the serving attention path's cost on hardware.
+
+tools/step_ablation.py showed the attention PATH costs ~254 ms/step while
+the kernel sweep suggests ~110 ms/step of kernel time — the rest is the
+XLA-side prep around `pl.pallas_call` (per-token q/k int8 quantization with
+K centering, (B,L,H,D)->(B*H,L,D) layout transposes, output back-transpose).
+This times each jitted subgraph at the real FLUX single-block shape with an
+inner fori loop (single calls are below the tunnel RTT).
+
+Prints one JSON line of per-call ms.
+"""
+
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, ".")
+
+from reflectionflow_tpu.ops.pallas_attention import (  # noqa: E402
+    _from_bh,
+    _quant_qk_int8,
+    _to_bh,
+    flash_attention,
+)
+
+_SUM = jax.jit(lambda v: jnp.sum(v.astype(jnp.float32)))
+
+
+def fetch(x):
+    return float(np.asarray(_SUM(x)))
+
+
+def timed(fn, args, rtt, inner, reps=3):
+    fetch(fn(*args))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fetch(fn(*args))
+        ts.append(time.perf_counter() - t0)
+    return (min(ts) - rtt) * 1e3 / inner
+
+
+def main():
+    L = int(sys.argv[1]) if len(sys.argv) > 1 else 4608
+    B, H, D = 1, 24, 128
+    inner = 8
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.standard_normal((B, L, H, D)), jnp.bfloat16) for _ in range(3))
+
+    small = jnp.ones((8, 8), jnp.bfloat16)
+    fetch(small)
+    t0 = time.perf_counter()
+    fetch(small)
+    rtt = time.perf_counter() - t0
+    out = {"shape": f"B{B} L{L} H{H} D{D}", "rtt_ms": round(rtt * 1e3, 1), "inner": inner}
+
+    def loop(body):
+        @jax.jit
+        def many(q, k, v):
+            def it(i, acc):
+                return acc + body(jnp.roll(q, i, axis=1), k, v)
+
+            return jax.lax.fori_loop(0, inner, it, jnp.zeros((), jnp.float32))
+
+        return many
+
+    # whole int8 path (quant + transposes + kernel + back-transpose)
+    out["full_int8_ms"] = round(
+        timed(loop(lambda q, k, v: jnp.sum(flash_attention(q, k, v, int8=True).astype(jnp.float32))),
+              (q, k, v), rtt, inner), 2)
+    # whole bf16 path
+    out["full_bf16_ms"] = round(
+        timed(loop(lambda q, k, v: jnp.sum(flash_attention(q, k, v).astype(jnp.float32))),
+              (q, k, v), rtt, inner), 2)
+
+    # prep only: quant + all four layout transposes (no kernel)
+    def prep(q, k, v):
+        scale = 1.0 / np.sqrt(D)
+        q_i8, k_i8, q_s, k_s = _quant_qk_int8(q, k, scale)
+        qb = _to_bh(q_i8, B, H, L, D)
+        kb = _to_bh(k_i8, B, H, L, D)
+        vb = _to_bh(v, B, H, L, D)
+        return (jnp.sum(qb.astype(jnp.float32)) + jnp.sum(kb.astype(jnp.float32))
+                + jnp.sum(vb.astype(jnp.float32)) + jnp.sum(q_s) + jnp.sum(k_s))
+
+    out["prep_int8_ms"] = round(timed(loop(prep), (q, k, v), rtt, inner), 2)
+
+    # transposes only
+    def trans(q, k, v):
+        qb = _to_bh(q, B, H, L, D)
+        vb = _to_bh(v, B, H, L, D)
+        back = _from_bh(qb, B, H, L, D)
+        return jnp.sum(qb.astype(jnp.float32)) + jnp.sum(vb.astype(jnp.float32)) + jnp.sum(
+            back.astype(jnp.float32))
+
+    out["three_transposes_ms"] = round(timed(loop(trans), (q, k, v), rtt, inner), 2)
+
+    # quant only (no transposes)
+    def quant(q, k, v):
+        q_i8, k_i8, q_s, k_s = _quant_qk_int8(q, k, 1.0 / np.sqrt(D))
+        return (jnp.sum(q_i8.astype(jnp.float32)) + jnp.sum(k_i8.astype(jnp.float32))
+                + jnp.sum(q_s) + jnp.sum(k_s))
+
+    out["quant_only_ms"] = round(timed(loop(quant), (q, k, v), rtt, inner), 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
