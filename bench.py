@@ -332,7 +332,7 @@ def bench_e2e(rtt: float, phase_swap: bool = False) -> dict | None:
     def run_denoise(txt, pooled):
         return denoise(
             dit, dit_cfg, latents, txt, pooled, img_ids, txt_ids, sigmas,
-            jnp.asarray(3.5, jnp.float32), NUM_STEPS, attn_impl="pallas_int8",
+            jnp.asarray(3.5, jnp.float32), NUM_STEPS, attn_impl="pallas",
             rope_layout=ROPE_LAYOUT,
         )
 
@@ -355,7 +355,7 @@ def bench_e2e(rtt: float, phase_swap: bool = False) -> dict | None:
     mode = "phase-swap" if phase_swap else "co-resident"
     return {
         "t_image_s": t_enc + t_den + t_dec,
-        "config": f"e2e int4-T5 encode + W8A8 DiT 19/38 (pallas int8-QK attn) + VAE decode, {mode}",
+        "config": f"e2e int4-T5 encode + W8A8 DiT 19/38 (pallas flash attn, split rope) + VAE decode, {mode}",
         "t_encode_s": round(t_enc, 3),
         "t_denoise_s": round(t_den, 3),
         "t_decode_fetch_s": round(t_dec, 3),
@@ -371,7 +371,7 @@ def bench_int8_full(rtt: float) -> dict | None:
     cfg = FluxDiTConfig()
     params = None
     for init_name, init_fn in (("device", init_int8_on_device), ("host", init_int8_full)):
-        for attn_impl in ("pallas_int8", "pallas", "xla"):
+        for attn_impl in ("pallas", "pallas_int8", "xla"):
             try:
                 if params is None:
                     params = init_fn(cfg)

@@ -185,24 +185,35 @@ def _unheads(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(B, L, nH * D)
 
 
-def _qkv_split(attn_p, cfg, qkv, prefix=""):
+def _rms_fast(x, scale, eps=1e-6):
+    """Serving QK-norm: fp32 only for the per-row rsqrt reduce; the (L, H, D)
+    elementwise stays in the storage dtype (no fp32 intermediates)."""
+    var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    return x * jax.lax.rsqrt(var + eps).astype(x.dtype) * scale.astype(x.dtype)
+
+
+def _qk_norm(x, scale, fast):
+    return _rms_fast(x, scale) if fast else rms_norm(x, scale)
+
+
+def _qkv_split(attn_p, cfg, qkv, prefix="", fast=False):
     """Split a packed (..., 3H[+extra]) projection into normed per-head q/k/v."""
     H = cfg.num_heads * cfg.head_dim
     q_r, k_r, v_r = qkv[..., :H], qkv[..., H : 2 * H], qkv[..., 2 * H : 3 * H]
-    q = rms_norm(_heads(cfg, q_r), attn_p[prefix + "q_norm"]["scale"])
-    k = rms_norm(_heads(cfg, k_r), attn_p[prefix + "k_norm"]["scale"])
+    q = _qk_norm(_heads(cfg, q_r), attn_p[prefix + "q_norm"]["scale"], fast)
+    k = _qk_norm(_heads(cfg, k_r), attn_p[prefix + "k_norm"]["scale"], fast)
     v = _heads(cfg, v_r)
     return q, k, v
 
 
-def _qkv(attn_p, cfg, x, prefix=""):
+def _qkv(attn_p, cfg, x, prefix="", fast=False):
     if prefix + "qkv" in attn_p:  # fused projection (ops.fuse.fuse_dit_qkv)
-        return _qkv_split(attn_p, cfg, linear(attn_p[prefix + "qkv"], x), prefix)
+        return _qkv_split(attn_p, cfg, linear(attn_p[prefix + "qkv"], x), prefix, fast)
     q_r = linear(attn_p[prefix + "q"], x)
     k_r = linear(attn_p[prefix + "k"], x)
     v_r = linear(attn_p[prefix + "v"], x)
-    q = rms_norm(_heads(cfg, q_r), attn_p[prefix + "q_norm"]["scale"])
-    k = rms_norm(_heads(cfg, k_r), attn_p[prefix + "k_norm"]["scale"])
+    q = _qk_norm(_heads(cfg, q_r), attn_p[prefix + "q_norm"]["scale"], fast)
+    k = _qk_norm(_heads(cfg, k_r), attn_p[prefix + "k_norm"]["scale"], fast)
     v = _heads(cfg, v_r)
     return q, k, v
 
@@ -229,9 +240,10 @@ def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rop
     img_n = adaln_modulate(img, i_sh1, i_sc1)
     txt_n = adaln_modulate(txt, t_sh1, t_sc1)
 
+    fast = flags.get("fast_qk", False)
     ap = bp["attn"]
-    img_q, img_k, img_v = _qkv(ap, cfg, img_n)
-    txt_q, txt_k, txt_v = _qkv(ap, cfg, txt_n, prefix="txt_")
+    img_q, img_k, img_v = _qkv(ap, cfg, img_n, fast=fast)
+    txt_q, txt_k, txt_v = _qkv(ap, cfg, txt_n, prefix="txt_", fast=fast)
     # RoPE covers [txt|img] jointly; cond has its own tables
     q = jnp.concatenate([txt_q, img_q], axis=1)
     k = jnp.concatenate([txt_k, img_k], axis=1)
@@ -243,7 +255,7 @@ def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rop
         # cond stream reads the (possibly LoRA-folded) bp_c weights
         c_sh1, c_sc1, c_g1, c_sh2, c_sc2, c_g2 = _mod(bp_c["img_mod"], cond_temb, 6)
         cond_n = adaln_modulate(cond, c_sh1, c_sc1)
-        cond_q, cond_k, cond_v = _qkv(bp_c["attn"], cfg, cond_n)
+        cond_q, cond_k, cond_v = _qkv(bp_c["attn"], cfg, cond_n, fast=fast)
         cond_q, cond_k = _rope_qk(cond_q, cond_k, rope_cond)
         streams_q.append(cond_q)
         streams_k.append(cond_k)
@@ -281,17 +293,17 @@ def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rop
     return img, txt, cond
 
 
-def _single_in(bp, cfg, h_n):
+def _single_in(bp, cfg, h_n, fast=False):
     """(mlp_pre_gelu, q, k, v) for one single-block stream; `in_proj` is the
     fused serving panel (ops.fuse.fuse_single_block_io): one matmul — and
     under W8A8 one per-token activation quantization — for all four."""
     if "in_proj" in bp:
         fused = linear(bp["in_proj"], h_n)
-        q, k, v = _qkv_split(bp["attn"], cfg, fused)
+        q, k, v = _qkv_split(bp["attn"], cfg, fused, fast=fast)
         mlp = gelu_tanh(fused[..., 3 * cfg.num_heads * cfg.head_dim :])
     else:
         mlp = gelu_tanh(linear(bp["mlp_in"], h_n))
-        q, k, v = _qkv(bp["attn"], cfg, h_n)
+        q, k, v = _qkv(bp["attn"], cfg, h_n, fast=fast)
     return mlp, q, k, v
 
 
@@ -309,13 +321,13 @@ def _single_block_apply(bp, cfg, hidden, cond, temb, cond_temb, rope_main, rope_
     use_cond = cond is not None
     sh, sc, gate = _mod(bp["mod"], temb, 3)
     h_n = adaln_modulate(hidden, sh, sc)
-    mlp, q, k, v = _single_in(bp, cfg, h_n)
+    mlp, q, k, v = _single_in(bp, cfg, h_n, fast=flags.get("fast_qk", False))
     q, k = _rope_qk(q, k, rope_main)
     streams_q, streams_k, streams_v = [q], [k], [v]
     if use_cond:
         c_sh, c_sc, c_gate = _mod(bp_c["mod"], cond_temb, 3)
         cond_n = adaln_modulate(cond, c_sh, c_sc)
-        cond_mlp, cq, ck, cv = _single_in(bp_c, cfg, cond_n)
+        cond_mlp, cq, ck, cv = _single_in(bp_c, cfg, cond_n, fast=flags.get("fast_qk", False))
         cq, ck = _rope_qk(cq, ck, rope_cond)
         streams_q.append(cq)
         streams_k.append(ck)
@@ -358,7 +370,8 @@ def flux_dit_apply(
     from .rope import rope_split_perm, rope_tables
 
     use_cond = cond is not None
-    flags = {"add_cond_attn": add_cond_attn}
+    # "split" is the serving layout: fast (storage-dtype) QK-norm + RoPE
+    flags = {"add_cond_attn": add_cond_attn, "fast_qk": rope_layout == "split"}
     dtype = img.dtype
 
     img = linear(params["img_in"], img)
@@ -392,7 +405,8 @@ def flux_dit_apply(
         cos, sin = rope_tables(ids, cfg.axes_dims_rope, cfg.rope_theta)
         if split:
             perm = jnp.asarray(rope_split_perm(cfg.head_dim))
-            cos, sin = cos[:, perm], sin[:, perm]
+            # bf16 tables select the all-bf16 rotation (rope.apply_rope_split)
+            cos, sin = cos[:, perm].astype(dtype), sin[:, perm].astype(dtype)
         return cos, sin, split
 
     rope_main = tables(main_ids)

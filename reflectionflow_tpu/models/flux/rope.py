@@ -72,8 +72,13 @@ def rope_split_perm(head_dim: int) -> np.ndarray:
 
 def apply_rope_split(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
     """Rotate (B, L, H, D) in the half-split layout: tables pre-permuted by
-    `rope_split_perm` (cos/sin halves are then identical copies)."""
-    xf = x.astype(jnp.float32)
+    `rope_split_perm` (cos/sin halves are then identical copies).
+
+    Math runs in fp32 when the tables are fp32; bf16 tables select the
+    serving fast path — all-bf16 elementwise, no (B, L, H, D) fp32
+    intermediates (|cos|,|sin| <= 1, so the rotation error is ~0.4%
+    relative, below the int8 weight-quant noise floor)."""
+    xf = x if cos.dtype == x.dtype else x.astype(jnp.float32)
     half = x.shape[-1] // 2
     x1, x2 = xf[..., :half], xf[..., half:]
     rotated = jnp.concatenate([-x2, x1], axis=-1)

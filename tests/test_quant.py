@@ -172,6 +172,30 @@ def test_rope_split_layout_matches(key):
     assert err < 0.05, err
 
 
+def test_rope_split_fast_path_bf16_cosine(key):
+    """The serving fast path (bf16 rope tables + storage-dtype QK-norm,
+    selected by rope_layout='split' on bf16 activations) stays directionally
+    faithful to the exact fp32-elementwise pair-layout forward."""
+    from reflectionflow_tpu.ops.fuse import fuse_dit_qkv, fuse_single_block_io, permute_rope_layout
+
+    cfg = FluxDiTConfig.tiny()
+    params = flux_dit_init(key, cfg, jnp.bfloat16)
+    serving = permute_rope_layout(fuse_single_block_io(fuse_dit_qkv(params)), cfg.head_dim)
+    inputs = dict(
+        img=jax.random.normal(jax.random.PRNGKey(1), (1, 16, cfg.in_channels), jnp.bfloat16),
+        txt=jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.text_dim), jnp.bfloat16),
+        pooled=jax.random.normal(jax.random.PRNGKey(3), (1, cfg.pooled_dim), jnp.bfloat16),
+        timestep=jnp.array([0.5], jnp.bfloat16),
+        img_ids=jnp.asarray(make_image_ids(4, 4)),
+        txt_ids=jnp.asarray(make_text_ids(8)),
+        guidance=jnp.array([3.5], jnp.bfloat16),
+    )
+    ref = np.asarray(flux_dit_apply(params, cfg, **inputs), np.float32).ravel()
+    out = np.asarray(flux_dit_apply(serving, cfg, **inputs, rope_layout="split"), np.float32).ravel()
+    cos = float(ref @ out / (np.linalg.norm(ref) * np.linalg.norm(out)))
+    assert cos > 0.999, cos
+
+
 def test_quantized_t5_and_qwen_lm_run(key):
     """int8 path through T5 and the Qwen LM (review fix: raw matmuls)."""
     from reflectionflow_tpu.config import QwenLMConfig, T5Config

@@ -53,6 +53,7 @@ def main():
         t5_tokenizer=load_tokenizer(None, "t5", t5_cfg.vocab_size, 1),
         clip_tokenizer=load_tokenizer(None, "clip", clip_cfg.vocab_size, clip_cfg.eos_token_id),
         dtype=jnp.bfloat16, attn_impl="pallas",
+        rope_layout="split",  # synthetic weights: apply-path timing only
     )
     pipe.enable_phase_swap(offload=("t5",))
 
