@@ -196,6 +196,22 @@ def _qk_norm(x, scale, fast):
     return _rms_fast(x, scale) if fast else rms_norm(x, scale)
 
 
+def _adaln_fast(x, shift, scale, eps=1e-6):
+    """Serving AdaLN-Zero modulate: fp32 only for the per-row mean/var
+    reduces; the big (L, H) elementwise runs in the storage dtype."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True) - mu * mu
+    r = jax.lax.rsqrt(jnp.maximum(var, 0.0) + eps)
+    a = r.astype(x.dtype)
+    b = (-mu * r).astype(x.dtype)
+    return (x * a + b) * (1.0 + scale[:, None, :].astype(x.dtype)) + shift[:, None, :].astype(x.dtype)
+
+
+def _modulate(x, shift, scale, fast):
+    return _adaln_fast(x, shift, scale) if fast else adaln_modulate(x, shift, scale)
+
+
 def _qkv_split(attn_p, cfg, qkv, prefix="", fast=False):
     """Split a packed (..., 3H[+extra]) projection into normed per-head q/k/v."""
     H = cfg.num_heads * cfg.head_dim
@@ -254,7 +270,7 @@ def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rop
     if use_cond:
         # cond stream reads the (possibly LoRA-folded) bp_c weights
         c_sh1, c_sc1, c_g1, c_sh2, c_sc2, c_g2 = _mod(bp_c["img_mod"], cond_temb, 6)
-        cond_n = adaln_modulate(cond, c_sh1, c_sc1)
+        cond_n = _modulate(cond, c_sh1, c_sc1, fast)
         cond_q, cond_k, cond_v = _qkv(bp_c["attn"], cfg, cond_n, fast=fast)
         cond_q, cond_k = _rope_qk(cond_q, cond_k, rope_cond)
         streams_q.append(cond_q)
@@ -281,12 +297,12 @@ def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rop
             img = img + gated_cond_attn
 
     # feed-forward (img-stream MLP shared with cond)
-    img_m = adaln_modulate(img, i_sh2, i_sc2)
+    img_m = _modulate(img, i_sh2, i_sc2, fast)
     img = img + i_g2[:, None, :] * linear(bp["img_mlp"]["fc2"], gelu_tanh(linear(bp["img_mlp"]["fc1"], img_m)))
-    txt_m = adaln_modulate(txt, t_sh2, t_sc2)
+    txt_m = _modulate(txt, t_sh2, t_sc2, fast)
     txt = txt + t_g2[:, None, :] * linear(bp["txt_mlp"]["fc2"], gelu_tanh(linear(bp["txt_mlp"]["fc1"], txt_m)))
     if use_cond:
-        cond_m = adaln_modulate(cond, c_sh2, c_sc2)
+        cond_m = _modulate(cond, c_sh2, c_sc2, fast)
         cond = cond + c_g2[:, None, :] * linear(
             bp_c["img_mlp"]["fc2"], gelu_tanh(linear(bp_c["img_mlp"]["fc1"], cond_m))
         )
@@ -320,14 +336,15 @@ def _single_block_apply(bp, cfg, hidden, cond, temb, cond_temb, rope_main, rope_
     bp_c = bp if bp_c is None else bp_c
     use_cond = cond is not None
     sh, sc, gate = _mod(bp["mod"], temb, 3)
-    h_n = adaln_modulate(hidden, sh, sc)
-    mlp, q, k, v = _single_in(bp, cfg, h_n, fast=flags.get("fast_qk", False))
+    fast = flags.get("fast_qk", False)
+    h_n = _modulate(hidden, sh, sc, fast)
+    mlp, q, k, v = _single_in(bp, cfg, h_n, fast=fast)
     q, k = _rope_qk(q, k, rope_main)
     streams_q, streams_k, streams_v = [q], [k], [v]
     if use_cond:
         c_sh, c_sc, c_gate = _mod(bp_c["mod"], cond_temb, 3)
-        cond_n = adaln_modulate(cond, c_sh, c_sc)
-        cond_mlp, cq, ck, cv = _single_in(bp_c, cfg, cond_n, fast=flags.get("fast_qk", False))
+        cond_n = _modulate(cond, c_sh, c_sc, fast)
+        cond_mlp, cq, ck, cv = _single_in(bp_c, cfg, cond_n, fast=fast)
         cq, ck = _rope_qk(cq, ck, rope_cond)
         streams_q.append(cq)
         streams_k.append(ck)

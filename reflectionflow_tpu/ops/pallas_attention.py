@@ -95,7 +95,17 @@ def _flash_fwd_kernel(
     m0 = jnp.full((BQ, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((BQ, 1), jnp.float32)
     acc0 = jnp.zeros((BQ, D), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
+    if num_k_blocks <= 16:
+        # static unroll: the QK^T dot of block k+1 has no data dependency on
+        # block k's softmax, so Mosaic can overlap MXU dots with the fp32
+        # softmax VPU work (a fori_loop body is scheduled strictly serially —
+        # measured ~0.5 ms/call of un-overlapped softmax at FLUX shapes)
+        carry = (m0, l0, acc0)
+        for kb in range(num_k_blocks):
+            carry = body(kb, carry)
+        m, l, acc = carry
+    else:
+        m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
     l_safe = jnp.maximum(l, 1e-20)
     out_ref[:] = (acc / l_safe).astype(out_ref.dtype)
     lse_ref[:] = m + jnp.log(l_safe)  # (BQ, 1)
@@ -265,7 +275,13 @@ def _flash_fwd_int8_kernel(
     m0 = jnp.full((BQ, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((BQ, 1), jnp.float32)
     acc0 = jnp.zeros((BQ, D), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
+    if num_k_blocks <= 16:  # static unroll: overlap dots with softmax (see bf16 kernel)
+        carry = (m0, l0, acc0)
+        for kb in range(num_k_blocks):
+            carry = body(kb, carry)
+        m, l, acc = carry
+    else:
+        m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
     out_ref[:] = (acc / jnp.maximum(l, 1e-20)).astype(out_ref.dtype)
 
 
@@ -505,17 +521,14 @@ def flash_attention_structured(
 
 
 def _block_policy(L):
-    # block policy (v5e sweep, tools/attn_sweep.py): full-length K blocks win
-    # at FLUX sequence lengths — one k-iteration, logits tile bq x L fp32
-    # stays well under VMEM (256 x 5632 x 4 = 5.8 MB) and the online-softmax
-    # correction work disappears. bk must be a bq-multiple DIVIDING the padded
-    # length (grids floor-divide), so pick the largest divisor of
-    # ceil(L / bq) under the ~6144 VMEM cap — worst case bk == bq.
-    bq = min(256, _round_up(L, 128))
-    m = -(-L // bq)  # padded length = m * bq
-    cap = max(1, 6144 // bq)
-    d = max(dd for dd in range(1, min(m, cap) + 1) if m % dd == 0)
-    return bq, d * bq
+    # block policy (v5e sweep, tools/attn_sweep.py): with the statically
+    # UNROLLED K loop, 512x512 blocks win (1.40 ms = 95% of the bf16 MXU
+    # peak at L=4608) — the unrolled dataflow lets Mosaic overlap block
+    # k+1's QK^T dot with block k's fp32 softmax, which a fori_loop body
+    # serializes (full-length K blocks, the old policy, measured 1.91 ms).
+    # bq == bk divides the padded length by construction.
+    bq = min(512, _round_up(L, 128))
+    return bq, bq
 
 
 def flash_attention(q, k, v, bias=None, main_len=None, cross_bias=0.0, interpret=False, int8=False):
