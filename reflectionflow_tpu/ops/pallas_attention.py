@@ -156,7 +156,12 @@ def _flash_dq_kernel(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    dq = jax.lax.fori_loop(0, num_k_blocks, body, jnp.zeros((BQ, D), jnp.float32))
+    dq = jnp.zeros((BQ, D), jnp.float32)
+    if num_k_blocks <= 16:  # static unroll: overlap dots with VPU work
+        for kb in range(num_k_blocks):
+            dq = body(kb, dq)
+    else:
+        dq = jax.lax.fori_loop(0, num_k_blocks, body, dq)
     dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
 
 
@@ -214,7 +219,13 @@ def _flash_dkv_kernel(
 
     dk0 = jnp.zeros((BK, D), jnp.float32)
     dv0 = jnp.zeros((BK, D), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, num_q_blocks, body, (dk0, dv0))
+    if num_q_blocks <= 16:  # static unroll: overlap dots with VPU work
+        carry = (dk0, dv0)
+        for qb in range(num_q_blocks):
+            carry = body(qb, carry)
+        dk, dv = carry
+    else:
+        dk, dv = jax.lax.fori_loop(0, num_q_blocks, body, (dk0, dv0))
     dk_ref[:] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[:] = dv.astype(dv_ref.dtype)
 
