@@ -212,6 +212,58 @@ def _modulate(x, shift, scale, fast):
     return _adaln_fast(x, shift, scale) if fast else adaln_modulate(x, shift, scale)
 
 
+def _quant_block_rows(L, width=3072):
+    from ...ops.pallas_quant import auto_block_rows
+
+    return auto_block_rows(L, width)
+
+
+def _use_fused_quant(flags, attn_impl, p, L):
+    """Gate for the Pallas fused act-quant serving path (ops.pallas_quant):
+    serving fast layout + W8A8 params + a pallas attention impl (its
+    `_interpret` suffix also drives the quant kernels' interpret mode) +
+    row-tileable length."""
+    return (
+        flags.get("fast_qk", False)
+        and attn_impl.startswith("pallas")
+        and isinstance(p, dict)
+        and "act_q" in p
+        and _quant_block_rows(L) > 0
+    )
+
+
+def _adaln_quant_matmul(x, shift, scale, p, attn_impl, dtype):
+    """modulate+quant (one Pallas pass) -> pre-quantized W8A8 matmul."""
+    from ...ops.pallas_quant import adaln_quant
+    from ...ops.quant import int8_matmul_pre
+
+    interp = attn_impl.endswith("interpret")
+    xq, xs = adaln_quant(x, shift, scale, block_rows=_quant_block_rows(x.shape[1], x.shape[-1]), interpret=interp)
+    return int8_matmul_pre(xq, xs, p, dtype)
+
+
+def _gelu_quant_matmul(x_pre, p, attn_impl, dtype):
+    """gelu+quant (one Pallas pass) -> pre-quantized W8A8 matmul."""
+    from ...ops.pallas_quant import gelu_quant
+    from ...ops.quant import int8_matmul_pre
+
+    interp = attn_impl.endswith("interpret")
+    mq, ms = gelu_quant(x_pre, block_rows=_quant_block_rows(x_pre.shape[1], x_pre.shape[-1]), interpret=interp)
+    return int8_matmul_pre(mq, ms, p, dtype)
+
+
+def _rowquant_matmul(x, p, attn_impl, dtype):
+    """per-token quant (one Pallas pass) -> pre-quantized W8A8 matmul."""
+    from ...ops.pallas_quant import rowquant
+    from ...ops.quant import int8_matmul_pre
+
+    interp = attn_impl.endswith("interpret")
+    xq, xs = rowquant(x, block_rows=_quant_block_rows(x.shape[1], x.shape[-1]), interpret=interp)
+    return int8_matmul_pre(xq, xs, p, dtype)
+
+
+
+
 def _qkv_split(attn_p, cfg, qkv, prefix="", fast=False):
     """Split a packed (..., 3H[+extra]) projection into normed per-head q/k/v."""
     H = cfg.num_heads * cfg.head_dim
@@ -253,13 +305,18 @@ def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rop
     # modulation (img-side params are shared with the cond stream)
     i_sh1, i_sc1, i_g1, i_sh2, i_sc2, i_g2 = _mod(bp["img_mod"], temb, 6)
     t_sh1, t_sc1, t_g1, t_sh2, t_sc2, t_g2 = _mod(bp["txt_mod"], temb, 6)
-    img_n = adaln_modulate(img, i_sh1, i_sc1)
-    txt_n = adaln_modulate(txt, t_sh1, t_sc1)
-
     fast = flags.get("fast_qk", False)
     ap = bp["attn"]
-    img_q, img_k, img_v = _qkv(ap, cfg, img_n, fast=fast)
-    txt_q, txt_k, txt_v = _qkv(ap, cfg, txt_n, prefix="txt_", fast=fast)
+
+    def stream_qkv(a, x, sh, sc, prefix=""):
+        # serving: modulate+act-quant as ONE Pallas pass feeding the panel matmul
+        if prefix + "qkv" in a and _use_fused_quant(flags, attn_impl, a[prefix + "qkv"], x.shape[1]):
+            panel = _adaln_quant_matmul(x, sh, sc, a[prefix + "qkv"], attn_impl, x.dtype)
+            return _qkv_split(a, cfg, panel, prefix, fast=True)
+        return _qkv(a, cfg, _modulate(x, sh, sc, fast), prefix=prefix, fast=fast)
+
+    img_q, img_k, img_v = stream_qkv(ap, img, i_sh1, i_sc1)
+    txt_q, txt_k, txt_v = stream_qkv(ap, txt, t_sh1, t_sc1, prefix="txt_")
     # RoPE covers [txt|img] jointly; cond has its own tables
     q = jnp.concatenate([txt_q, img_q], axis=1)
     k = jnp.concatenate([txt_k, img_k], axis=1)
@@ -270,8 +327,7 @@ def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rop
     if use_cond:
         # cond stream reads the (possibly LoRA-folded) bp_c weights
         c_sh1, c_sc1, c_g1, c_sh2, c_sc2, c_g2 = _mod(bp_c["img_mod"], cond_temb, 6)
-        cond_n = _modulate(cond, c_sh1, c_sc1, fast)
-        cond_q, cond_k, cond_v = _qkv(bp_c["attn"], cfg, cond_n, fast=fast)
+        cond_q, cond_k, cond_v = stream_qkv(bp_c["attn"], cond, c_sh1, c_sc1)
         cond_q, cond_k = _rope_qk(cond_q, cond_k, rope_cond)
         streams_q.append(cond_q)
         streams_k.append(cond_k)
@@ -281,13 +337,13 @@ def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rop
     joint = outs[0]
     txt_len = txt.shape[1]
     txt_attn, img_attn = joint[:, :txt_len], joint[:, txt_len:]
-    img_attn = linear(ap["out"], _unheads(img_attn))
-    txt_attn = linear(ap["txt_out"], _unheads(txt_attn))
+    img_attn = _proj(ap["out"], _unheads(img_attn), flags, attn_impl)
+    txt_attn = _proj(ap["txt_out"], _unheads(txt_attn), flags, attn_impl)
 
     img = img + i_g1[:, None, :] * img_attn
     txt = txt + t_g1[:, None, :] * txt_attn
     if use_cond:
-        cond_attn = linear(bp_c["attn"]["out"], _unheads(outs[1]))
+        cond_attn = _proj(bp_c["attn"]["out"], _unheads(outs[1]), flags, attn_impl)
         gated_cond_attn = c_g1[:, None, :] * cond_attn
         cond = cond + gated_cond_attn
         if flags.get("add_cond_attn", False):
@@ -297,16 +353,29 @@ def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rop
             img = img + gated_cond_attn
 
     # feed-forward (img-stream MLP shared with cond)
-    img_m = _modulate(img, i_sh2, i_sc2, fast)
-    img = img + i_g2[:, None, :] * linear(bp["img_mlp"]["fc2"], gelu_tanh(linear(bp["img_mlp"]["fc1"], img_m)))
-    txt_m = _modulate(txt, t_sh2, t_sc2, fast)
-    txt = txt + t_g2[:, None, :] * linear(bp["txt_mlp"]["fc2"], gelu_tanh(linear(bp["txt_mlp"]["fc1"], txt_m)))
+    img = img + i_g2[:, None, :] * _mlp_apply(bp["img_mlp"], img, i_sh2, i_sc2, flags, attn_impl, fast)
+    txt = txt + t_g2[:, None, :] * _mlp_apply(bp["txt_mlp"], txt, t_sh2, t_sc2, flags, attn_impl, fast)
     if use_cond:
-        cond_m = _modulate(cond, c_sh2, c_sc2, fast)
-        cond = cond + c_g2[:, None, :] * linear(
-            bp_c["img_mlp"]["fc2"], gelu_tanh(linear(bp_c["img_mlp"]["fc1"], cond_m))
+        cond = cond + c_g2[:, None, :] * _mlp_apply(
+            bp_c["img_mlp"], cond, c_sh2, c_sc2, flags, attn_impl, fast
         )
     return img, txt, cond
+
+
+def _proj(p, x, flags, attn_impl):
+    """Attention out-projection: fused rowquant+matmul on the serving path."""
+    if _use_fused_quant(flags, attn_impl, p, x.shape[1]):
+        return _rowquant_matmul(x, p, attn_impl, x.dtype)
+    return linear(p, x)
+
+
+def _mlp_apply(mlp_p, x, sh2, sc2, flags, attn_impl, fast):
+    """modulate -> fc1 -> gelu -> fc2, fusing both act-quants on the serving path."""
+    if _use_fused_quant(flags, attn_impl, mlp_p["fc1"], x.shape[1]) and "act_q" in mlp_p["fc2"]:
+        pre = _adaln_quant_matmul(x, sh2, sc2, mlp_p["fc1"], attn_impl, x.dtype)
+        return _gelu_quant_matmul(pre, mlp_p["fc2"], attn_impl, x.dtype)
+    x_m = _modulate(x, sh2, sc2, fast)
+    return linear(mlp_p["fc2"], gelu_tanh(linear(mlp_p["fc1"], x_m)))
 
 
 def _single_in(bp, cfg, h_n, fast=False):
@@ -332,27 +401,49 @@ def _single_out(bp, attn_out, mlp):
     return linear(bp["out"], jnp.concatenate([attn_out, mlp], axis=-1))
 
 
+def _single_stream_in(bp, cfg, x, sh, sc, flags, attn_impl):
+    """One single-block stream's q/k/v + mlp context, with the fused
+    modulate+quant -> in_proj matmul on the serving path."""
+    fast = flags.get("fast_qk", False)
+    if "in_proj" in bp and _use_fused_quant(flags, attn_impl, bp["in_proj"], x.shape[1]):
+        fused = _adaln_quant_matmul(x, sh, sc, bp["in_proj"], attn_impl, x.dtype)
+        q, k, v = _qkv_split(bp["attn"], cfg, fused, fast=True)
+        return q, k, v, ("pre", fused[..., 3 * cfg.num_heads * cfg.head_dim :])
+    h_n = _modulate(x, sh, sc, fast)
+    mlp, q, k, v = _single_in(bp, cfg, h_n, fast=fast)
+    return q, k, v, ("gelu", mlp)
+
+
+def _single_stream_out(bp, flags, attn_impl, attn_out, mlp_ctx):
+    kind, val = mlp_ctx
+    if kind == "pre":
+        if "act_q" in bp["out_mlp"]:
+            return (_proj(bp["out_attn"], attn_out, flags, attn_impl)
+                    + _gelu_quant_matmul(val, bp["out_mlp"], attn_impl, attn_out.dtype))
+        val = gelu_tanh(val)
+    return _single_out(bp, attn_out, val)
+
+
 def _single_block_apply(bp, cfg, hidden, cond, temb, cond_temb, rope_main, rope_cond, bias, flags, attn_impl, bp_c=None):
     bp_c = bp if bp_c is None else bp_c
     use_cond = cond is not None
     sh, sc, gate = _mod(bp["mod"], temb, 3)
-    fast = flags.get("fast_qk", False)
-    h_n = _modulate(hidden, sh, sc, fast)
-    mlp, q, k, v = _single_in(bp, cfg, h_n, fast=fast)
+    q, k, v, mctx = _single_stream_in(bp, cfg, hidden, sh, sc, flags, attn_impl)
     q, k = _rope_qk(q, k, rope_main)
     streams_q, streams_k, streams_v = [q], [k], [v]
     if use_cond:
         c_sh, c_sc, c_gate = _mod(bp_c["mod"], cond_temb, 3)
-        cond_n = _modulate(cond, c_sh, c_sc, fast)
-        cond_mlp, cq, ck, cv = _single_in(bp_c, cfg, cond_n, fast=fast)
+        cq, ck, cv, c_mctx = _single_stream_in(bp_c, cfg, cond, c_sh, c_sc, flags, attn_impl)
         cq, ck = _rope_qk(cq, ck, rope_cond)
         streams_q.append(cq)
         streams_k.append(ck)
         streams_v.append(cv)
     outs = joint_attention(streams_q, streams_k, streams_v, impl=attn_impl, **bias)
-    hidden = hidden + gate[:, None, :] * _single_out(bp, _unheads(outs[0]), mlp)
+    hidden = hidden + gate[:, None, :] * _single_stream_out(bp, flags, attn_impl, _unheads(outs[0]), mctx)
     if use_cond:
-        cond = cond + c_gate[:, None, :] * _single_out(bp_c, _unheads(outs[1]), cond_mlp)
+        cond = cond + c_gate[:, None, :] * _single_stream_out(
+            bp_c, flags, attn_impl, _unheads(outs[1]), c_mctx
+        )
     return hidden, cond
 
 

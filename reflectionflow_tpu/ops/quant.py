@@ -66,6 +66,21 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray) -> jnp.n
     return out.astype(x.dtype)
 
 
+def int8_matmul_pre(x_q: jnp.ndarray, x_scale: jnp.ndarray, p: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """W8A8 matmul consuming a PRE-quantized activation (ops.pallas_quant):
+    several matmuls share one per-token quantization of the same input.
+
+    x_q (..., in) int8; x_scale (..., 1) f32; p a quantized linear dict."""
+    acc = jax.lax.dot_general(
+        x_q, p["w_q"], (((x_q.ndim - 1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    out = acc.astype(jnp.float32) * x_scale * p["w_scale"].reshape(-1)
+    out = out.astype(dtype)
+    if "b" in p:
+        out = out + p["b"]
+    return out
+
+
 # NF4 codebook (QLoRA, Dettmers et al. 2023): the 16 quantile-optimal levels
 # for N(0,1) weights scaled to [-1, 1]. ~30% lower quantization error than
 # uniform int4 on gaussian-distributed weights.
