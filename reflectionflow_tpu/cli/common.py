@@ -32,13 +32,17 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic_weights", action="store_true", help="random tiny weights (smoke runs, no model files)")
     p.add_argument(
-        "--attn_impl", type=str, default="xla",
+        "--attn_impl", type=str, default=None,
         choices=["xla", "pallas", "pallas_interpret", "pallas_int8", "pallas_int8_interpret"],
+        help="unset -> the config's pipeline_args.attn_impl (default xla); "
+        "an explicit value always overrides the config",
     )
     p.add_argument(
-        "--quantize", type=str, default=None, choices=[None, "int8"],
+        "--quantize", type=str, default=None, choices=["none", "int8"],
         help="int8 (W8A8) DiT + int4 T5 quantization; implies --phase_swap "
-        "(the single-chip 16 GB profile keeps text encoders host-side between encode phases)",
+        "(the single-chip 16 GB profile keeps text encoders host-side between "
+        "encode phases). 'none' disables quantization even if the config sets it; "
+        "unset -> the config's pipeline_args.quantize",
     )
     p.add_argument(
         "--phase_swap", action="store_true",
@@ -90,9 +94,15 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
         "union_cond_attn": cfg.model.union_cond_attn,
         "add_cond_attn": cfg.model.add_cond_attn,
     }
-    # serving profile: config values apply unless CLI flags override them
-    quantize = getattr(args, "quantize", None) or cfg.pipeline_args.quantize
-    attn_impl = args.attn_impl if args.attn_impl != "xla" else (cfg.pipeline_args.attn_impl or "xla")
+    # serving profile: an explicitly-given CLI flag always wins; an unset
+    # flag (None) falls back to the config. --quantize none turns config
+    # quantization OFF (there is no other way to express that on the CLI).
+    cli_quant = getattr(args, "quantize", None)
+    if cli_quant is None:
+        quantize = cfg.pipeline_args.quantize
+    else:
+        quantize = None if cli_quant == "none" else cli_quant
+    attn_impl = args.attn_impl or cfg.pipeline_args.attn_impl or "xla"
     pipe.attn_impl = attn_impl
     if cfg.pipeline_args.lora_path and not args.synthetic_weights:
         from safetensors.numpy import load_file

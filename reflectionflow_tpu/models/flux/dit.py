@@ -212,23 +212,31 @@ def _modulate(x, shift, scale, fast):
     return _adaln_fast(x, shift, scale) if fast else adaln_modulate(x, shift, scale)
 
 
-def _quant_block_rows(L, width=3072):
+def _quant_block_rows(L, width):
     from ...ops.pallas_quant import auto_block_rows
 
     return auto_block_rows(L, width)
 
 
-def _use_fused_quant(flags, attn_impl, p, L):
+def _out_width(p):
+    """Output width of a linear param dict (quantized or float)."""
+    return (p["w_q"] if "w_q" in p else p["w"]).shape[-1]
+
+
+def _use_fused_quant(flags, attn_impl, p, L, *widths):
     """Gate for the Pallas fused act-quant serving path (ops.pallas_quant):
     serving fast layout + W8A8 params + a pallas attention impl (its
     `_interpret` suffix also drives the quant kernels' interpret mode) +
-    row-tileable length."""
+    row-tileable length. `widths` must list every activation width the
+    gated path will quantize at (the gate and the kernels share
+    `auto_block_rows`, whose result is width-dependent — gating on one
+    width while running another invites a zero-block grid)."""
     return (
         flags.get("fast_qk", False)
         and attn_impl.startswith("pallas")
         and isinstance(p, dict)
         and "act_q" in p
-        and _quant_block_rows(L) > 0
+        and all(_quant_block_rows(L, w) > 0 for w in widths)
     )
 
 
@@ -310,7 +318,9 @@ def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rop
 
     def stream_qkv(a, x, sh, sc, prefix=""):
         # serving: modulate+act-quant as ONE Pallas pass feeding the panel matmul
-        if prefix + "qkv" in a and _use_fused_quant(flags, attn_impl, a[prefix + "qkv"], x.shape[1]):
+        if prefix + "qkv" in a and _use_fused_quant(
+            flags, attn_impl, a[prefix + "qkv"], x.shape[1], x.shape[-1]
+        ):
             panel = _adaln_quant_matmul(x, sh, sc, a[prefix + "qkv"], attn_impl, x.dtype)
             return _qkv_split(a, cfg, panel, prefix, fast=True)
         return _qkv(a, cfg, _modulate(x, sh, sc, fast), prefix=prefix, fast=fast)
@@ -364,14 +374,20 @@ def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rop
 
 def _proj(p, x, flags, attn_impl):
     """Attention out-projection: fused rowquant+matmul on the serving path."""
-    if _use_fused_quant(flags, attn_impl, p, x.shape[1]):
+    if _use_fused_quant(flags, attn_impl, p, x.shape[1], x.shape[-1]):
         return _rowquant_matmul(x, p, attn_impl, x.dtype)
     return linear(p, x)
 
 
 def _mlp_apply(mlp_p, x, sh2, sc2, flags, attn_impl, fast):
     """modulate -> fc1 -> gelu -> fc2, fusing both act-quants on the serving path."""
-    if _use_fused_quant(flags, attn_impl, mlp_p["fc1"], x.shape[1]) and "act_q" in mlp_p["fc2"]:
+    if (
+        _use_fused_quant(
+            flags, attn_impl, mlp_p["fc1"], x.shape[1],
+            x.shape[-1], _out_width(mlp_p["fc1"]),
+        )
+        and "act_q" in mlp_p["fc2"]
+    ):
         pre = _adaln_quant_matmul(x, sh2, sc2, mlp_p["fc1"], attn_impl, x.dtype)
         return _gelu_quant_matmul(pre, mlp_p["fc2"], attn_impl, x.dtype)
     x_m = _modulate(x, sh2, sc2, fast)
@@ -405,7 +421,10 @@ def _single_stream_in(bp, cfg, x, sh, sc, flags, attn_impl):
     """One single-block stream's q/k/v + mlp context, with the fused
     modulate+quant -> in_proj matmul on the serving path."""
     fast = flags.get("fast_qk", False)
-    if "in_proj" in bp and _use_fused_quant(flags, attn_impl, bp["in_proj"], x.shape[1]):
+    if "in_proj" in bp and _use_fused_quant(
+        flags, attn_impl, bp["in_proj"], x.shape[1],
+        x.shape[-1], _out_width(bp["in_proj"]) - 3 * cfg.num_heads * cfg.head_dim,
+    ):
         fused = _adaln_quant_matmul(x, sh, sc, bp["in_proj"], attn_impl, x.dtype)
         q, k, v = _qkv_split(bp["attn"], cfg, fused, fast=True)
         return q, k, v, ("pre", fused[..., 3 * cfg.num_heads * cfg.head_dim :])

@@ -24,10 +24,33 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _cat_bias(parts: list[dict]):
+    """Concatenate the parts' optional biases; missing ones contribute
+    zeros. Returns None when no part carries a bias."""
+    have = [p for p in parts if "b" in p]
+    if not have:
+        return None
+    dtype = have[0]["b"].dtype
+    return jnp.concatenate(
+        [
+            p["b"] if "b" in p
+            else jnp.zeros(p["w"].shape[:-2] + (p["w"].shape[-1],), dtype)
+            for p in parts
+        ],
+        axis=-1,
+    )
+
+
+def _fuse_parts(parts: list[dict]) -> dict:
+    out = {"w": jnp.concatenate([p["w"] for p in parts], axis=-1)}
+    b = _cat_bias(parts)
+    if b is not None:
+        out["b"] = b
+    return out
+
+
 def _fuse_three(q: dict, k: dict, v: dict) -> dict:
-    w = jnp.concatenate([q["w"], k["w"], v["w"]], axis=-1)
-    b = jnp.concatenate([q["b"], k["b"], v["b"]], axis=-1)
-    return {"w": w, "b": b}
+    return _fuse_parts([q, k, v])
 
 
 def fuse_dit_qkv(params: dict) -> dict:
@@ -72,13 +95,12 @@ def fuse_single_block_io(params: dict) -> dict:
         return params
     qkv = attn.pop("qkv")
     mlp_in = blocks.pop("mlp_in")
-    blocks["in_proj"] = {
-        "w": jnp.concatenate([qkv["w"], mlp_in["w"]], axis=-1),
-        "b": jnp.concatenate([qkv["b"], mlp_in["b"]], axis=-1),
-    }
+    blocks["in_proj"] = _fuse_parts([qkv, mlp_in])
     o = blocks.pop("out")
     hidden = qkv["w"].shape[-2]
-    blocks["out_attn"] = {"w": o["w"][..., :hidden, :], "b": o["b"]}
+    blocks["out_attn"] = {"w": o["w"][..., :hidden, :]}
+    if "b" in o:
+        blocks["out_attn"]["b"] = o["b"]
     blocks["out_mlp"] = {"w": o["w"][..., hidden:, :]}
     blocks["attn"] = attn
     out = dict(params)

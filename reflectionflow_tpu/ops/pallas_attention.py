@@ -44,6 +44,22 @@ def _cross_mask_bias(logits, q_pos, k_pos, main_len, cross_bias):
     return logits
 
 
+def _unrolled_fori(n, body, init, limit=16):
+    """Statically unroll a small streaming loop inside a kernel.
+
+    The MXU dot of iteration i+1 has no data dependency on iteration i's
+    fp32 softmax/VPU work, so an unrolled dataflow lets Mosaic overlap
+    them; a `fori_loop` body is scheduled strictly serially (measured
+    ~0.5 ms/call of un-overlapped softmax at FLUX shapes). Falls back to
+    `fori_loop` past `limit` blocks to bound code size."""
+    if n <= limit:
+        carry = init
+        for i in range(n):
+            carry = body(i, carry)
+        return carry
+    return jax.lax.fori_loop(0, n, body, init)
+
+
 def _flash_fwd_kernel(
     q_ref,  # (BQ, D)
     k_ref,  # (L, D)
@@ -95,17 +111,7 @@ def _flash_fwd_kernel(
     m0 = jnp.full((BQ, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((BQ, 1), jnp.float32)
     acc0 = jnp.zeros((BQ, D), jnp.float32)
-    if num_k_blocks <= 16:
-        # static unroll: the QK^T dot of block k+1 has no data dependency on
-        # block k's softmax, so Mosaic can overlap MXU dots with the fp32
-        # softmax VPU work (a fori_loop body is scheduled strictly serially —
-        # measured ~0.5 ms/call of un-overlapped softmax at FLUX shapes)
-        carry = (m0, l0, acc0)
-        for kb in range(num_k_blocks):
-            carry = body(kb, carry)
-        m, l, acc = carry
-    else:
-        m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
+    m, l, acc = _unrolled_fori(num_k_blocks, body, (m0, l0, acc0))
     l_safe = jnp.maximum(l, 1e-20)
     out_ref[:] = (acc / l_safe).astype(out_ref.dtype)
     lse_ref[:] = m + jnp.log(l_safe)  # (BQ, 1)
@@ -156,12 +162,7 @@ def _flash_dq_kernel(
             ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    dq = jnp.zeros((BQ, D), jnp.float32)
-    if num_k_blocks <= 16:  # static unroll: overlap dots with VPU work
-        for kb in range(num_k_blocks):
-            dq = body(kb, dq)
-    else:
-        dq = jax.lax.fori_loop(0, num_k_blocks, body, dq)
+    dq = _unrolled_fori(num_k_blocks, body, jnp.zeros((BQ, D), jnp.float32))
     dq_ref[:] = (dq * scale).astype(dq_ref.dtype)
 
 
@@ -219,13 +220,7 @@ def _flash_dkv_kernel(
 
     dk0 = jnp.zeros((BK, D), jnp.float32)
     dv0 = jnp.zeros((BK, D), jnp.float32)
-    if num_q_blocks <= 16:  # static unroll: overlap dots with VPU work
-        carry = (dk0, dv0)
-        for qb in range(num_q_blocks):
-            carry = body(qb, carry)
-        dk, dv = carry
-    else:
-        dk, dv = jax.lax.fori_loop(0, num_q_blocks, body, (dk0, dv0))
+    dk, dv = _unrolled_fori(num_q_blocks, body, (dk0, dv0))
     dk_ref[:] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[:] = dv.astype(dv_ref.dtype)
 
@@ -286,13 +281,7 @@ def _flash_fwd_int8_kernel(
     m0 = jnp.full((BQ, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((BQ, 1), jnp.float32)
     acc0 = jnp.zeros((BQ, D), jnp.float32)
-    if num_k_blocks <= 16:  # static unroll: overlap dots with softmax (see bf16 kernel)
-        carry = (m0, l0, acc0)
-        for kb in range(num_k_blocks):
-            carry = body(kb, carry)
-        m, l, acc = carry
-    else:
-        m, l, acc = jax.lax.fori_loop(0, num_k_blocks, body, (m0, l0, acc0))
+    m, l, acc = _unrolled_fori(num_k_blocks, body, (m0, l0, acc0))
     out_ref[:] = (acc / jnp.maximum(l, 1e-20)).astype(out_ref.dtype)
 
 
@@ -329,9 +318,21 @@ def flash_attention_int8(
     B, L, H, D = q.shape
     main_len = L if main_len is None else main_len
     scale = 1.0 / math.sqrt(D)
-    Lp = _round_up(L, max(block_q, block_k))
-    q, k, v = _pad_len(q, k, v, L, Lp)
+    hi, lo = max(block_q, block_k), min(block_q, block_k)
+    if hi % lo:
+        # Lp pads to max(bq, bk); both grids floor-divide by their block, so
+        # the smaller block MUST divide the larger or tail rows are never
+        # computed (silent garbage)
+        raise ValueError(f"block_q={block_q} and block_k={block_k} must divide one another")
+    Lp = _round_up(L, hi)
+    # quantize BEFORE padding: the K mean-centering averages over real
+    # tokens only (zero pad rows would dilute the mean and widen the int8
+    # range exactly when quantization error matters)
     q_i8, k_i8, q_s, k_s = _quant_qk_int8(q, k, scale)
+    q_i8, k_i8, v = _pad_len(q_i8, k_i8, v, L, Lp)
+    if Lp != L:
+        pad = [(0, 0), (0, Lp - L), (0, 0), (0, 0)]
+        q_s, k_s = jnp.pad(q_s, pad), jnp.pad(k_s, pad)
     qb, kb, vb = _to_bh(q_i8, B, H, Lp, D), _to_bh(k_i8, B, H, Lp, D), _to_bh(v, B, H, Lp, D)
     qs_b = q_s.transpose(0, 2, 1, 3).reshape(B * H, Lp, 1)
     ks_b = k_s.transpose(0, 2, 3, 1).reshape(B * H, 1, Lp)

@@ -111,6 +111,13 @@ def make_train_step(
     NOTE: `optimizer` must be the SAME transformation whose `.init` produced
     `opt_state` — use `make_optimizer` (which already chains grad clipping).
     `grad_clip` here is unused and kept for signature stability."""
+    # int8-QK^T attention is serving-only (no custom_vjp): fail HERE with a
+    # clear message rather than deep inside jax.grad's trace of the scan.
+    trainable = ("xla", "pallas", "pallas_interpret")
+    if attn_impl not in trainable:
+        raise ValueError(
+            f"attn_impl={attn_impl!r} has no backward pass; training supports {trainable}"
+        )
 
     def step(adapters, opt_state, batch, key, base_params):
         (loss, metrics), grads = jax.value_and_grad(rf_loss, has_aux=True)(
