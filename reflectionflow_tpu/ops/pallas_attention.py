@@ -226,43 +226,63 @@ def _flash_dkv_kernel(
 
 
 def _flash_fwd_int8_kernel(
-    q_ref,  # (BQ, D) int8
-    k_ref,  # (L, D) int8
-    v_ref,  # (L, D) bf16
-    qs_ref,  # (BQ, 1) f32  per-token scale (softmax scale absorbed)
-    ks_ref,  # (1, L) f32   per-token scale
+    q_ref,  # (BQ, D) storage dtype (bf16 serving)
+    k_ref,  # (L, D)
+    v_ref,  # (L, D)
     out_ref,  # (BQ, D)
+    ki8_ref,  # (L, D) int8 VMEM scratch — persists across this head's q tiles
+    ks_ref,  # (1, L) f32 VMEM scratch
     *,
+    scale: float,
     block_k: int,
     seq_len: int,
     main_len: int,
     cross_bias: float,
     q_block: int,
 ):
-    """Serving forward with int8 QK^T on the MXU (~2x the bf16 dot rate).
-
-    Q/K are pre-quantized per token in XLA (`_quant_qk_int8`), with K
-    mean-centered first — the per-row `q . mean(K)` logit shift cancels in
-    softmax, so centering costs nothing and tightens the int8 range
-    (SageAttention, Zhang et al. 2024). P@V stays bf16 for accuracy."""
+    """Serving forward with int8 QK^T on the MXU (~2x the bf16 dot rate),
+    quantizing IN-KERNEL: no XLA pre-quant pass over HBM, no int8/scale
+    layout shuffles (the earlier XLA-side variant lost its MXU gain to
+    exactly that glue). The full K stripe is quantized ONCE per head into
+    VMEM scratch — the TPU grid runs a head's q tiles sequentially, so the
+    scratch persists and later tiles skip the quant entirely. K is
+    mean-centered over the real tokens first — the per-row `q . mean(K)`
+    logit shift cancels in softmax, so centering costs nothing and
+    tightens the int8 range (SageAttention, Zhang et al. 2024). P@V stays
+    bf16 for accuracy."""
     qb = pl.program_id(1)
-    q = q_ref[:]  # int8
-    qs = qs_ref[:]  # (BQ, 1)
-    BQ = q.shape[0]
-    q_pos = qb * q_block + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
 
+    @pl.when(qb == 0)
+    def _quantize_k():
+        kf = k_ref[:].astype(jnp.float32)  # (Lp, D)
+        Lp = kf.shape[0]
+        valid = (jax.lax.broadcasted_iota(jnp.int32, (Lp, 1), 0) < seq_len).astype(jnp.float32)
+        k_mean = jnp.sum(kf * valid, axis=0, keepdims=True) * (1.0 / seq_len)  # (1, D)
+        kc = (kf - k_mean) * valid  # centered; padding rows zeroed
+        k_amax = jnp.maximum(jnp.max(jnp.abs(kc), axis=1, keepdims=True), 1e-12)  # (Lp, 1)
+        ki8_ref[:] = jnp.round(kc * (127.0 / k_amax)).astype(jnp.int8)
+        ks_ref[:] = jnp.transpose(k_amax * (1.0 / 127.0))  # (1, Lp)
+
+    qf = q_ref[:].astype(jnp.float32)  # (BQ, D)
+    BQ, D = qf.shape
+    # per-token quantize q; absorb the softmax scale into q_s
+    q_amax = jnp.maximum(jnp.max(jnp.abs(qf), axis=1, keepdims=True), 1e-12)
+    q_i8 = jnp.round(qf * (127.0 / q_amax)).astype(jnp.int8)
+    q_s = q_amax * (scale / 127.0)  # (BQ, 1)
+
+    q_pos = qb * q_block + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)
     num_k_blocks = pl.cdiv(seq_len, block_k)
 
     def body(kb, carry):
         m_prev, l_prev, acc = carry
         k_start = kb * block_k
-        k = k_ref[pl.ds(k_start, block_k), :]  # (BK, D) int8
-        v = v_ref[pl.ds(k_start, block_k), :]
+        k = ki8_ref[pl.ds(k_start, block_k), :]  # (BK, D) int8
         ks = ks_ref[:, pl.ds(k_start, block_k)]  # (1, BK)
+        v = v_ref[pl.ds(k_start, block_k), :]
         logits_i = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+            q_i8, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
         )  # (BQ, BK) int32
-        logits = logits_i.astype(jnp.float32) * qs * ks
+        logits = logits_i.astype(jnp.float32) * q_s * ks
         k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
         logits = _cross_mask_bias(logits, q_pos, k_pos, main_len, cross_bias)
         logits = jnp.where(k_pos < seq_len, logits, NEG_INF)
@@ -277,27 +297,11 @@ def _flash_fwd_int8_kernel(
         )
         return m_new, l_new, acc
 
-    D = v_ref.shape[-1]
     m0 = jnp.full((BQ, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((BQ, 1), jnp.float32)
     acc0 = jnp.zeros((BQ, D), jnp.float32)
     m, l, acc = _unrolled_fori(num_k_blocks, body, (m0, l0, acc0))
     out_ref[:] = (acc / jnp.maximum(l, 1e-20)).astype(out_ref.dtype)
-
-
-def _quant_qk_int8(q, k, scale):
-    """Per-token int8 quantization of q/k (B, L, H, D) with K mean-centering.
-
-    Returns (q_i8, k_i8, q_scale, k_scale); `scale` (1/sqrt(D)) is absorbed
-    into q_scale. The k mean over tokens shifts every row's logits by the
-    constant q . mean_k, which softmax ignores."""
-    qf = q.astype(jnp.float32)
-    kf = k.astype(jnp.float32) - jnp.mean(k.astype(jnp.float32), axis=1, keepdims=True)
-    q_amax = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True), 1e-12)
-    k_amax = jnp.maximum(jnp.max(jnp.abs(kf), axis=-1, keepdims=True), 1e-12)
-    q_i8 = jnp.round(qf * (127.0 / q_amax)).astype(jnp.int8)
-    k_i8 = jnp.round(kf * (127.0 / k_amax)).astype(jnp.int8)
-    return q_i8, k_i8, q_amax * (scale / 127.0), k_amax / 127.0
 
 
 @functools.partial(
@@ -314,7 +318,8 @@ def flash_attention_int8(
     block_k: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Int8-QK^T flash attention (serving only — no backward)."""
+    """Int8-QK^T flash attention, quantized in-kernel (serving only — no
+    backward). Takes the same bf16 inputs as the bf16 kernel."""
     B, L, H, D = q.shape
     main_len = L if main_len is None else main_len
     scale = 1.0 / math.sqrt(D)
@@ -325,23 +330,16 @@ def flash_attention_int8(
         # computed (silent garbage)
         raise ValueError(f"block_q={block_q} and block_k={block_k} must divide one another")
     Lp = _round_up(L, hi)
-    # quantize BEFORE padding: the K mean-centering averages over real
-    # tokens only (zero pad rows would dilute the mean and widen the int8
-    # range exactly when quantization error matters)
-    q_i8, k_i8, q_s, k_s = _quant_qk_int8(q, k, scale)
-    q_i8, k_i8, v = _pad_len(q_i8, k_i8, v, L, Lp)
-    if Lp != L:
-        pad = [(0, 0), (0, Lp - L), (0, 0), (0, 0)]
-        q_s, k_s = jnp.pad(q_s, pad), jnp.pad(k_s, pad)
-    qb, kb, vb = _to_bh(q_i8, B, H, Lp, D), _to_bh(k_i8, B, H, Lp, D), _to_bh(v, B, H, Lp, D)
-    qs_b = q_s.transpose(0, 2, 1, 3).reshape(B * H, Lp, 1)
-    ks_b = k_s.transpose(0, 2, 3, 1).reshape(B * H, 1, Lp)
+    q, k, v = _pad_len(q, k, v, L, Lp)
+    qb, kb, vb = (_to_bh(x, B, H, Lp, D) for x in (q, k, v))
 
     kernel = functools.partial(
         _flash_fwd_int8_kernel,
-        block_k=block_k, seq_len=L, main_len=main_len,
+        scale=scale, block_k=block_k, seq_len=L, main_len=main_len,
         cross_bias=float(cross_bias), q_block=block_q,
     )
+    from jax.experimental.pallas import tpu as pltpu
+
     grid = (B * H, Lp // block_q)
     out = pl.pallas_call(
         kernel,
@@ -350,13 +348,15 @@ def flash_attention_int8(
             pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
             pl.BlockSpec((None, Lp, D), lambda bh, qi: (bh, 0, 0)),
             pl.BlockSpec((None, Lp, D), lambda bh, qi: (bh, 0, 0)),
-            pl.BlockSpec((None, block_q, 1), lambda bh, qi: (bh, qi, 0)),
-            pl.BlockSpec((None, 1, Lp), lambda bh, qi: (bh, 0, 0)),
         ],
         out_specs=pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, Lp, D), v.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((Lp, D), jnp.int8),
+            pltpu.VMEM((1, Lp), jnp.float32),
+        ],
         interpret=interpret,
-    )(qb, kb, vb, qs_b, ks_b)
+    )(qb, kb, vb)
     return _from_bh(out, B, H, Lp, D)[:, :L]
 
 
@@ -549,6 +549,8 @@ def flash_attention(q, k, v, bias=None, main_len=None, cross_bias=0.0, interpret
     assert bias is None, "pallas path takes structural (main_len, cross_bias), not dense bias"
     bq, bk = _block_policy(q.shape[1])
     fn = flash_attention_int8 if int8 else flash_attention_structured
+    if int8:
+        bq = min(bq, 512)
     return fn(
         q, k, v, main_len=main_len, cross_bias=cross_bias, block_q=bq, block_k=bk, interpret=interpret
     )

@@ -23,7 +23,6 @@ sys.path.insert(0, ".")
 
 from reflectionflow_tpu.ops.pallas_attention import (  # noqa: E402
     _from_bh,
-    _quant_qk_int8,
     _to_bh,
     flash_attention,
 )
@@ -78,19 +77,8 @@ def main():
         timed(loop(lambda q, k, v: jnp.sum(flash_attention(q, k, v).astype(jnp.float32))),
               (q, k, v), rtt, inner), 2)
 
-    # prep only: quant + all four layout transposes (no kernel)
-    def prep(q, k, v):
-        scale = 1.0 / np.sqrt(D)
-        q_i8, k_i8, q_s, k_s = _quant_qk_int8(q, k, scale)
-        qb = _to_bh(q_i8, B, H, L, D)
-        kb = _to_bh(k_i8, B, H, L, D)
-        vb = _to_bh(v, B, H, L, D)
-        return (jnp.sum(qb.astype(jnp.float32)) + jnp.sum(kb.astype(jnp.float32))
-                + jnp.sum(vb.astype(jnp.float32)) + jnp.sum(q_s) + jnp.sum(k_s))
-
-    out["prep_int8_ms"] = round(timed(loop(prep), (q, k, v), rtt, inner), 2)
-
-    # transposes only
+    # transposes only (both int8 and bf16 paths pay the same bf16 shuffles
+    # now that the int8 kernel quantizes in VMEM)
     def trans(q, k, v):
         qb = _to_bh(q, B, H, L, D)
         vb = _to_bh(v, B, H, L, D)
@@ -99,14 +87,6 @@ def main():
             back.astype(jnp.float32))
 
     out["three_transposes_ms"] = round(timed(loop(trans), (q, k, v), rtt, inner), 2)
-
-    # quant only (no transposes)
-    def quant(q, k, v):
-        q_i8, k_i8, q_s, k_s = _quant_qk_int8(q, k, 1.0 / np.sqrt(D))
-        return (jnp.sum(q_i8.astype(jnp.float32)) + jnp.sum(k_i8.astype(jnp.float32))
-                + jnp.sum(q_s) + jnp.sum(k_s))
-
-    out["quant_only_ms"] = round(timed(loop(quant), (q, k, v), rtt, inner), 2)
     print(json.dumps(out))
 
 

@@ -49,7 +49,7 @@ def main():
     params = bench.init_int8_on_device(cfg)
     out = {"rtt_ms": round(rtt * 1e3, 1), "steps": bench.NUM_STEPS, "batch": bench.BATCH}
 
-    def run(attn_impl="pallas_int8"):
+    def run(attn_impl="pallas"):
         return bench.time_runner(bench.build_runner(cfg, params, attn_impl=attn_impl), rtt)
 
     out["full_s"] = round(run(), 3)
@@ -69,7 +69,7 @@ def main():
         dit_mod.joint_attention = orig_attn
         clear()
 
-    out["attn_bf16_s"] = round(run(attn_impl="pallas"), 3)
+    out["attn_int8_s"] = round(run(attn_impl="pallas_int8"), 3)
 
     # --- RoPE -> identity (tables still computed, apply skipped)
     orig_rope = dit_mod._rope_qk
@@ -85,6 +85,32 @@ def main():
         dit_mod._rope_qk = orig_rope
         clear()
 
+    # --- QK-norm -> identity (keeps rope + attention)
+    orig_norm = dit_mod._qk_norm
+
+    def norm_skip(x, scale, fast):
+        return x
+
+    dit_mod._qk_norm = norm_skip
+    clear()
+    try:
+        out["qknorm_skip_s"] = round(run(attn_impl="pallas"), 3)
+    finally:
+        dit_mod._qk_norm = orig_norm
+        clear()
+
+    # --- bf16 attention + rope skip + norm skip together: the full
+    # "qk prep" share of the serving step
+    dit_mod._qk_norm = norm_skip
+    dit_mod._rope_qk = rope_skip
+    clear()
+    try:
+        out["qkprep_skip_s"] = round(run(attn_impl="pallas"), 3)
+    finally:
+        dit_mod._qk_norm = orig_norm
+        dit_mod._rope_qk = orig_rope
+        clear()
+
     # --- weight-only int8 (no per-token activation quant, bf16 MXU dots)
     params = strip_act_q(params)
     out["w8a16_s"] = round(run(), 3)
@@ -92,7 +118,7 @@ def main():
     d = out
     d["attn_share_s"] = round(d["full_s"] - d["attn_skip_s"], 3)
     d["rope_share_s"] = round(d["full_s"] - d["rope_skip_s"], 3)
-    d["int8qk_gain_s"] = round(d["attn_bf16_s"] - d["full_s"], 3)
+    d["int8qk_gain_s"] = round(d["full_s"] - d["attn_int8_s"], 3)
     print(json.dumps(out))
 
 
