@@ -271,6 +271,49 @@ def init_int4_t5(t5_cfg):
     }
 
 
+def init_int8_t5(t5_cfg):
+    """Synthetic T5-XXL with weight-only int8 linears (w8a16), built on
+    device in per-block chunks — the phase-swap serving profile
+    (pipeline_args.t5_quant="int8"): encode runs at the bf16 MXU rate with
+    no NF4 select-tree dequant; the 4.8 GB tree never co-resides with the
+    DiT."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n", "d_in", "d_out"))
+    def stacked_int8(key, n, d_in, d_out):
+        def body(i, buf):
+            blk = jax.random.randint(jax.random.fold_in(key, i), (1, d_in, d_out), -127, 128, jnp.int8)
+            return jax.lax.dynamic_update_slice(buf, blk, (i, 0, 0))
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((n, d_in, d_out), jnp.int8))
+
+    key = jax.random.PRNGKey(7)
+    counter = [0]
+    n = t5_cfg.num_layers
+
+    def qlin8(d_in, d_out):
+        counter[0] += 1
+        return {
+            "w_q": stacked_int8(jax.random.fold_in(key, counter[0]), n, d_in, d_out),
+            "w_scale": jnp.full((n, 1, d_out), (1.0 / np.sqrt(d_in)) / 127.0, jnp.float32),
+        }
+
+    d, inner, ff = t5_cfg.d_model, t5_cfg.num_heads * t5_cfg.d_kv, t5_cfg.d_ff
+    ones = lambda: {"scale": jnp.ones((n, d), jnp.bfloat16)}  # noqa: E731
+    return {
+        "embed": jax.random.normal(jax.random.PRNGKey(8), (t5_cfg.vocab_size, d), jnp.bfloat16),
+        "rel_bias": jax.random.normal(
+            jax.random.PRNGKey(9), (t5_cfg.relative_attention_num_buckets, t5_cfg.num_heads), jnp.bfloat16
+        ) * 0.1,
+        "blocks": {
+            "ln1": ones(), "q": qlin8(d, inner), "k": qlin8(d, inner), "v": qlin8(d, inner),
+            "o": qlin8(inner, d), "ln2": ones(),
+            "wi0": qlin8(d, ff), "wi1": qlin8(d, ff), "wo": qlin8(ff, d),
+        },
+        "final_ln": {"scale": jnp.ones((d,), jnp.bfloat16)},
+    }
+
+
 def bench_e2e(rtt: float, phase_swap: bool = False) -> dict | None:
     """TRUE end-to-end single-chip image cost: T5-XXL(int4) encode +
     CLIP pooled + 30-step int8 DiT denoise + VAE decode + host image fetch.
@@ -302,8 +345,9 @@ def bench_e2e(rtt: float, phase_swap: bool = False) -> dict | None:
     sigmas = jnp.asarray(FlowMatchSchedule.create(NUM_STEPS, TY * TX).sigmas)
     latents = jnp.asarray(rng.standard_normal((BATCH, TY * TX, dit_cfg.in_channels)), jnp.bfloat16)
 
-    # --- encode phase (T5 + CLIP resident; in swap mode the DiT is not yet up)
-    t5 = init_int4_t5(t5_cfg)
+    # --- encode phase (T5 + CLIP resident; in swap mode the DiT is not yet
+    # up, so T5 can be the fast w8a16 int8 profile; co-resident needs NF4)
+    t5 = init_int8_t5(t5_cfg) if phase_swap else init_int4_t5(t5_cfg)
     clip = clip_text_init(jax.random.PRNGKey(3), clip_cfg, jnp.bfloat16)
 
     def encode():
@@ -353,9 +397,10 @@ def bench_e2e(rtt: float, phase_swap: bool = False) -> dict | None:
     np.asarray(decode(final))  # image fetch included
     t_dec = max(time.perf_counter() - t0 - rtt, 0.0)
     mode = "phase-swap" if phase_swap else "co-resident"
+    t5_kind = "int8-T5" if phase_swap else "int4-T5"
     return {
         "t_image_s": t_enc + t_den + t_dec,
-        "config": f"e2e int4-T5 encode + W8A8 DiT 19/38 (pallas flash attn, split rope) + VAE decode, {mode}",
+        "config": f"e2e {t5_kind} encode + W8A8 DiT 19/38 (pallas flash attn, split rope) + VAE decode, {mode}",
         "t_encode_s": round(t_enc, 3),
         "t_denoise_s": round(t_den, 3),
         "t_decode_fetch_s": round(t_dec, 3),

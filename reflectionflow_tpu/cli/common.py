@@ -119,7 +119,12 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
         pipe.params["dit"] = main
         pipe.cond_dit_params = cond_view
     if quantize == "int8":
-        pipe.quantize(act_quant_exclude=tuple(getattr(args, "act_quant_exclude", []) or ()))
+        t5_mode = getattr(cfg.pipeline_args, "t5_quant", "int8")
+        pipe.quantize(
+            act_quant_exclude=tuple(getattr(args, "act_quant_exclude", []) or ()),
+            int4=("t5",) if t5_mode == "int4" else (),
+            weight_only=("t5",) if t5_mode == "int8" else (),
+        )
     # phase swap is implied by the int8 single-chip profile: full co-residency
     # (~15 GB + transients) measured-OOMs on a 16 GB v5e (docs/DEPLOYMENT.md).
     # Enable BEFORE to_device so the T5 tree is never uploaded just to be

@@ -272,19 +272,57 @@ def _rowquant_matmul(x, p, attn_impl, dtype):
 
 
 
-def _qkv_split(attn_p, cfg, qkv, prefix="", fast=False):
-    """Split a packed (..., 3H[+extra]) projection into normed per-head q/k/v."""
+def _nr_gate(flags, attn_impl, tables, L, width):
+    """Use the fused Pallas QK-norm+RoPE pass? Serving fast layout + split
+    rope tables + pallas attention + row-tileable stream length."""
+    return (
+        flags.get("fast_qk", False)
+        and tables is not None
+        and tables[2]  # split layout (contiguous-half rotation)
+        and attn_impl.startswith("pallas")
+        and _quant_block_rows(L, width) > 0
+    )
+
+
+def _qkv_split(attn_p, cfg, qkv, prefix="", fast=False, rope=None):
+    """Split a packed (..., 3H[+extra]) projection into normed per-head q/k/v.
+
+    With `rope=(cos, sin, interpret)` (serving), QK-norm AND the split-layout
+    rotation run as ONE Pallas pass per panel (`ops.pallas_quant.norm_rope`)
+    — the caller must then skip its `_rope_qk`."""
     H = cfg.num_heads * cfg.head_dim
     q_r, k_r, v_r = qkv[..., :H], qkv[..., H : 2 * H], qkv[..., 2 * H : 3 * H]
+    if rope is not None:
+        from ...ops.pallas_quant import norm_rope
+
+        cos, sin, interp = rope
+        bl = _quant_block_rows(q_r.shape[1], H)
+        q = _heads(cfg, norm_rope(
+            q_r, attn_p[prefix + "q_norm"]["scale"], cos, sin, cfg.head_dim,
+            block_rows=bl, interpret=interp,
+        ))
+        k = _heads(cfg, norm_rope(
+            k_r, attn_p[prefix + "k_norm"]["scale"], cos, sin, cfg.head_dim,
+            block_rows=bl, interpret=interp,
+        ))
+        return q, k, _heads(cfg, v_r)
     q = _qk_norm(_heads(cfg, q_r), attn_p[prefix + "q_norm"]["scale"], fast)
     k = _qk_norm(_heads(cfg, k_r), attn_p[prefix + "k_norm"]["scale"], fast)
     v = _heads(cfg, v_r)
     return q, k, v
 
 
-def _qkv(attn_p, cfg, x, prefix="", fast=False):
+def _qkv(attn_p, cfg, x, prefix="", fast=False, rope=None):
     if prefix + "qkv" in attn_p:  # fused projection (ops.fuse.fuse_dit_qkv)
-        return _qkv_split(attn_p, cfg, linear(attn_p[prefix + "qkv"], x), prefix, fast)
+        return _qkv_split(attn_p, cfg, linear(attn_p[prefix + "qkv"], x), prefix, fast, rope=rope)
+    if rope is not None:  # fused norm+rope needs the panel layout
+        return _qkv_split(
+            attn_p, cfg,
+            jnp.concatenate(
+                [linear(attn_p[prefix + n], x) for n in ("q", "k", "v")], axis=-1
+            ),
+            prefix, fast, rope=rope,
+        )
     q_r = linear(attn_p[prefix + "q"], x)
     k_r = linear(attn_p[prefix + "k"], x)
     v_r = linear(attn_p[prefix + "v"], x)
@@ -315,30 +353,44 @@ def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rop
     t_sh1, t_sc1, t_g1, t_sh2, t_sc2, t_g2 = _mod(bp["txt_mod"], temb, 6)
     fast = flags.get("fast_qk", False)
     ap = bp["attn"]
+    H = cfg.num_heads * cfg.head_dim
+    Lt = txt.shape[1]
+    interp = attn_impl.endswith("interpret")
+    # fused norm+rope (serving): both main streams must be row-tileable so
+    # the post-concat _rope_qk can be skipped for main as a whole
+    nr_main = _nr_gate(flags, attn_impl, rope_main, Lt, H) and _nr_gate(
+        flags, attn_impl, rope_main, img.shape[1], H
+    )
+    rope_txt = (rope_main[0][:Lt], rope_main[1][:Lt], interp) if nr_main else None
+    rope_img = (rope_main[0][Lt:], rope_main[1][Lt:], interp) if nr_main else None
 
-    def stream_qkv(a, x, sh, sc, prefix=""):
+    def stream_qkv(a, x, sh, sc, prefix="", rope=None):
         # serving: modulate+act-quant as ONE Pallas pass feeding the panel matmul
         if prefix + "qkv" in a and _use_fused_quant(
             flags, attn_impl, a[prefix + "qkv"], x.shape[1], x.shape[-1]
         ):
             panel = _adaln_quant_matmul(x, sh, sc, a[prefix + "qkv"], attn_impl, x.dtype)
-            return _qkv_split(a, cfg, panel, prefix, fast=True)
-        return _qkv(a, cfg, _modulate(x, sh, sc, fast), prefix=prefix, fast=fast)
+            return _qkv_split(a, cfg, panel, prefix, fast=True, rope=rope)
+        return _qkv(a, cfg, _modulate(x, sh, sc, fast), prefix=prefix, fast=fast, rope=rope)
 
-    img_q, img_k, img_v = stream_qkv(ap, img, i_sh1, i_sc1)
-    txt_q, txt_k, txt_v = stream_qkv(ap, txt, t_sh1, t_sc1, prefix="txt_")
+    img_q, img_k, img_v = stream_qkv(ap, img, i_sh1, i_sc1, rope=rope_img)
+    txt_q, txt_k, txt_v = stream_qkv(ap, txt, t_sh1, t_sc1, prefix="txt_", rope=rope_txt)
     # RoPE covers [txt|img] jointly; cond has its own tables
     q = jnp.concatenate([txt_q, img_q], axis=1)
     k = jnp.concatenate([txt_k, img_k], axis=1)
-    q, k = _rope_qk(q, k, rope_main)
+    if not nr_main:
+        q, k = _rope_qk(q, k, rope_main)
     v = jnp.concatenate([txt_v, img_v], axis=1)
 
     streams_q, streams_k, streams_v = [q], [k], [v]
     if use_cond:
         # cond stream reads the (possibly LoRA-folded) bp_c weights
+        nr_cond = _nr_gate(flags, attn_impl, rope_cond, cond.shape[1], H)
+        rope_c = (rope_cond[0], rope_cond[1], interp) if nr_cond else None
         c_sh1, c_sc1, c_g1, c_sh2, c_sc2, c_g2 = _mod(bp_c["img_mod"], cond_temb, 6)
-        cond_q, cond_k, cond_v = stream_qkv(bp_c["attn"], cond, c_sh1, c_sc1)
-        cond_q, cond_k = _rope_qk(cond_q, cond_k, rope_cond)
+        cond_q, cond_k, cond_v = stream_qkv(bp_c["attn"], cond, c_sh1, c_sc1, rope=rope_c)
+        if not nr_cond:
+            cond_q, cond_k = _rope_qk(cond_q, cond_k, rope_cond)
         streams_q.append(cond_q)
         streams_k.append(cond_k)
         streams_v.append(cond_v)
@@ -394,17 +446,17 @@ def _mlp_apply(mlp_p, x, sh2, sc2, flags, attn_impl, fast):
     return linear(mlp_p["fc2"], gelu_tanh(linear(mlp_p["fc1"], x_m)))
 
 
-def _single_in(bp, cfg, h_n, fast=False):
+def _single_in(bp, cfg, h_n, fast=False, rope=None):
     """(mlp_pre_gelu, q, k, v) for one single-block stream; `in_proj` is the
     fused serving panel (ops.fuse.fuse_single_block_io): one matmul — and
     under W8A8 one per-token activation quantization — for all four."""
     if "in_proj" in bp:
         fused = linear(bp["in_proj"], h_n)
-        q, k, v = _qkv_split(bp["attn"], cfg, fused, fast=fast)
+        q, k, v = _qkv_split(bp["attn"], cfg, fused, fast=fast, rope=rope)
         mlp = gelu_tanh(fused[..., 3 * cfg.num_heads * cfg.head_dim :])
     else:
         mlp = gelu_tanh(linear(bp["mlp_in"], h_n))
-        q, k, v = _qkv(bp["attn"], cfg, h_n, fast=fast)
+        q, k, v = _qkv(bp["attn"], cfg, h_n, fast=fast, rope=rope)
     return mlp, q, k, v
 
 
@@ -417,7 +469,7 @@ def _single_out(bp, attn_out, mlp):
     return linear(bp["out"], jnp.concatenate([attn_out, mlp], axis=-1))
 
 
-def _single_stream_in(bp, cfg, x, sh, sc, flags, attn_impl):
+def _single_stream_in(bp, cfg, x, sh, sc, flags, attn_impl, rope=None):
     """One single-block stream's q/k/v + mlp context, with the fused
     modulate+quant -> in_proj matmul on the serving path."""
     fast = flags.get("fast_qk", False)
@@ -426,10 +478,10 @@ def _single_stream_in(bp, cfg, x, sh, sc, flags, attn_impl):
         x.shape[-1], _out_width(bp["in_proj"]) - 3 * cfg.num_heads * cfg.head_dim,
     ):
         fused = _adaln_quant_matmul(x, sh, sc, bp["in_proj"], attn_impl, x.dtype)
-        q, k, v = _qkv_split(bp["attn"], cfg, fused, fast=True)
+        q, k, v = _qkv_split(bp["attn"], cfg, fused, fast=True, rope=rope)
         return q, k, v, ("pre", fused[..., 3 * cfg.num_heads * cfg.head_dim :])
     h_n = _modulate(x, sh, sc, fast)
-    mlp, q, k, v = _single_in(bp, cfg, h_n, fast=fast)
+    mlp, q, k, v = _single_in(bp, cfg, h_n, fast=fast, rope=rope)
     return q, k, v, ("gelu", mlp)
 
 
@@ -447,13 +499,23 @@ def _single_block_apply(bp, cfg, hidden, cond, temb, cond_temb, rope_main, rope_
     bp_c = bp if bp_c is None else bp_c
     use_cond = cond is not None
     sh, sc, gate = _mod(bp["mod"], temb, 3)
-    q, k, v, mctx = _single_stream_in(bp, cfg, hidden, sh, sc, flags, attn_impl)
-    q, k = _rope_qk(q, k, rope_main)
+    H = cfg.num_heads * cfg.head_dim
+    interp = attn_impl.endswith("interpret")
+    nr_main = _nr_gate(flags, attn_impl, rope_main, hidden.shape[1], H)
+    rope_m = (rope_main[0], rope_main[1], interp) if nr_main else None
+    q, k, v, mctx = _single_stream_in(bp, cfg, hidden, sh, sc, flags, attn_impl, rope=rope_m)
+    if not nr_main:
+        q, k = _rope_qk(q, k, rope_main)
     streams_q, streams_k, streams_v = [q], [k], [v]
     if use_cond:
+        nr_cond = _nr_gate(flags, attn_impl, rope_cond, cond.shape[1], H)
+        rope_c = (rope_cond[0], rope_cond[1], interp) if nr_cond else None
         c_sh, c_sc, c_gate = _mod(bp_c["mod"], cond_temb, 3)
-        cq, ck, cv, c_mctx = _single_stream_in(bp_c, cfg, cond, c_sh, c_sc, flags, attn_impl)
-        cq, ck = _rope_qk(cq, ck, rope_cond)
+        cq, ck, cv, c_mctx = _single_stream_in(
+            bp_c, cfg, cond, c_sh, c_sc, flags, attn_impl, rope=rope_c
+        )
+        if not nr_cond:
+            cq, ck = _rope_qk(cq, ck, rope_cond)
         streams_q.append(cq)
         streams_k.append(ck)
         streams_v.append(cv)

@@ -111,3 +111,56 @@ def gelu_quant(x, block_rows: int = 256, interpret: bool = False):
 def rowquant(x, block_rows: int = 256, interpret: bool = False):
     """Per-token int8 quant in one pass. x (B, L, H)."""
     return _grid_call(x, _rowquant_kernel, [], [], block_rows, interpret)
+
+
+def _norm_rope_kernel(x_ref, scale_ref, cos_ref, sin_ref, out_ref, *, head_dim, eps):
+    """Per-head RMS QK-norm + half-split RoPE rotation in ONE VMEM pass.
+
+    x (bl, H*D) in the projection panel layout; scale (1, D); cos/sin
+    (bl, D) pre-permuted split-layout tables (identical halves). The XLA
+    chain reads/writes the (L, H*D) tensor twice (norm reduce+apply, rope
+    apply); this reads once, does both in registers, writes once."""
+    D = head_dim
+    half = D // 2
+    x = x_ref[:]  # (bl, H*D) storage dtype
+    n_heads = x.shape[-1] // D
+    scale = scale_ref[:]  # (1, D)
+    cos = cos_ref[:]  # (bl, D)
+    sin = sin_ref[:]
+    c1, s1 = cos[:, :half], sin[:, :half]
+    c2, s2 = cos[:, half:], sin[:, half:]
+    for g in range(n_heads):
+        xg = x[:, g * D : (g + 1) * D].astype(jnp.float32)
+        var = jnp.mean(xg * xg, axis=-1, keepdims=True)
+        xn = (xg * jax.lax.rsqrt(var + eps)).astype(x.dtype) * scale
+        x1, x2 = xn[:, :half], xn[:, half:]
+        out_ref[:, g * D : g * D + half] = x1 * c1 - x2 * s1
+        out_ref[:, g * D + half : (g + 1) * D] = x2 * c2 + x1 * s2
+
+
+@functools.partial(jax.jit, static_argnames=("head_dim", "block_rows", "interpret", "eps"))
+def norm_rope(x, scale, cos, sin, head_dim: int, block_rows: int = 256,
+              interpret: bool = False, eps: float = 1e-6):
+    """Fused serving QK-norm + split-layout RoPE for one stream.
+
+    x (B, L, H*D) — the raw q or k projection panel; scale (D,) RMS-norm
+    weight (split-permuted); cos/sin (L, D) bf16 split tables. Returns the
+    normed+rotated panel, same shape/dtype. Serving-only (no vjp);
+    training keeps the XLA `rms_norm` + `apply_rope` path."""
+    B, L, HD = x.shape
+    grid = (B, L // block_rows)
+    row_spec = pl.BlockSpec((None, block_rows, HD), lambda b, l: (b, l, 0))
+    tab_spec = pl.BlockSpec((block_rows, head_dim), lambda b, l: (l, 0))
+    return pl.pallas_call(
+        functools.partial(_norm_rope_kernel, head_dim=head_dim, eps=eps),
+        grid=grid,
+        in_specs=[
+            row_spec,
+            pl.BlockSpec((1, head_dim), lambda b, l: (0, 0)),
+            tab_spec,
+            tab_spec,
+        ],
+        out_specs=row_spec,
+        out_shape=jax.ShapeDtypeStruct((B, L, HD), x.dtype),
+        interpret=interpret,
+    )(x, scale[None, :], cos, sin)

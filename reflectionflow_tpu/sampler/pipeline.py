@@ -113,13 +113,17 @@ class FluxPipeline:
         fuse_qkv: bool = True,
         int4: tuple[str, ...] = ("t5",),
         act_quant_exclude: tuple[str, ...] = (),
+        weight_only: tuple[str, ...] = (),
     ) -> "FluxPipeline":
         """Quantize the big weight trees in place (`ops.quant`) — the
         single-chip 16 GB serving configuration. `which` trees go int8
-        (W8A8 on the MXU); `int4` trees go packed int4 w4a16 — T5-XXL at
-        2.4 GB packed co-resides with the 11.9 GB int8 DiT, which is what
-        makes a true encode->denoise->decode pass possible on one v5e
-        (the reference assumes 80 GB cards,
+        (W8A8 on the MXU); `weight_only` trees go int8 with bf16 activations
+        (w8a16 — matmuls at the bf16 MXU rate, no NF4 select-tree dequant:
+        the right T5 profile under phase swap, where the 4.8 GB int8 tree
+        never co-resides with the DiT); `int4` trees go packed int4 w4a16 —
+        T5-XXL at 2.4 GB packed co-resides with the 11.9 GB int8 DiT, which
+        is what makes a swap-free encode->denoise->decode pass possible on
+        one v5e (the reference assumes 80 GB cards,
         /root/reference/tts/tts_reflectionflow.py:503-512). QKV projections
         are fused first (`ops.fuse`) so the int8 panels are as wide as
         possible."""
@@ -144,8 +148,11 @@ class FluxPipeline:
                 self.params[name] = quantize_dit_params(
                     self.params[name], act_quant_exclude=act_quant_exclude
                 )
-        for name in int4:
+        for name in weight_only:
             if name in self.params and name not in which:
+                self.params[name] = quantize_dit_params(self.params[name], act_quant=False)
+        for name in int4:
+            if name in self.params and name not in which and name not in weight_only:
                 self.params[name] = quantize_params_int4(self.params[name])
         if self.cond_dit_params is not None and "dit" in which:
             self.cond_dit_params = quantize_dit_params(

@@ -91,3 +91,21 @@ def test_dit_fused_quant_serving_path(key):
         exact = np.asarray(flux_dit_apply(params, cfg, **inp)).ravel()
         rel = float(np.abs(out - exact).mean() / np.abs(exact).mean())
         assert rel < 0.06, rel
+
+
+def test_norm_rope_matches_xla_fast_path(key):
+    """Fused QK-norm+RoPE kernel == _rms_fast -> apply_rope_split."""
+    from reflectionflow_tpu.models.flux.dit import _rms_fast
+    from reflectionflow_tpu.models.flux.rope import apply_rope_split
+    from reflectionflow_tpu.ops.pallas_quant import norm_rope
+
+    B, L, Hh, D = 2, 16, 3, 8
+    x = jax.random.normal(key, (B, L, Hh * D), jnp.float32)
+    scale = 1.0 + 0.1 * jax.random.normal(jax.random.PRNGKey(1), (D,))
+    ang = jax.random.uniform(jax.random.PRNGKey(2), (L, D // 2), maxval=6.28)
+    cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=-1)
+    sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], axis=-1)
+    out = norm_rope(x, scale, cos, sin, D, block_rows=8, interpret=True)
+    xh = x.reshape(B, L, Hh, D)
+    ref = apply_rope_split(_rms_fast(xh, scale), cos, sin).reshape(B, L, Hh * D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)

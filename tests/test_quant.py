@@ -302,6 +302,51 @@ def test_int4_t5_encode_close(key):
     assert cos > 0.95, cos
 
 
+def test_int8_weight_only_t5_encode_close(key):
+    """w8a16 int8 T5 (the phase-swap fast-encode profile,
+    pipeline_args.t5_quant="int8") stays close to fp32."""
+    from reflectionflow_tpu.config import T5Config
+    from reflectionflow_tpu.models.flux.text import t5_encode, t5_encoder_init
+    from reflectionflow_tpu.ops.quant import quantize_dit_params
+
+    t5_cfg = T5Config.tiny()
+    t5 = t5_encoder_init(key, t5_cfg)
+    t5_q = quantize_dit_params(t5, min_size=16, act_quant=False)
+    # weight-only: no act_q markers anywhere in the tree
+    import jax
+
+    assert not any(
+        path.endswith("act_q") for path, _ in
+        [(jax.tree_util.keystr(kp), v) for kp, v in jax.tree_util.tree_leaves_with_path(t5_q)]
+    )
+    ids = jnp.asarray(np.array([[3, 5, 7, 1]], np.int32))
+    ref = np.asarray(t5_encode(t5, t5_cfg, ids)).ravel()
+    out = np.asarray(t5_encode(t5_q, t5_cfg, ids)).ravel()
+    cos = float(np.dot(ref, out) / (np.linalg.norm(ref) * np.linalg.norm(out)))
+    assert cos > 0.99, cos  # int8 per-channel beats NF4's 0.95 floor here
+
+
+def test_pipeline_quantize_weight_only_t5(key):
+    """pipe.quantize(weight_only=("t5",)) quantizes T5 int8 w8a16 and the
+    pipeline still encodes/generates."""
+    import jax
+
+    from reflectionflow_tpu.config import CLIPTextConfig, FluxVAEConfig, T5Config
+    from reflectionflow_tpu.sampler.pipeline import FluxPipeline
+
+    pipe = FluxPipeline.random_init(
+        jax.random.PRNGKey(0),
+        dit_cfg=FluxDiTConfig.tiny(),
+        vae_cfg=FluxVAEConfig.tiny(),
+        t5_cfg=T5Config.tiny(),
+        clip_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    pipe.quantize(which=("dit",), int4=(), weight_only=("t5",))
+    out = pipe.generate(["x"], height=16, width=16, num_inference_steps=2, seed=1)
+    assert out.shape == (1, 16, 16, 3)
+
+
 def test_pipeline_quantize_generate(key):
     """pipe.quantize() (fuse + int8) end-to-end through generate()."""
     import jax
