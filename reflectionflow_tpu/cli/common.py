@@ -120,6 +120,11 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
         pipe.cond_dit_params = cond_view
     if quantize == "int8":
         t5_mode = getattr(cfg.pipeline_args, "t5_quant", "int8")
+        if t5_mode not in ("int4", "int8"):
+            raise ValueError(
+                f"pipeline_args.t5_quant={t5_mode!r}: expected 'int8' (w8a16, "
+                "phase-swap fast encode) or 'int4' (packed NF4, co-residency)"
+            )
         pipe.quantize(
             act_quant_exclude=tuple(getattr(args, "act_quant_exclude", []) or ()),
             int4=("t5",) if t5_mode == "int4" else (),

@@ -549,8 +549,6 @@ def flash_attention(q, k, v, bias=None, main_len=None, cross_bias=0.0, interpret
     assert bias is None, "pallas path takes structural (main_len, cross_bias), not dense bias"
     bq, bk = _block_policy(q.shape[1])
     fn = flash_attention_int8 if int8 else flash_attention_structured
-    if int8:
-        bq = min(bq, 512)
     return fn(
         q, k, v, main_len=main_len, cross_bias=cross_bias, block_q=bq, block_k=bk, interpret=interpret
     )
