@@ -130,7 +130,7 @@ def init_int8_full(cfg: FluxDiTConfig):
     return _assemble_int8_tree(cfg, rand_qlin, small_lin)
 
 
-def _assemble_int8_tree(cfg: FluxDiTConfig, rand_qlin, small_lin):
+def _assemble_int8_tree(cfg: FluxDiTConfig, rand_qlin, small_lin, rand_qlin4=None):
     H, M, D = cfg.hidden_size, cfg.mlp_hidden, cfg.head_dim
     nd, ns = cfg.num_double_blocks, cfg.num_single_blocks
 
@@ -146,8 +146,10 @@ def _assemble_int8_tree(cfg: FluxDiTConfig, rand_qlin, small_lin):
             "txt_qkv": rand_qlin(H, 3 * H, nd), "txt_out": rand_qlin(H, H, nd),
             "q_norm": rms(nd), "k_norm": rms(nd), "txt_q_norm": rms(nd), "txt_k_norm": rms(nd),
         },
-        "img_mlp": {"fc1": rand_qlin(H, M, nd), "fc2": rand_qlin(M, H, nd)},
-        "txt_mlp": {"fc1": rand_qlin(H, M, nd), "fc2": rand_qlin(M, H, nd)},
+        # rand_qlin4: the int4-MLP co-residency profile (dit_quant=
+        # "int8_int4mlp") — MLP weights NF4, attention stays W8A8
+        "img_mlp": {"fc1": (rand_qlin4 or rand_qlin)(H, M, nd), "fc2": (rand_qlin4 or rand_qlin)(M, H, nd)},
+        "txt_mlp": {"fc1": (rand_qlin4 or rand_qlin)(H, M, nd), "fc2": (rand_qlin4 or rand_qlin)(M, H, nd)},
     }
     if FUSE_SINGLE_IO:
         # serving layout after ops.fuse.fuse_single_block_io: one input panel
@@ -157,7 +159,7 @@ def _assemble_int8_tree(cfg: FluxDiTConfig, rand_qlin, small_lin):
             "attn": {"q_norm": rms(ns), "k_norm": rms(ns)},
             "in_proj": rand_qlin(H, 3 * H + M, ns),
             "out_attn": rand_qlin(H, H, ns),
-            "out_mlp": rand_qlin(M, H, ns),
+            "out_mlp": (rand_qlin4 or rand_qlin)(M, H, ns),
         }
     else:
         single = {
@@ -182,11 +184,13 @@ def _assemble_int8_tree(cfg: FluxDiTConfig, rand_qlin, small_lin):
     }
 
 
-def init_int8_on_device(cfg: FluxDiTConfig):
+def init_int8_on_device(cfg: FluxDiTConfig, int4_mlp: bool = False):
     """Alternative init: build each stacked int8 leaf ON DEVICE in per-block
     chunks (jax.random.randint per block + dynamic_update_slice into a
     preallocated int8 buffer). Avoids the 12 GB host->device transfer and
-    the host-RSS blowup of the numpy path; u32 temporaries stay ~200 MB."""
+    the host-RSS blowup of the numpy path; u32 temporaries stay ~200 MB.
+    `int4_mlp`: MLP weights as packed NF4 (~9.7 GB DiT, the co-residency
+    profile)."""
     import functools
 
     @functools.partial(jax.jit, static_argnames=("n", "d_in", "d_out"))
@@ -223,7 +227,31 @@ def init_int8_on_device(cfg: FluxDiTConfig):
             "b": jnp.zeros(((stacked,) if stacked else ()) + (o,), jnp.bfloat16),
         }
 
-    return _assemble_int8_tree(cfg, rand_qlin, small_lin)
+    rand_qlin4 = None
+    if int4_mlp:
+        group = 128
+
+        @functools.partial(jax.jit, static_argnames=("n", "G", "half", "dout"))
+        def stacked_u8(k, n, G, half, dout):
+            def body(i, buf):
+                blk = jax.random.bits(jax.random.fold_in(k, i), (1, G, half, dout), jnp.uint8)
+                return jax.lax.dynamic_update_slice(buf, blk, (i, 0, 0, 0))
+
+            return jax.lax.fori_loop(0, n, body, jnp.zeros((n, G, half, dout), jnp.uint8))
+
+        def rand_qlin4(shape_in, shape_out, stacked):
+            counter[0] += 1
+            k = jax.random.fold_in(key, counter[0])
+            G = shape_in // group
+            return {
+                "w_p4": stacked_u8(k, stacked, G, group // 2, shape_out),
+                "w_scale4": jnp.full(
+                    (stacked, G, 1, shape_out), 2.5 / np.sqrt(shape_in), jnp.float32
+                ),
+                "b": jnp.zeros((stacked, shape_out), jnp.bfloat16),
+            }
+
+    return _assemble_int8_tree(cfg, rand_qlin, small_lin, rand_qlin4=rand_qlin4)
 
 
 def init_int4_t5(t5_cfg):
@@ -369,8 +397,9 @@ def bench_e2e(rtt: float, phase_swap: bool = False) -> dict | None:
         t5 = clip = txt2 = None
         gc.collect()
 
-    # --- DiT + VAE phase
-    dit = init_int8_on_device(dit_cfg)
+    # --- DiT + VAE phase (co-resident: int4-MLP DiT (~9.7 GB) so the whole
+    # pipeline fits 16 GB with T5 still resident — dit_quant="int8_int4mlp")
+    dit = init_int8_on_device(dit_cfg, int4_mlp=not phase_swap)
     vae_dec = vae_decoder_init(jax.random.PRNGKey(4), vae_cfg, jnp.bfloat16)
 
     def run_denoise(txt, pooled):
@@ -398,9 +427,10 @@ def bench_e2e(rtt: float, phase_swap: bool = False) -> dict | None:
     t_dec = max(time.perf_counter() - t0 - rtt, 0.0)
     mode = "phase-swap" if phase_swap else "co-resident"
     t5_kind = "int8-T5" if phase_swap else "int4-T5"
+    dit_kind = "W8A8 DiT" if phase_swap else "W8A8+int4MLP DiT"
     return {
         "t_image_s": t_enc + t_den + t_dec,
-        "config": f"e2e {t5_kind} encode + W8A8 DiT 19/38 (pallas flash attn, split rope) + VAE decode, {mode}",
+        "config": f"e2e {t5_kind} encode + {dit_kind} 19/38 (pallas flash attn, split rope) + VAE decode, {mode}",
         "t_encode_s": round(t_enc, 3),
         "t_denoise_s": round(t_den, 3),
         "t_decode_fetch_s": round(t_dec, 3),

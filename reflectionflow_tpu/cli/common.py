@@ -118,6 +118,7 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
         main, cond_view = make_dit_param_views(pipe.params["dit"], lora, latent_lora=False)
         pipe.params["dit"] = main
         pipe.cond_dit_params = cond_view
+    dit_mode = getattr(cfg.pipeline_args, "dit_quant", "int8")
     if quantize == "int8":
         t5_mode = getattr(cfg.pipeline_args, "t5_quant", "int8")
         if t5_mode not in ("int4", "int8"):
@@ -125,16 +126,29 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
                 f"pipeline_args.t5_quant={t5_mode!r}: expected 'int8' (w8a16, "
                 "phase-swap fast encode) or 'int4' (packed NF4, co-residency)"
             )
+        if dit_mode not in ("int8", "int8_int4mlp"):
+            raise ValueError(
+                f"pipeline_args.dit_quant={dit_mode!r}: expected 'int8' (full "
+                "W8A8 + phase swap) or 'int8_int4mlp' (NF4 MLP co-residency)"
+            )
+        int4mlp = dit_mode == "int8_int4mlp"
+        if int4mlp:
+            # co-residency: everything on chip at once -> T5 must be NF4
+            t5_mode = "int4"
         pipe.quantize(
             act_quant_exclude=tuple(getattr(args, "act_quant_exclude", []) or ()),
             int4=("t5",) if t5_mode == "int4" else (),
             weight_only=("t5",) if t5_mode == "int8" else (),
+            dit_int4_mlp=int4mlp,
         )
-    # phase swap is implied by the int8 single-chip profile: full co-residency
+    # phase swap is implied by the FULL-W8A8 int8 profile: its co-residency
     # (~15 GB + transients) measured-OOMs on a 16 GB v5e (docs/DEPLOYMENT.md).
+    # The int8_int4mlp profile co-resides (~12.8 GB) and needs no swap.
     # Enable BEFORE to_device so the T5 tree is never uploaded just to be
     # pulled back to host.
-    if getattr(args, "phase_swap", False) or quantize == "int8":
+    if getattr(args, "phase_swap", False) or (
+        quantize == "int8" and dit_mode != "int8_int4mlp"
+    ):
         pipe.enable_phase_swap()
     if not args.synthetic_weights:
         pipe.to_device()

@@ -247,6 +247,11 @@ class PipelineArgs:
     # 4.8 GB tree lives host-side between encode phases under phase swap) or
     # "int4" = packed NF4 (2.4 GB — the co-residency / small-host profile)
     t5_quant: str = "int8"
+    # DiT quantization under quantize="int8": "int8" = full W8A8 (fastest,
+    # needs phase swap on 16 GB) or "int8_int4mlp" = MLP weights packed NF4
+    # (~9.7 GB DiT) — everything co-resides on one 16 GB chip, no phase
+    # swap, at a slower w4a16 MLP matmul rate
+    dit_quant: str = "int8"
 
     @property
     def dtype(self):

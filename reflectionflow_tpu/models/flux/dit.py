@@ -219,8 +219,11 @@ def _quant_block_rows(L, width):
 
 
 def _out_width(p):
-    """Output width of a linear param dict (quantized or float)."""
-    return (p["w_q"] if "w_q" in p else p["w"]).shape[-1]
+    """Output width of a linear param dict (int8/NF4-quantized or float)."""
+    for k in ("w_q", "w_p4", "w"):
+        if k in p:
+            return p[k].shape[-1]
+    raise KeyError(f"not a linear param dict: {sorted(p)}")
 
 
 def _use_fused_quant(flags, attn_impl, p, L, *widths):

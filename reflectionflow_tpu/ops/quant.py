@@ -182,15 +182,23 @@ def quantize_dit_params(
     min_size: int = 1 << 20,
     act_quant: bool = True,
     act_quant_exclude: tuple[str, ...] = (),
+    int4_paths: tuple[str, ...] = (),
+    int4_group: int = 128,
 ):
     """Int8-quantize every linear weight bigger than `min_size` elements.
 
     Embedding layers below the threshold stay bf16 (negligible memory,
     quality-sensitive). `act_quant_exclude` path substrings (e.g. "_mod")
     keep those layers weight-only int8 — a quality knob for activation-
-    sensitive layers like the AdaLN modulation projections."""
+    sensitive layers like the AdaLN modulation projections. `int4_paths`
+    substrings go packed NF4 instead (w4a16) — the co-residency memory
+    profile quantizes the MLP weights (~60%% of the DiT) int4 while
+    attention stays int8 W8A8; `models.flux.dit.linear` dispatches per
+    leaf, so mixed trees need no model changes."""
 
     def quantizer(node, path):
+        if any(sub in path for sub in int4_paths):
+            return quantize_linear_int4(node, group=int4_group)
         aq = act_quant and not any(sub in path for sub in act_quant_exclude)
         return quantize_linear(node, act_quant=aq)
 

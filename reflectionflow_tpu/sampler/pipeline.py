@@ -114,6 +114,7 @@ class FluxPipeline:
         int4: tuple[str, ...] = ("t5",),
         act_quant_exclude: tuple[str, ...] = (),
         weight_only: tuple[str, ...] = (),
+        dit_int4_mlp: bool = False,
     ) -> "FluxPipeline":
         """Quantize the big weight trees in place (`ops.quant`) — the
         single-chip 16 GB serving configuration. `which` trees go int8
@@ -143,10 +144,15 @@ class FluxPipeline:
             if self.cond_dit_params is not None:
                 self.cond_dit_params = serving_layout(self.cond_dit_params)
             self.rope_layout = "split"
+        # co-residency profile: MLP weights (~60% of the DiT) packed NF4,
+        # attention/mod panels int8 W8A8 — the whole pipeline then fits one
+        # 16 GB chip WITHOUT phase swap (slower: NF4 matmuls run w4a16)
+        int4_paths = ("img_mlp", "txt_mlp", "out_mlp") if dit_int4_mlp else ()
         for name in which:
             if name in self.params:
                 self.params[name] = quantize_dit_params(
-                    self.params[name], act_quant_exclude=act_quant_exclude
+                    self.params[name], act_quant_exclude=act_quant_exclude,
+                    int4_paths=int4_paths if name == "dit" else (),
                 )
         for name in weight_only:
             if name in self.params and name not in which:
@@ -156,7 +162,8 @@ class FluxPipeline:
                 self.params[name] = quantize_params_int4(self.params[name])
         if self.cond_dit_params is not None and "dit" in which:
             self.cond_dit_params = quantize_dit_params(
-                self.cond_dit_params, act_quant_exclude=act_quant_exclude
+                self.cond_dit_params, act_quant_exclude=act_quant_exclude,
+                int4_paths=int4_paths,
             )
         return self
 

@@ -378,3 +378,57 @@ def test_act_quant_exclude_paths(key):
     # modulation projections stay weight-only (no act_q marker)
     assert "w_q" in q["double_blocks"]["img_mod"] and "act_q" not in q["double_blocks"]["img_mod"]
     assert "act_q" in q["double_blocks"]["attn"]["q"]
+
+
+def test_dit_int4_mlp_co_residency_profile(key):
+    """Mixed tree: MLP weights NF4, attention W8A8 — the no-phase-swap
+    16 GB profile (pipeline_args.dit_quant="int8_int4mlp"). The forward
+    dispatches per leaf and stays close to the unquantized model."""
+    from reflectionflow_tpu.models.flux.dit import flux_dit_apply, flux_dit_init
+    from reflectionflow_tpu.models.flux.rope import make_image_ids, make_text_ids
+    from reflectionflow_tpu.ops.fuse import fuse_dit_qkv, fuse_single_block_io
+    from reflectionflow_tpu.ops.quant import quantize_dit_params
+
+    cfg = FluxDiTConfig.tiny()
+    params = flux_dit_init(key, cfg)
+    serving = fuse_single_block_io(fuse_dit_qkv(params))
+    q = quantize_dit_params(
+        serving, min_size=64 * 64, act_quant=True,
+        int4_paths=("img_mlp", "txt_mlp", "out_mlp"), int4_group=16,
+    )
+    assert "w_p4" in q["double_blocks"]["img_mlp"]["fc1"]
+    assert "w_p4" in q["single_blocks"]["out_mlp"]
+    assert "act_q" in q["single_blocks"]["in_proj"]  # attention stays W8A8
+    inputs = dict(
+        img=jax.random.normal(jax.random.PRNGKey(1), (1, 16, cfg.in_channels)),
+        txt=jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.text_dim)),
+        pooled=jax.random.normal(jax.random.PRNGKey(3), (1, cfg.pooled_dim)),
+        timestep=jnp.array([0.5]),
+        img_ids=jnp.asarray(make_image_ids(4, 4)),
+        txt_ids=jnp.asarray(make_text_ids(8)),
+        guidance=jnp.array([3.5]),
+    )
+    exact = np.asarray(flux_dit_apply(params, cfg, **inputs)).ravel()
+    out = np.asarray(flux_dit_apply(q, cfg, **inputs)).ravel()
+    cos = float(exact @ out / (np.linalg.norm(exact) * np.linalg.norm(out)))
+    assert cos > 0.99, cos
+
+
+def test_pipeline_quantize_int4_mlp(key):
+    """pipe.quantize(dit_int4_mlp=True) end-to-end through generate()."""
+    import jax
+
+    from reflectionflow_tpu.config import CLIPTextConfig, FluxVAEConfig, T5Config
+    from reflectionflow_tpu.sampler.pipeline import FluxPipeline
+
+    pipe = FluxPipeline.random_init(
+        jax.random.PRNGKey(0),
+        dit_cfg=FluxDiTConfig.tiny(),
+        vae_cfg=FluxVAEConfig.tiny(),
+        t5_cfg=T5Config.tiny(),
+        clip_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    pipe.quantize(which=("dit",), dit_int4_mlp=True)
+    out = pipe.generate(["x"], height=16, width=16, num_inference_steps=2, seed=1)
+    assert out.shape == (1, 16, 16, 3)
