@@ -229,27 +229,11 @@ def init_int8_on_device(cfg: FluxDiTConfig, int4_mlp: bool = False):
 
     rand_qlin4 = None
     if int4_mlp:
-        group = 128
-
-        @functools.partial(jax.jit, static_argnames=("n", "G", "half", "dout"))
-        def stacked_u8(k, n, G, half, dout):
-            def body(i, buf):
-                blk = jax.random.bits(jax.random.fold_in(k, i), (1, G, half, dout), jnp.uint8)
-                return jax.lax.dynamic_update_slice(buf, blk, (i, 0, 0, 0))
-
-            return jax.lax.fori_loop(0, n, body, jnp.zeros((n, G, half, dout), jnp.uint8))
-
         def rand_qlin4(shape_in, shape_out, stacked):
             counter[0] += 1
-            k = jax.random.fold_in(key, counter[0])
-            G = shape_in // group
-            return {
-                "w_p4": stacked_u8(k, stacked, G, group // 2, shape_out),
-                "w_scale4": jnp.full(
-                    (stacked, G, 1, shape_out), 2.5 / np.sqrt(shape_in), jnp.float32
-                ),
-                "b": jnp.zeros((stacked, shape_out), jnp.bfloat16),
-            }
+            leaf = _stacked_nf4(jax.random.fold_in(key, counter[0]), stacked, shape_in, shape_out)
+            leaf["b"] = jnp.zeros((stacked, shape_out), jnp.bfloat16)
+            return leaf
 
     return _assemble_int8_tree(cfg, rand_qlin, small_lin, rand_qlin4=rand_qlin4)
 
@@ -257,31 +241,13 @@ def init_int8_on_device(cfg: FluxDiTConfig, int4_mlp: bool = False):
 def init_int4_t5(t5_cfg):
     """Synthetic T5-XXL with packed NF4 weights, built on device in
     per-block chunks (real int4 tree = 2.3 GB packed + 0.26 GB bf16 embed)."""
-    import functools
-
-    group = 128
-
-    @functools.partial(jax.jit, static_argnames=("n", "G", "half", "dout"))
-    def stacked_u8(key, n, G, half, dout):
-        def body(i, buf):
-            blk = jax.random.bits(jax.random.fold_in(key, i), (1, G, half, dout), jnp.uint8)
-            return jax.lax.dynamic_update_slice(buf, blk, (i, 0, 0, 0))
-
-        return jax.lax.fori_loop(0, n, body, jnp.zeros((n, G, half, dout), jnp.uint8))
-
     key = jax.random.PRNGKey(7)
     counter = [0]
     n = t5_cfg.num_layers
 
     def qlin4(d_in, d_out):
         counter[0] += 1
-        k = jax.random.fold_in(key, counter[0])
-        G = d_in // group
-        return {
-            "w_p4": stacked_u8(k, n, G, group // 2, d_out),
-            # NF4 codes average |c|~0.4; scale to weight-like magnitude
-            "w_scale4": jnp.full((n, G, 1, d_out), 2.5 / np.sqrt(d_in), jnp.float32),
-        }
+        return _stacked_nf4(jax.random.fold_in(key, counter[0]), n, d_in, d_out)
 
     d, inner, ff = t5_cfg.d_model, t5_cfg.num_heads * t5_cfg.d_kv, t5_cfg.d_ff
     ones = lambda: {"scale": jnp.ones((n, d), jnp.bfloat16)}  # noqa: E731
@@ -339,6 +305,31 @@ def init_int8_t5(t5_cfg):
             "wi0": qlin8(d, ff), "wi1": qlin8(d, ff), "wo": qlin8(ff, d),
         },
         "final_ln": {"scale": jnp.ones((d,), jnp.bfloat16)},
+    }
+
+
+NF4_GROUP = 128
+
+
+def _stacked_nf4(key, n, d_in, d_out):
+    """Synthetic packed-NF4 stacked leaf {"w_p4", "w_scale4"}, built on
+    device in per-block chunks (shared by the int4 T5 and int4-MLP DiT
+    synthetic inits). NF4 codes average |c|~0.4; the scale gives
+    weight-like magnitude."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n", "G", "half", "dout"))
+    def stacked_u8(k, n, G, half, dout):
+        def body(i, buf):
+            blk = jax.random.bits(jax.random.fold_in(k, i), (1, G, half, dout), jnp.uint8)
+            return jax.lax.dynamic_update_slice(buf, blk, (i, 0, 0, 0))
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((n, G, half, dout), jnp.uint8))
+
+    G = d_in // NF4_GROUP
+    return {
+        "w_p4": stacked_u8(key, n, G, NF4_GROUP // 2, d_out),
+        "w_scale4": jnp.full((n, G, 1, d_out), 2.5 / np.sqrt(d_in), jnp.float32),
     }
 
 
@@ -479,8 +470,10 @@ def bench_bf16_extrapolated(rtt: float) -> dict:
     }
 
 
-# e2e_swap first: full co-residency (15 GB + transients) measured-OOMs on a
-# 16 GB v5e, so the phase-swap profile is the honest single-chip number
+# e2e_swap first: the phase-swap W8A8 profile is the fast single-chip
+# number (full-W8A8 co-residency measured-OOMs on 16 GB). The "e2e" stage
+# is the int4-MLP CO-RESIDENT profile (dit_quant="int8_int4mlp") — fits
+# with no swap, slower w4a16 MLPs (~18.6 s measured).
 STAGES = ("e2e_swap", "e2e", "int8", "bf16")
 
 

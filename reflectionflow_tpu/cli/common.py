@@ -120,8 +120,8 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
         pipe.cond_dit_params = cond_view
     dit_mode = getattr(cfg.pipeline_args, "dit_quant", "int8")
     if quantize == "int8":
-        t5_mode = getattr(cfg.pipeline_args, "t5_quant", "int8")
-        if t5_mode not in ("int4", "int8"):
+        t5_mode = getattr(cfg.pipeline_args, "t5_quant", None)
+        if t5_mode not in (None, "int4", "int8"):
             raise ValueError(
                 f"pipeline_args.t5_quant={t5_mode!r}: expected 'int8' (w8a16, "
                 "phase-swap fast encode) or 'int4' (packed NF4, co-residency)"
@@ -132,9 +132,17 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
                 "W8A8 + phase swap) or 'int8_int4mlp' (NF4 MLP co-residency)"
             )
         int4mlp = dit_mode == "int8_int4mlp"
-        if int4mlp:
-            # co-residency: everything on chip at once -> T5 must be NF4
-            t5_mode = "int4"
+        if t5_mode is None:
+            # profile default: fast w8a16 encode under phase swap; NF4 when
+            # everything must co-reside
+            t5_mode = "int4" if int4mlp else "int8"
+        elif int4mlp and t5_mode == "int8":
+            raise ValueError(
+                "pipeline_args.t5_quant='int8' cannot combine with "
+                "dit_quant='int8_int4mlp': the 4.8 GB w8a16 T5 does not "
+                "co-reside with the DiT on 16 GB — use t5_quant='int4' or "
+                "leave it unset"
+            )
         pipe.quantize(
             act_quant_exclude=tuple(getattr(args, "act_quant_exclude", []) or ()),
             int4=("t5",) if t5_mode == "int4" else (),
@@ -150,6 +158,10 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
         quantize == "int8" and dit_mode != "int8_int4mlp"
     ):
         pipe.enable_phase_swap()
+    elif quantize == "int8":
+        # co-resident profile: no swap, but fixed-prompt loops should still
+        # encode each prompt once
+        pipe.enable_prompt_cache()
     if not args.synthetic_weights:
         pipe.to_device()
     return pipe

@@ -245,8 +245,11 @@ class PipelineArgs:
     attn_impl: Optional[str] = None  # "pallas" | "pallas_int8" (serving only) | "xla"
     # T5 quantization under quantize="int8": "int8" = w8a16 (fast encode; the
     # 4.8 GB tree lives host-side between encode phases under phase swap) or
-    # "int4" = packed NF4 (2.4 GB — the co-residency / small-host profile)
-    t5_quant: str = "int8"
+    # "int4" = packed NF4 (2.4 GB — the co-residency / small-host profile).
+    # None = profile default: "int8" under phase swap, "int4" under
+    # dit_quant="int8_int4mlp" co-residency. An EXPLICIT "int8" combined
+    # with the co-residency profile is rejected (it cannot co-reside).
+    t5_quant: Optional[str] = None
     # DiT quantization under quantize="int8": "int8" = full W8A8 (fastest,
     # needs phase swap on 16 GB) or "int8_int4mlp" = MLP weights packed NF4
     # (~9.7 GB DiT) — everything co-resides on one 16 GB chip, no phase

@@ -191,8 +191,9 @@ def quantize_dit_params(
     quality-sensitive). `act_quant_exclude` path substrings (e.g. "_mod")
     keep those layers weight-only int8 — a quality knob for activation-
     sensitive layers like the AdaLN modulation projections. `int4_paths`
-    substrings go packed NF4 instead (w4a16) — the co-residency memory
-    profile quantizes the MLP weights (~60%% of the DiT) int4 while
+    substrings (matched against the full leaf path, e.g.
+    "single_blocks/out/") go packed NF4 instead (w4a16) — the co-residency
+    memory profile quantizes the MLP weights (~60% of the DiT) int4 while
     attention stays int8 W8A8; `models.flux.dit.linear` dispatches per
     leaf, so mixed trees need no model changes."""
 

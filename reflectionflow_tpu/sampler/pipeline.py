@@ -115,6 +115,8 @@ class FluxPipeline:
         act_quant_exclude: tuple[str, ...] = (),
         weight_only: tuple[str, ...] = (),
         dit_int4_mlp: bool = False,
+        min_size: int = 1 << 20,
+        int4_group: int = 128,
     ) -> "FluxPipeline":
         """Quantize the big weight trees in place (`ops.quant`) — the
         single-chip 16 GB serving configuration. `which` trees go int8
@@ -146,24 +148,35 @@ class FluxPipeline:
             self.rope_layout = "split"
         # co-residency profile: MLP weights (~60% of the DiT) packed NF4,
         # attention/mod panels int8 W8A8 — the whole pipeline then fits one
-        # 16 GB chip WITHOUT phase swap (slower: NF4 matmuls run w4a16)
-        int4_paths = ("img_mlp", "txt_mlp", "out_mlp") if dit_int4_mlp else ()
+        # 16 GB chip WITHOUT phase swap (slower: NF4 matmuls run w4a16).
+        # Covers BOTH layouts: the fused serving names (out_mlp) and the
+        # unfused ones kept under model-TP (mlp_in, single_blocks/out/ —
+        # the trailing slash keeps out_attn/txt_out int8)
+        int4_paths = (
+            ("img_mlp", "txt_mlp", "out_mlp", "mlp_in", "single_blocks/out/")
+            if dit_int4_mlp else ()
+        )
         for name in which:
             if name in self.params:
                 self.params[name] = quantize_dit_params(
-                    self.params[name], act_quant_exclude=act_quant_exclude,
+                    self.params[name], min_size=min_size,
+                    act_quant_exclude=act_quant_exclude,
                     int4_paths=int4_paths if name == "dit" else (),
+                    int4_group=int4_group,
                 )
         for name in weight_only:
             if name in self.params and name not in which:
-                self.params[name] = quantize_dit_params(self.params[name], act_quant=False)
+                self.params[name] = quantize_dit_params(
+                    self.params[name], min_size=min_size, act_quant=False
+                )
         for name in int4:
             if name in self.params and name not in which and name not in weight_only:
-                self.params[name] = quantize_params_int4(self.params[name])
+                self.params[name] = quantize_params_int4(self.params[name], min_size=min_size)
         if self.cond_dit_params is not None and "dit" in which:
             self.cond_dit_params = quantize_dit_params(
-                self.cond_dit_params, act_quant_exclude=act_quant_exclude,
-                int4_paths=int4_paths,
+                self.cond_dit_params, min_size=min_size,
+                act_quant_exclude=act_quant_exclude,
+                int4_paths=int4_paths, int4_group=int4_group,
             )
         return self
 
@@ -192,6 +205,19 @@ class FluxPipeline:
     def _offload(self, name: str) -> None:
         if name in getattr(self, "_host_params", {}):
             self.params[name] = None
+
+    def enable_prompt_cache(self) -> "FluxPipeline":
+        """Cache prompt embeddings per (prompt, L) WITHOUT offloading any
+        tree — for co-resident profiles (dit_quant="int8_int4mlp") where
+        the text encoders stay on device but fixed-prompt loops should
+        still encode each prompt once. `enable_phase_swap` supersedes this
+        (it creates the same cache plus host offload)."""
+        if getattr(self, "_embed_cache", None) is None:
+            self._embed_cache = {}
+            self._embed_cache_cap = 2048
+            self._hold_encoders = False
+            self._swap = getattr(self, "_swap", ())
+        return self
 
     # -- text ---------------------------------------------------------------
 
