@@ -1,11 +1,11 @@
 """Decompose the serving attention path's cost on hardware.
 
-tools/step_ablation.py showed the attention PATH costs ~254 ms/step while
-the kernel sweep suggests ~110 ms/step of kernel time — the rest is the
-XLA-side prep around `pl.pallas_call` (per-token q/k int8 quantization with
-K centering, (B,L,H,D)->(B*H,L,D) layout transposes, output back-transpose).
-This times each jitted subgraph at the real FLUX single-block shape with an
-inner fori loop (single calls are below the tunnel RTT).
+Times the full int8/bf16 flash paths and the bare layout transposes at the
+real FLUX single-block shape with an inner fori loop (single calls are
+below the tunnel RTT). Both paths now quantize IN-KERNEL, so there is no
+XLA-side prep subgraph to time separately; the transposes measure ~free
+(XLA layout assignment satisfies the custom-call operand layouts at the
+producers — see CLAUDE.md).
 
 Prints one JSON line of per-call ms.
 """
