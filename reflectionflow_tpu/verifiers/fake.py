@@ -26,14 +26,27 @@ def _stable_unit(image: np.ndarray, prompt: str, salt: str = "") -> float:
 
 
 class FakeVerifier(Verifier):
-    """Grading-shaped scores in [0, 10], input order preserved."""
+    """Grading-shaped scores in [0, 10], input order preserved.
+
+    `delay_s` sleeps once per score call — simulates remote-API verifier
+    latency for pipelining experiments (tools/pipeline_overlap_demo.py)."""
 
     name = "fake"
 
-    def __init__(self, quality_fn: Callable[[np.ndarray, str], float] | None = None, **_):
+    def __init__(
+        self,
+        quality_fn: Callable[[np.ndarray, str], float] | None = None,
+        delay_s: float = 0.0,
+        **_,
+    ):
         self.quality_fn = quality_fn
+        self.delay_s = delay_s
 
     def score(self, images, prompts, tag=None, max_new_tokens=None):
+        if self.delay_s:
+            import time
+
+            time.sleep(self.delay_s)
         outputs = []
         for img, prompt in zip(images, prompts):
             if self.quality_fn is not None:
