@@ -155,3 +155,39 @@ def test_phase_swap_cache_eviction_and_hold():
     assert pipe2.params["t5"] is None
     # FIFO eviction keeps the cache bounded
     assert len(pipe2._embed_cache) == 3
+
+
+def test_enable_prompt_cache_without_phase_swap(key):
+    """The co-resident profile's prompt cache: repeated prompts encode once,
+    no tree is offloaded (enable_prompt_cache, cli co-res path)."""
+    import jax
+
+    from reflectionflow_tpu.config import CLIPTextConfig, FluxVAEConfig, T5Config
+    from reflectionflow_tpu.sampler.pipeline import FluxPipeline
+
+    pipe = FluxPipeline.random_init(
+        jax.random.PRNGKey(0),
+        dit_cfg=FluxDiTConfig.tiny(),
+        vae_cfg=FluxVAEConfig.tiny(),
+        t5_cfg=T5Config.tiny(),
+        clip_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    pipe.enable_prompt_cache()
+    calls = []
+    orig = pipe._encode_raw
+
+    def counting(prompts, L):
+        calls.append(list(prompts))
+        return orig(prompts, L)
+
+    pipe._encode_raw = counting
+    t1, p1 = pipe.encode_prompts(["a", "b"], 16)
+    t2, p2 = pipe.encode_prompts(["a", "b"], 16)  # pure cache hit
+    assert len(calls) == 1, calls
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2))
+    # T5 never offloaded (no phase swap)
+    assert pipe.params["t5"] is not None
+    # warm_prompt_cache works and only encodes the new prompt
+    pipe.warm_prompt_cache(["a", "c"], 16)
+    assert len(calls) == 2 and calls[1] == ["c"]
