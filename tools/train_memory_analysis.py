@@ -22,7 +22,6 @@ import optax
 from reflectionflow_tpu.config import FluxDiTConfig, TrainConfig  # noqa: E402
 from reflectionflow_tpu.lora.lora import lora_init  # noqa: E402
 from reflectionflow_tpu.models.flux.dit import flux_dit_init  # noqa: E402
-from reflectionflow_tpu.models.flux.rope import make_image_ids, make_text_ids  # noqa: E402
 from reflectionflow_tpu.train.rectified_flow import make_optimizer, rf_loss  # noqa: E402
 
 
