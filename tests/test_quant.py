@@ -437,3 +437,36 @@ def test_pipeline_quantize_int4_mlp(key):
     assert "w_q" in dit["single_blocks"]["in_proj"]
     out = pipe.generate(["x"], height=16, width=16, num_inference_steps=2, seed=1)
     assert out.shape == (1, 16, 16, 3)
+
+
+def test_dit_int4_mlp_pallas_serving_path(key):
+    """The mixed NF4-MLP/W8A8 tree through the full Pallas serving path
+    (split rope + fused act-quant kernels + flash attention, interpret):
+    int4 leaves must fall off the fused-quant gates onto w4a16 cleanly."""
+    from reflectionflow_tpu.models.flux.dit import flux_dit_apply, flux_dit_init
+    from reflectionflow_tpu.models.flux.rope import make_image_ids, make_text_ids
+    from reflectionflow_tpu.ops.fuse import fuse_dit_qkv, fuse_single_block_io, permute_rope_layout
+    from reflectionflow_tpu.ops.quant import quantize_dit_params
+
+    cfg = FluxDiTConfig.tiny()
+    params = flux_dit_init(key, cfg)
+    serving = permute_rope_layout(fuse_single_block_io(fuse_dit_qkv(params)), cfg.head_dim)
+    q = quantize_dit_params(
+        serving, min_size=64 * 64, act_quant=True,
+        int4_paths=("img_mlp", "txt_mlp", "out_mlp"), int4_group=16,
+    )
+    inputs = dict(
+        img=jax.random.normal(jax.random.PRNGKey(1), (1, 16, cfg.in_channels)),
+        txt=jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.text_dim)),
+        pooled=jax.random.normal(jax.random.PRNGKey(3), (1, cfg.pooled_dim)),
+        timestep=jnp.array([0.5]),
+        img_ids=jnp.asarray(make_image_ids(4, 4)),
+        txt_ids=jnp.asarray(make_text_ids(8)),
+        guidance=jnp.array([3.5]),
+    )
+    ref = np.asarray(flux_dit_apply(q, cfg, **inputs, rope_layout="split")).ravel()
+    out = np.asarray(
+        flux_dit_apply(q, cfg, **inputs, rope_layout="split", attn_impl="pallas_interpret")
+    ).ravel()
+    cos = float(ref @ out / (np.linalg.norm(ref) * np.linalg.norm(out)))
+    assert cos > 0.999, cos
