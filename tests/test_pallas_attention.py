@@ -235,3 +235,29 @@ def test_mismatched_blocks_rejected():
     q = jnp.zeros((1, 640, 2, 32), jnp.float32)
     with pytest.raises(ValueError, match="divide"):
         flash_attention_structured(q, q, q, block_q=256, block_k=640, interpret=True)
+
+
+def test_flash_fori_fallback_long_sequence(key):
+    """>16 K blocks takes the fori_loop branch of _unrolled_fori (bf16) and
+    the per-block re-quantization branch (int8) — both must match dense."""
+    from reflectionflow_tpu.ops.attention import sdpa
+    from reflectionflow_tpu.ops.pallas_attention import (
+        flash_attention_int8,
+        flash_attention_structured,
+    )
+
+    B, L, H, D = 1, 160, 2, 8  # 20 blocks of 8 > the unroll limit (16)
+    q = jax.random.normal(key, (B, L, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, L, H, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, L, H, D), jnp.float32)
+    ref = np.asarray(sdpa(q, k, v))
+    out = np.asarray(
+        flash_attention_structured(q, k, v, block_q=8, block_k=8, interpret=True)
+    )
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=1e-4)
+    out8 = np.asarray(
+        flash_attention_int8(q, k, v, block_q=8, block_k=8, interpret=True)
+    ).ravel()
+    r = ref.ravel()
+    cos = float(r @ out8 / (np.linalg.norm(r) * np.linalg.norm(out8)))
+    assert cos > 0.999, cos
