@@ -470,3 +470,17 @@ def test_dit_int4_mlp_pallas_serving_path(key):
     ).ravel()
     cos = float(ref @ out / (np.linalg.norm(ref) * np.linalg.norm(out)))
     assert cos > 0.999, cos
+
+
+def test_fuse_tolerates_missing_biases(key):
+    """fuse ops handle bias-less linears: missing biases contribute zeros
+    when any sibling has one; an all-bias-less fusion carries no 'b'."""
+    from reflectionflow_tpu.ops.fuse import _fuse_parts
+
+    w1 = {"w": jax.random.normal(key, (8, 4)), "b": jnp.ones((4,))}
+    w2 = {"w": jax.random.normal(jax.random.PRNGKey(1), (8, 6))}  # no bias
+    fused = _fuse_parts([w1, w2])
+    assert fused["w"].shape == (8, 10)
+    np.testing.assert_allclose(np.asarray(fused["b"]), [1, 1, 1, 1, 0, 0, 0, 0, 0, 0])
+    none = _fuse_parts([{"w": w2["w"]}, {"w": w2["w"]}])
+    assert "b" not in none
