@@ -104,3 +104,43 @@ def test_train_cli_synthetic(tmp_path):
         json.dump(cfg, f)
     main(["--config", cfg_path, "--synthetic_data", "--synthetic_weights"])
     assert os.path.exists(os.path.join(ckpt, "latest"))
+
+
+def test_serving_profile_validation(tmp_path):
+    """Bad t5_quant/dit_quant values and the incompatible int8-T5 +
+    int4-MLP-co-residency combination fail loudly at load time."""
+    import json as _json
+    from argparse import Namespace
+
+    from reflectionflow_tpu.cli.common import load_config, load_pipeline
+
+    def args_for(cfg_path):
+        return Namespace(
+            pipeline_config_path=str(cfg_path), output_dir=None, synthetic_weights=True,
+            attn_impl=None, quantize="int8", phase_swap=False, act_quant_exclude=[],
+        )
+
+    def cfg_with(pipeline_overrides):
+        p = tmp_path / f"cfg{len(list(tmp_path.iterdir()))}.json"
+        write_tiny_config(p)
+        raw = _json.loads(p.read_text())
+        raw["pipeline_args"].update(pipeline_overrides)
+        p.write_text(_json.dumps(raw))
+        return p
+
+    with pytest.raises(ValueError, match="t5_quant"):
+        load_pipeline(load_config(args_for(cfg_with({"t5_quant": "nf4"}))), args_for("x"))
+    with pytest.raises(ValueError, match="dit_quant"):
+        load_pipeline(load_config(args_for(cfg_with({"dit_quant": "int4"}))), args_for("x"))
+    with pytest.raises(ValueError, match="co-reside"):
+        load_pipeline(
+            load_config(args_for(cfg_with({"t5_quant": "int8", "dit_quant": "int8_int4mlp"}))),
+            args_for("x"),
+        )
+    # the valid co-residency profile loads, resolves T5 to NF4, and does
+    # NOT enable phase swap (but does cache prompt embeddings)
+    pipe = load_pipeline(
+        load_config(args_for(cfg_with({"dit_quant": "int8_int4mlp"}))), args_for("x")
+    )
+    assert getattr(pipe, "_swap", ()) == ()
+    assert getattr(pipe, "_embed_cache", None) is not None
