@@ -149,6 +149,20 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
             weight_only=("t5",) if t5_mode == "int8" else (),
             dit_int4_mlp=int4mlp,
         )
+    elif cli_quant is None and (
+        getattr(cfg.pipeline_args, "t5_quant", None)
+        or getattr(cfg.pipeline_args, "dit_quant", "int8") != "int8"
+    ):
+        # t5_quant/dit_quant only take effect under quantize="int8"; a config
+        # that sets them while quantization is off is a misconfigured serving
+        # profile, not a request for a bf16 run. An explicit `--quantize none`
+        # override is the user turning the profile off on purpose — allowed.
+        raise ValueError(
+            f"pipeline_args sets t5_quant={getattr(cfg.pipeline_args, 't5_quant', None)!r} / "
+            f"dit_quant={getattr(cfg.pipeline_args, 'dit_quant', 'int8')!r} but quantization "
+            f"is disabled (quantize={quantize!r}) — set pipeline_args.quantize='int8' or "
+            "remove the quant fields (use --quantize none to force a bf16 run)"
+        )
     # phase swap is implied by the FULL-W8A8 int8 profile: its co-residency
     # (~15 GB + transients) measured-OOMs on a 16 GB v5e (docs/DEPLOYMENT.md).
     # The int8_int4mlp profile co-resides (~12.8 GB) and needs no swap.

@@ -164,7 +164,13 @@ def permute_rope_layout(params: dict, head_dim: int) -> dict:
                 hidden = blocks[probe]["w"].shape[-2]
                 break
         if hidden is None:
-            return params  # quantized already: caller fused/permuted too late
+            # No float projection panels: the tree is already quantized, so a
+            # silent no-op here would let the caller run split-layout rotation
+            # on unpermuted q/k weights (silently wrong outputs).
+            raise ValueError(
+                "permute_rope_layout: no float q/k panels found in "
+                f"{family!r} — apply load-time fusions BEFORE quantization"
+            )
         if "in_proj" in blocks:  # fused single layout: q/k are the first thirds
             p1 = perm_cols(blocks["in_proj"], (0, hidden))
             blocks["in_proj"] = perm_cols(p1, (hidden, 2 * hidden))

@@ -81,7 +81,7 @@ def auto_block_rows(L: int, width: int) -> int:
     rows x 12288 cols compiles to an 18 MB scoped allocation and is
     rejected)."""
     cap = 256 if width <= 6144 else 128
-    for bl in (cap, 128, 64, 32, 16, 8):
+    for bl in sorted({cap, 128, 64, 32, 16, 8}, reverse=True):
         if bl <= cap and L % bl == 0:
             return bl
     return 0

@@ -136,7 +136,10 @@ class FluxPipeline:
         # fused panels are incompatible with the per-head TP partition specs
         # (parallel.specs shards q/k/v by heads); keep unfused under model-TP
         tp = self.mesh is not None and self.mesh.shape.get("model", 1) > 1
-        if fuse_qkv and not tp:
+        if fuse_qkv and not tp and self.rope_layout != "split":
+            # rope_layout == "split" means serving_layout already ran (a second
+            # quantize() call); permute_rope_layout raises on quantized trees,
+            # so the flag can only be "split" when the permutation succeeded.
             D = self.dit_cfg.head_dim
 
             def serving_layout(tree):

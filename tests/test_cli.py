@@ -144,3 +144,14 @@ def test_serving_profile_validation(tmp_path):
     )
     assert getattr(pipe, "_swap", ()) == ()
     assert getattr(pipe, "_embed_cache", None) is not None
+    # quant fields without quantization enabled = misconfigured profile (raise)
+    def args_noquant(cfg_path, quantize=None):
+        a = args_for(cfg_path)
+        a.quantize = quantize
+        return a
+
+    p_bad = cfg_with({"t5_quant": "int8"})
+    with pytest.raises(ValueError, match="quantization\\s+is disabled"):
+        load_pipeline(load_config(args_noquant(p_bad)), args_noquant("x"))
+    # ... but an explicit --quantize none override is the user's call
+    load_pipeline(load_config(args_noquant(p_bad, "none")), args_noquant("x", "none"))
