@@ -45,7 +45,13 @@ _SUM = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 
 BASELINE_IMGS_PER_SEC_PER_CHIP = 0.1  # H100, FLUX.1-dev 1024px/30 steps (see docstring)
 NUM_STEPS = 30
-BATCH = 1
+BATCH = 1  # per-stage override via --batch (candidate batching, the TPU scale axis)
+# Candidate-batched serving (the reference loops bs=1 serially,
+# /root/reference/tts/tts_reflectionflow.py:297-325 with
+# batch_size_for_img_gen=1; here candidates are a batch axis). Best measured
+# batch for the phase-swap W8A8 profile on one 16 GB v5e — see
+# docs/BENCH_NOTES.json::candidate_batched_serving_v5e.
+BEST_BATCH = 4
 FUSE_SINGLE_IO = True  # serving layout (ops.fuse.fuse_single_block_io)
 # serving rope layout: contiguous-half rotation (ops.fuse.permute_rope_layout;
 # synthetic random weights need no actual permutation, only the apply path)
@@ -333,7 +339,7 @@ def _stacked_nf4(key, n, d_in, d_out):
     }
 
 
-def bench_e2e(rtt: float, phase_swap: bool = False) -> dict | None:
+def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1) -> dict | None:
     """TRUE end-to-end single-chip image cost: T5-XXL(int4) encode +
     CLIP pooled + 30-step int8 DiT denoise + VAE decode + host image fetch.
     Co-resident by default; with `phase_swap` the T5 tree lives on host and
@@ -355,14 +361,14 @@ def bench_e2e(rtt: float, phase_swap: bool = False) -> dict | None:
     vae_cfg = FluxVAEConfig()
 
     rng = np.random.default_rng(1)
-    t5_ids = jnp.asarray(rng.integers(0, t5_cfg.vocab_size, (BATCH, LT)), jnp.int32)
+    t5_ids = jnp.asarray(rng.integers(0, t5_cfg.vocab_size, (batch, LT)), jnp.int32)
     clip_ids = jnp.asarray(
-        rng.integers(0, clip_cfg.vocab_size, (BATCH, clip_cfg.max_position_embeddings)), jnp.int32
+        rng.integers(0, clip_cfg.vocab_size, (batch, clip_cfg.max_position_embeddings)), jnp.int32
     )
     img_ids = jnp.asarray(make_image_ids(TY, TX))
     txt_ids = jnp.asarray(make_text_ids(LT))
     sigmas = jnp.asarray(FlowMatchSchedule.create(NUM_STEPS, TY * TX).sigmas)
-    latents = jnp.asarray(rng.standard_normal((BATCH, TY * TX, dit_cfg.in_channels)), jnp.bfloat16)
+    latents = jnp.asarray(rng.standard_normal((batch, TY * TX, dit_cfg.in_channels)), jnp.bfloat16)
 
     # --- encode phase (T5 + CLIP resident; in swap mode the DiT is not yet
     # up, so T5 can be the fast w8a16 int8 profile; co-resident needs NF4)
@@ -400,13 +406,22 @@ def bench_e2e(rtt: float, phase_swap: bool = False) -> dict | None:
             rope_layout=ROPE_LAYOUT,
         )
 
-    def decode(final):
-        grid = unpack_latents(final, TY, TX)
+    def decode_one(final_b1):
+        grid = unpack_latents(final_b1, TY, TX)
         imgs = vae_decode(vae_dec, vae_cfg, grid)
         return jnp.clip((imgs.astype(jnp.float32) + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
 
-    img = np.asarray(decode(run_denoise(txt, pooled)))  # compile + warmup
-    assert img.shape == (BATCH, TY * 16, TX * 16, 3), img.shape
+    def decode(final):
+        # per-image decode: at 1024px the VAE's (1024,1024,128)-scale
+        # transients are ~0.8 GB per image — a batched decode next to the
+        # 11.9 GB resident DiT OOMs at B>=4; serving decodes candidates
+        # one at a time (sampler/pipeline does the same)
+        return np.concatenate(
+            [np.asarray(decode_one(final[i : i + 1])) for i in range(final.shape[0])]
+        )
+
+    img = decode(run_denoise(txt, pooled))  # compile + warmup
+    assert img.shape == (batch, TY * 16, TX * 16, 3), img.shape
     final = run_denoise(txt, pooled)
     float(np.asarray(_SUM(final)))  # force: the device queue is serial —
     # an unfetched dispatch would otherwise be included in the timed run
@@ -414,17 +429,18 @@ def bench_e2e(rtt: float, phase_swap: bool = False) -> dict | None:
     float(np.asarray(_SUM(run_denoise(txt, pooled))))
     t_den = max(time.perf_counter() - t0 - rtt, 0.0)
     t0 = time.perf_counter()
-    np.asarray(decode(final))  # image fetch included
+    decode(final)  # image fetch included
     t_dec = max(time.perf_counter() - t0 - rtt, 0.0)
     mode = "phase-swap" if phase_swap else "co-resident"
     t5_kind = "int8-T5" if phase_swap else "int4-T5"
     dit_kind = "W8A8 DiT" if phase_swap else "W8A8+int4MLP DiT"
     return {
-        "t_image_s": t_enc + t_den + t_dec,
-        "config": f"e2e {t5_kind} encode + {dit_kind} 19/38 (pallas flash attn, split rope) + VAE decode, {mode}",
+        "t_image_s": (t_enc + t_den + t_dec) / batch,
+        "config": f"e2e {t5_kind} encode + {dit_kind} 19/38 (pallas flash attn, split rope) + VAE decode, {mode}, B={batch}",
         "t_encode_s": round(t_enc, 3),
         "t_denoise_s": round(t_den, 3),
         "t_decode_fetch_s": round(t_dec, 3),
+        "t_batch_s": round(t_enc + t_den + t_dec, 3),
     }
 
 
@@ -470,34 +486,37 @@ def bench_bf16_extrapolated(rtt: float) -> dict:
     }
 
 
-# e2e_swap first: the phase-swap W8A8 profile is the fast single-chip
-# number (full-W8A8 co-residency measured-OOMs on 16 GB). The "e2e" stage
-# is the int4-MLP CO-RESIDENT profile (dit_quant="int8_int4mlp") — fits
-# with no swap, slower w4a16 MLPs (~18.6 s measured).
-STAGES = ("e2e_swap", "e2e", "int8", "bf16")
+# e2e_swap_batch first: candidate-batched phase-swap W8A8 — the headline
+# serving profile (candidates are a batch axis; the reference loops bs=1).
+# Then single-image phase-swap, then the int4-MLP CO-RESIDENT profile
+# (dit_quant="int8_int4mlp") — fits with no swap, slower w4a16 MLPs.
+STAGES = ("e2e_swap_batch", "e2e_swap", "e2e", "int8", "bf16")
 
 
-def run_stage(stage: str) -> None:
+def run_stage(stage: str, batch: int | None = None) -> None:
     """Run ONE benchmark configuration in this process and print its JSON.
     A stage that OOMs raises and exits nonzero — the parent moves on with a
     clean TPU (a failed allocation can poison later allocations in the same
     client, which burned the first e2e attempt)."""
     rtt = measure_rtt()
     if stage == "e2e":
-        primary = bench_e2e(rtt, phase_swap=False)
+        primary = bench_e2e(rtt, phase_swap=False, batch=batch or BATCH)
     elif stage == "e2e_swap":
-        primary = bench_e2e(rtt, phase_swap=True)
+        primary = bench_e2e(rtt, phase_swap=True, batch=batch or BATCH)
+    elif stage == "e2e_swap_batch":
+        batch = batch or BEST_BATCH
+        primary = bench_e2e(rtt, phase_swap=True, batch=batch)
     elif stage == "int8":
         primary = bench_int8_full(rtt)
     else:
         primary = bench_bf16_extrapolated(rtt)
     if primary is None:
         raise SystemExit(1)
-    detail = {"tunnel_rtt_s": round(rtt, 3), "steps": NUM_STEPS, "batch": BATCH,
+    detail = {"tunnel_rtt_s": round(rtt, 3), "steps": NUM_STEPS, "batch": batch or BATCH,
               "device": str(jax.devices()[0])}
-    t_img = primary.pop("t_image_s")
+    t_img = primary.pop("t_image_s")  # already per-image (batch amortized)
     detail.update(primary)
-    imgs_per_sec = BATCH / t_img
+    imgs_per_sec = 1.0 / t_img
     print(json.dumps({
         "metric": "flux_1024px_candidate_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 5),
@@ -513,15 +532,17 @@ def main():
 
     p = argparse.ArgumentParser()
     p.add_argument("--stage", choices=STAGES, default=None)
+    p.add_argument("--batch", type=int, default=None, help="candidate batch for the e2e stages")
     args = p.parse_args()
     if args.stage:
-        run_stage(args.stage)
+        run_stage(args.stage, batch=args.batch)
         return
     # parent: try stages best-first, each in its own TPU client process
     for stage in STAGES:
         try:
             proc = subprocess.run(
-                [sys.executable, __file__, "--stage", stage],
+                [sys.executable, __file__, "--stage", stage]
+                + (["--batch", str(args.batch)] if args.batch else []),
                 capture_output=True, text=True, timeout=3600,
             )
         except subprocess.TimeoutExpired as e:
