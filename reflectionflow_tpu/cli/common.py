@@ -228,6 +228,8 @@ def build_reflector(cfg: TTSConfig):
             model=load_generator(
                 ra.model_path or cfg.verifier_args.model_path, quantize=ra.quantize
             ),
+            template=ra.template,
+            system=ra.system_prompt,
         )
     return load_reflector("fake")
 

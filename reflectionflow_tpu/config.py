@@ -296,6 +296,13 @@ class ReflectionArgs:
     quantize: Optional[str] = None  # "int8" for 16 GB colocated serving
     max_retries: int = 5
     retry_delay_s: float = 2.0
+    # local_qwen message format — match a finetuned Reflection-Generator's
+    # training-time input. Fields: {original_prompt} {current_prompt}
+    # {prev_reflection} {evaluation}. None = reference-shaped default
+    # (reflect.generator.DEFAULT_TEMPLATE / DEFAULT_SYSTEM); system_prompt=""
+    # drops the system turn entirely.
+    template: Optional[str] = None
+    system_prompt: Optional[str] = None
 
     @property
     def backend(self) -> str:

@@ -203,7 +203,7 @@ class QwenVLGenerator:
         )[0]
 
     def generate(self, images: list[np.ndarray], prompts: list[str], max_new_tokens: int = 128,
-                 max_pixels: int = 448 * 448) -> list[str]:
+                 max_pixels: int = 448 * 448, system: str | None = None) -> list[str]:
         """Batched multimodal generation: ONE prefill + decode for the whole
         candidate set of a reflection round."""
         assert self.tokenizer is not None, "text generation requires a tokenizer"
@@ -218,21 +218,26 @@ class QwenVLGenerator:
             img = np.asarray(img)
             nh, nw = smart_resize(img.shape[0], img.shape[1], factor=factor, max_pixels=max_pixels)
             img = np.asarray(Image.fromarray(img).resize((nw, nh)))
-            seqs.append((self._build_chat_ids(img, prompt), [img]))
+            seqs.append((self._build_chat_ids(img, prompt, system=system), [img]))
         outs = self.decode_batch(seqs, max_new_tokens=max_new_tokens)
         return [self.tokenizer.decode(ids, skip_special_tokens=True).strip() for ids in outs]
 
-    def _build_chat_ids(self, image: np.ndarray, prompt: str) -> np.ndarray:
+    def _build_chat_ids(self, image: np.ndarray, prompt: str, system: str | None = None) -> np.ndarray:
         from .vision import image_to_patches
 
         tok = self.tokenizer
         tokens = QwenVLSpecialTokens()
         _, (t, gh, gw) = image_to_patches(image, self.model.vis_cfg)
         n_img = t * (gh // self.model.vis_cfg.spatial_merge_size) * (gw // self.model.vis_cfg.spatial_merge_size)
+        sys_ids = (
+            tok.encode(f"<|im_start|>system\n{system}<|im_end|>\n", add_special_tokens=False)
+            if system else []
+        )
         prefix = tok.encode("<|im_start|>user\n", add_special_tokens=False)
         suffix = tok.encode(f"{prompt}<|im_end|>\n<|im_start|>assistant\n", add_special_tokens=False)
         ids = (
-            prefix
+            sys_ids
+            + prefix
             + [tokens.vision_start]
             + [tokens.image_pad] * n_img
             + [tokens.vision_end]

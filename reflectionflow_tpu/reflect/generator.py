@@ -57,23 +57,61 @@ class OpenAIReflector(Reflector):
         )
 
 
+# Default user-message template — the reference's local-reflection message
+# shape (`/root/reference/tts/tts_reflectionflow.py:27-41`): one image + a
+# text that names the prompt. A finetuned Reflection-Generator checkpoint
+# has a training-time input format; pass `template`/`system` (config:
+# reflection_args.template / system_prompt) to match it. Available fields:
+# {original_prompt} {current_prompt} {prev_reflection} {evaluation}.
+DEFAULT_TEMPLATE = (
+    'Generate reflections to improve the input image according to the prompt. '
+    'The prompt is: "{original_prompt}"'
+)
+DEFAULT_SYSTEM = "You are a helpful assistant."
+
+
 class LocalQwenReflector(Reflector):
     """Colocated JAX Qwen2.5-VL reflection generator (replaces the
-    llamafactory HTTP server at `tts_reflectionflow.py:24,231`)."""
+    llamafactory HTTP server at `tts_reflectionflow.py:24,231`).
 
-    def __init__(self, model, max_new_tokens: int = 256):
+    The message template is configurable so a finetuned checkpoint's
+    training-time format can be reproduced; every input the search loop
+    supplies (current prompt, previous reflection, verifier evaluation) is
+    exposed as a template field instead of being dropped."""
+
+    def __init__(self, model, max_new_tokens: int = 256, template: str | None = None,
+                 system: str | None = None):
         self.model = model  # models.qwen_vl.QwenVLGenerator
         self.max_new_tokens = max_new_tokens
+        self.template = template or DEFAULT_TEMPLATE
+        self.system = DEFAULT_SYSTEM if system is None else system
+        # fail at construction, not mid-round: unknown {fields} raise here
+        self.template.format(**self._fields("p", "p", "", ""))
+
+    @staticmethod
+    def _fields(orig, cur, refl, ev):
+        return {
+            "original_prompt": orig,
+            "current_prompt": cur,
+            "prev_reflection": refl or "",
+            "evaluation": ev or "",
+        }
 
     def generate(self, images, original_prompts, current_prompts, prev_reflections=None, evaluations=None, max_new_tokens=None):
+        n = len(original_prompts)
+        prev_reflections = prev_reflections or [""] * n
+        evaluations = evaluations or [""] * n
         prompts = [
-            (
-                f"You generated an image for the prompt: '{orig}'. Identify what is wrong or "
-                "missing in the image relative to the prompt and give concrete instructions to fix it."
+            self.template.format(**self._fields(orig, cur, refl, ev))
+            for orig, cur, refl, ev in zip(
+                original_prompts, current_prompts, prev_reflections, evaluations
             )
-            for orig in original_prompts
         ]
-        return self.model.generate(images=list(images), prompts=prompts, max_new_tokens=max_new_tokens or self.max_new_tokens)
+        return self.model.generate(
+            images=list(images), prompts=prompts,
+            max_new_tokens=max_new_tokens or self.max_new_tokens,
+            system=self.system or None,
+        )
 
 
 def load_reflector(backend: str, **kw) -> Reflector:
