@@ -23,6 +23,21 @@ import jax
 import jax.numpy as jnp
 
 
+# Sequence-parallel (ring) context: the mesh/axis the concatenated
+# sequence shards over when `impl="ring*"`. Static run configuration (not
+# traced data), set once before building the jitted graphs — threading a
+# Mesh through every model apply signature for one impl would contaminate
+# the whole string-based attn_impl plumbing.
+_RING_CTX: dict = {"mesh": None, "axis": "seq"}
+
+
+def set_ring_context(mesh, axis: str = "seq") -> None:
+    """Configure the mesh axis ring attention shards the sequence over.
+    Call before the first traced call with `impl="ring*"`."""
+    _RING_CTX["mesh"] = mesh
+    _RING_CTX["axis"] = axis
+
+
 def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, bias: jnp.ndarray | None = None) -> jnp.ndarray:
     """Scaled dot-product attention.
 
@@ -99,7 +114,27 @@ def joint_attention(
     q = jnp.concatenate(streams_q, axis=1) if len(streams_q) > 1 else streams_q[0]
     k = jnp.concatenate(streams_k, axis=1) if len(streams_k) > 1 else streams_k[0]
     v = jnp.concatenate(streams_v, axis=1) if len(streams_v) > 1 else streams_v[0]
-    if impl.startswith("pallas"):
+    if impl.startswith("ring"):
+        # sequence parallelism: the concatenated sequence shards over the
+        # ring axis (set_ring_context). Only plain full attention — the
+        # structural cond modifiers need global positions, which ring
+        # shards don't carry; union_cond_attn=True + no c_factor (the
+        # flagship config) is exactly this case.
+        if bias is not None or cross_bias != 0.0:
+            raise NotImplementedError(
+                "impl='ring' supports plain full attention only "
+                "(union_cond_attn=True, no c_factor)"
+            )
+        if _RING_CTX["mesh"] is None:
+            raise ValueError("impl='ring' requires ops.attention.set_ring_context(mesh, axis)")
+        from .ring_attention import ring_attention
+
+        out = ring_attention(
+            q, k, v, mesh=_RING_CTX["mesh"], axis=_RING_CTX["axis"],
+            impl="pallas" if "pallas" in impl else "xla",
+            interpret=impl.endswith("interpret"),
+        )
+    elif impl.startswith("pallas"):
         from .pallas_attention import flash_attention
 
         out = flash_attention(

@@ -432,16 +432,29 @@ def _flash_fwd_rule(q, k, v, main_len, cross_bias, block_q, block_k, interpret):
 def _flash_bwd_rule(main_len, cross_bias, block_q, block_k, interpret, res, g):
     q, k, v, out_bh, lse = res
     B, L, H, D = q.shape
+    Lp = _round_up(L, max(block_q, block_k))
+    g_p = jnp.pad(g, [(0, 0), (0, Lp - L), (0, 0), (0, 0)]) if Lp != L else g
+    dob = _to_bh(g_p, B, H, Lp, D)
+    # D_i = rowsum(dO * O): cheap elementwise-reduce, leave to XLA
+    delta = jnp.sum(
+        dob.astype(jnp.float32) * out_bh.astype(jnp.float32), axis=-1, keepdims=True
+    )  # (B*H, Lp, 1)
+    return _bwd_impl(q, k, v, g, delta, lse, main_len, cross_bias, block_q, block_k, interpret)
+
+
+def _bwd_impl(q, k, v, g, delta, lse, main_len, cross_bias, block_q, block_k, interpret):
+    """Flash backward from precomputed (global) lse + delta.
+
+    q/k/v/g are user layout (B, L, H, D); delta/lse are bh layout
+    (B*H, Lp, 1). Factored out of `_flash_bwd_rule` so ring attention can
+    run the SAME kernels per K/V chunk with the ring-global lse."""
+    B, L, H, D = q.shape
     scale = 1.0 / math.sqrt(D)
     Lp = _round_up(L, max(block_q, block_k))
     qp, kp, vp = _pad_len(q, k, v, L, Lp)
     g = jnp.pad(g, [(0, 0), (0, Lp - L), (0, 0), (0, 0)]) if Lp != L else g
     qb, kb, vb = (_to_bh(x, B, H, Lp, D) for x in (qp, kp, vp))
     dob = _to_bh(g, B, H, Lp, D)
-    # D_i = rowsum(dO * O): cheap elementwise-reduce, leave to XLA
-    delta = jnp.sum(
-        dob.astype(jnp.float32) * out_bh.astype(jnp.float32), axis=-1, keepdims=True
-    )  # (B*H, Lp, 1)
     lse_t = jnp.swapaxes(lse, 1, 2)  # (B*H, 1, Lp) for the k-major kernel
     delta_t = jnp.swapaxes(delta, 1, 2)
 
@@ -551,4 +564,54 @@ def flash_attention(q, k, v, bias=None, main_len=None, cross_bias=0.0, interpret
     fn = flash_attention_int8 if int8 else flash_attention_structured
     return fn(
         q, k, v, main_len=main_len, cross_bias=cross_bias, block_q=bq, block_k=bk, interpret=interpret
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunk-level entries for ring attention (ops.ring_attention): the same
+# kernels on one local K/V shard, exposing the online-softmax partials so
+# per-shard results merge across the ring.
+# ---------------------------------------------------------------------------
+
+
+def _lse_to_user(lse_bh, B, H, Lp, L):
+    """(B*H, Lp, 1) -> (B, L, H, 1)."""
+    return lse_bh.reshape(B, H, Lp, 1).transpose(0, 2, 1, 3)[:, :L]
+
+
+def _lse_to_bh(lse, B, H, L, Lp):
+    """(B, L, H, 1) -> (B*H, Lp, 1), padded."""
+    if Lp != L:
+        lse = jnp.pad(lse, [(0, 0), (0, Lp - L), (0, 0), (0, 0)])
+    return lse.transpose(0, 2, 1, 3).reshape(B * H, Lp, 1)
+
+
+def flash_chunk_fwd(q, k, v, interpret: bool = False):
+    """Normalized flash attention over one chunk + its logsumexp rows.
+
+    q/k/v (B, L, H, D) with equal local lengths; returns
+    (out (B, L, H, D) fp32, lse (B, L, H, 1) fp32). No cond-stream
+    modifiers: ring shards carry no global positions (ops.ring_attention
+    rejects those configs up front)."""
+    B, L, H, D = q.shape
+    bq, bk = _block_policy(L)
+    Lp = _round_up(L, max(bq, bk))
+    out_bh, lse_bh = _fwd_impl(q, k, v, L, 0.0, bq, bk, interpret)
+    out = _from_bh(out_bh, B, H, Lp, D)[:, :L].astype(jnp.float32)
+    return out, _lse_to_user(lse_bh, B, H, Lp, L)
+
+
+def flash_chunk_bwd(q, k, v, g, lse, delta, interpret: bool = False):
+    """Flash backward over one chunk using ring-GLOBAL lse/delta.
+
+    lse/delta are (B, L, H, 1) fp32 rows of the FULL (all-shards) softmax;
+    the per-chunk dq/dk/dv returned here sum across chunks to the exact
+    full-attention gradients. Shapes as `flash_chunk_fwd`."""
+    B, L, H, D = q.shape
+    bq, bk = _block_policy(L)
+    Lp = _round_up(L, max(bq, bk))
+    return _bwd_impl(
+        q, k, v, g,
+        _lse_to_bh(delta, B, H, L, Lp), _lse_to_bh(lse, B, H, L, Lp),
+        L, 0.0, bq, bk, interpret,
     )

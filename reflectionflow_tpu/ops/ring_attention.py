@@ -1,14 +1,25 @@
-"""Ring attention: sequence parallelism over the ICI mesh.
+"""Ring attention: sequence parallelism over the ICI mesh — fwd AND bwd.
 
 The reference has no sequence parallelism (SURVEY.md §2.5 — max joint
-sequence ~5.6k tokens fits one device), but the blockwise attention design
-here extends to sharded sequences for larger resolutions / multi-condition
-streams: Q, K, V are sharded along the sequence axis across `axis`; each
-device keeps its Q shard and rotates K/V shards around the ring with
-`lax.ppermute`, merging partial results with the online-softmax recurrence
-(the same math as the Pallas flash kernel, at mesh scale). One K/V shard is
-in flight per step, so communication overlaps the next chunk's compute and
-peak memory per device is O(L/p).
+sequence ~5.6k tokens fits one device); this is the TPU extension for
+larger resolutions / multi-condition streams. Q, K, V are sharded along
+the sequence axis across `axis`; each device keeps its Q shard and rotates
+K/V shards around the ring with `lax.ppermute`, merging partial results
+with the online-softmax recurrence (the same math as the Pallas flash
+kernel, at mesh scale). One K/V shard is in flight per step, so
+communication overlaps the next chunk's compute and peak memory per device
+is O(L/p).
+
+Local chunks run through the Pallas flash kernel (`impl="pallas"`,
+`ops.pallas_attention.flash_chunk_fwd/bwd`) or dense XLA (`impl="xla"`).
+The backward is a custom VJP: a second ring pass that recomputes chunk
+probabilities from the forward's ring-global logsumexp rows and
+accumulates dK/dV on the rotating shards — after a full cycle each shard's
+gradient lands back on its owner device. Exposed to models via
+`ops.attention.joint_attention(impl="ring"...)` (plain full attention
+only: the structural cond modifiers need global positions, which shards
+don't carry — the flagship `union_cond_attn=True` config is exactly this
+case, `/root/reference/train_flux/flux/block.py:101-125` with no mask).
 """
 
 from __future__ import annotations
@@ -20,29 +31,64 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def _chunk_attention(q, k, v, scale):
-    """Plain attention on local chunks; returns (out_unnormalized, m, l).
+# ---------------------------------------------------------------------------
+# local chunk math (one Q shard x one K/V shard)
+# ---------------------------------------------------------------------------
 
-    q: (B, Lq, H, D); k/v: (B, Lk, H, D). Accumulation fp32."""
+
+def _xla_chunk_fwd(q, k, v, scale):
+    """Normalized chunk attention + logsumexp. q/k/v (B, L, H, D);
+    returns (out fp32 (B, L, H, D), lse fp32 (B, L, H, 1))."""
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-    m = jnp.max(logits, axis=-1)  # (B, H, Lq)
-    p = jnp.exp(logits - m[..., None])
-    l = jnp.sum(p, axis=-1)  # (B, H, Lq)
-    out = jnp.einsum("bhqk,bkhd->bqhd", p.astype(q.dtype), v).astype(jnp.float32)
-    return out, m, l
+    m = jnp.max(logits, axis=-1, keepdims=True)  # (B, H, Lq, 1)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    lse = m + jnp.log(jnp.maximum(l, 1e-20))  # (B, H, Lq, 1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", (p / jnp.maximum(l, 1e-20)).astype(v.dtype), v)
+    return out.astype(jnp.float32), lse.squeeze(-1).transpose(0, 2, 1)[..., None]
 
 
-def _merge(acc, m_acc, l_acc, out, m, l):
-    m_new = jnp.maximum(m_acc, m)
-    c_acc = jnp.exp(m_acc - m_new)
-    c_new = jnp.exp(m - m_new)
-    # broadcast (B, H, Lq) -> (B, Lq, H, 1)
-    def b(x):
-        return x.transpose(0, 2, 1)[..., None]
+def _xla_chunk_bwd(q, k, v, g, lse, delta, scale):
+    """Chunk gradients from ring-global lse/delta ((B, L, H, 1) fp32)."""
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    lse_bh = lse[..., 0].transpose(0, 2, 1)[..., None]  # (B, H, Lq, 1)
+    delta_bh = delta[..., 0].transpose(0, 2, 1)[..., None]
+    p = jnp.exp(logits - lse_bh)  # (B, H, Lq, Lk)
+    dv = jnp.einsum("bhqk,bqhd->bkhd", p.astype(g.dtype), g)
+    dp = jnp.einsum("bqhd,bkhd->bhqk", g, v, preferred_element_type=jnp.float32)
+    ds = (p * (dp - delta_bh)).astype(q.dtype)
+    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k) * scale
+    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q) * scale
+    return dq, dk, dv
 
-    acc = acc * b(c_acc) + out * b(c_new)
-    l_new = l_acc * c_acc + l * c_new
-    return acc, m_new, l_new
+
+def _chunk_fns(impl: str, interpret: bool, scale: float):
+    if impl == "pallas":
+        from .pallas_attention import flash_chunk_bwd, flash_chunk_fwd
+
+        return (
+            functools.partial(flash_chunk_fwd, interpret=interpret),
+            functools.partial(flash_chunk_bwd, interpret=interpret),
+        )
+    return (
+        functools.partial(_xla_chunk_fwd, scale=scale),
+        functools.partial(_xla_chunk_bwd, scale=scale),
+    )
+
+
+def _merge(out, lse, out2, lse2):
+    """Merge two normalized partial results via their logsumexp rows."""
+    m = jnp.maximum(lse, lse2)
+    a = jnp.exp(lse - m)
+    b = jnp.exp(lse2 - m)
+    den = a + b
+    merged = (out * a + out2 * b) / den
+    return merged, m + jnp.log(den)
+
+
+# ---------------------------------------------------------------------------
+# ring (runs per device inside shard_map)
+# ---------------------------------------------------------------------------
 
 
 def ring_attention(
@@ -51,26 +97,65 @@ def ring_attention(
     v: jnp.ndarray,
     mesh: Mesh,
     axis: str = "data",
+    impl: str = "xla",
+    interpret: bool = False,
 ) -> jnp.ndarray:
-    """Full (non-causal) attention over a sequence sharded across the mesh."""
-    scale = 1.0 / jnp.sqrt(jnp.asarray(q.shape[-1], jnp.float32))
+    """Differentiable full (non-causal) attention over a sequence sharded
+    across the mesh. `impl`: "xla" dense chunks | "pallas" flash-kernel
+    chunks. L must divide the ring size."""
+    B, L, H, D = q.shape
     p_devices = mesh.shape[axis]
+    if L % p_devices:
+        raise ValueError(f"sequence length {L} must divide the ring size {p_devices}")
+    scale = float(D) ** -0.5
+    chunk_fwd, chunk_bwd = _chunk_fns(impl, interpret, scale)
+    perm = [(i, (i + 1) % p_devices) for i in range(p_devices)]
 
-    def local_fn(q_loc, k_loc, v_loc):
-        # q_loc: (B, L/p, H, D)
-        out, m, l = _chunk_attention(q_loc, k_loc, v_loc, scale)
-        acc, m_acc, l_acc = out, m, l
+    def rotate(*xs):
+        return [jax.lax.ppermute(x, axis, perm) for x in xs]
+
+    @jax.custom_vjp
+    def ring(q_loc, k_loc, v_loc):
+        out, _ = _fwd(q_loc, k_loc, v_loc)
+        return out
+
+    def _fwd(q_loc, k_loc, v_loc):
+        out, lse = chunk_fwd(q_loc, k_loc, v_loc)
         k_rot, v_rot = k_loc, v_loc
-        perm = [(i, (i + 1) % p_devices) for i in range(p_devices)]
         for _ in range(p_devices - 1):
-            k_rot = jax.lax.ppermute(k_rot, axis, perm)
-            v_rot = jax.lax.ppermute(v_rot, axis, perm)
-            out, m, l = _chunk_attention(q_loc, k_rot, v_rot, scale)
-            acc, m_acc, l_acc = _merge(acc, m_acc, l_acc, out, m, l)
-        norm = l_acc.transpose(0, 2, 1)[..., None]
-        return (acc / jnp.maximum(norm, 1e-20)).astype(q_loc.dtype)
+            k_rot, v_rot = rotate(k_rot, v_rot)
+            out2, lse2 = chunk_fwd(q_loc, k_rot, v_rot)
+            out, lse = _merge(out, lse, out2, lse2)
+        return out.astype(q_loc.dtype), lse
+
+    def ring_fwd_rule(q_loc, k_loc, v_loc):
+        out, lse = _fwd(q_loc, k_loc, v_loc)
+        return out, (q_loc, k_loc, v_loc, out, lse)
+
+    def ring_bwd_rule(res, g):
+        q_loc, k_loc, v_loc, out, lse = res
+        delta = jnp.sum(
+            g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
+        )  # (B, Lq, H, 1)
+        dq = jnp.zeros(q_loc.shape, jnp.float32)
+        dk_rot = jnp.zeros(k_loc.shape, jnp.float32)
+        dv_rot = jnp.zeros(v_loc.shape, jnp.float32)
+        k_rot, v_rot = k_loc, v_loc
+        for _ in range(p_devices):
+            dq_c, dk_c, dv_c = chunk_bwd(q_loc, k_rot, v_rot, g, lse, delta)
+            dq = dq + dq_c.astype(jnp.float32)
+            dk_rot = dk_rot + dk_c.astype(jnp.float32)
+            dv_rot = dv_rot + dv_c.astype(jnp.float32)
+            # rotate shard + its accumulated grad together: after the full
+            # cycle (p rotations) every dK/dV shard is home at its owner
+            k_rot, v_rot, dk_rot, dv_rot = rotate(k_rot, v_rot, dk_rot, dv_rot)
+        return dq.astype(q_loc.dtype), dk_rot.astype(k_loc.dtype), dv_rot.astype(v_loc.dtype)
+
+    ring.defvjp(ring_fwd_rule, ring_bwd_rule)
 
     spec = P(None, axis, None, None)
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # annotation; correctness is covered by the dense-equivalence tests
     return jax.shard_map(
-        local_fn, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec
+        ring, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec, check_vma=False
     )(q, k, v)

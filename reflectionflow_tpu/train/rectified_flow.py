@@ -113,7 +113,9 @@ def make_train_step(
     `grad_clip` here is unused and kept for signature stability."""
     # int8-QK^T attention is serving-only (no custom_vjp): fail HERE with a
     # clear message rather than deep inside jax.grad's trace of the scan.
-    trainable = ("xla", "pallas", "pallas_interpret")
+    # ring* = sequence-parallel ring attention (ops.ring_attention): needs
+    # ops.attention.set_ring_context(mesh, axis) first; union_cond_attn only.
+    trainable = ("xla", "pallas", "pallas_interpret", "ring", "ring_pallas", "ring_pallas_interpret")
     if attn_impl not in trainable:
         raise ValueError(
             f"attn_impl={attn_impl!r} has no backward pass; training supports {trainable}"
