@@ -23,6 +23,7 @@ from .vision import image_to_patches, qwen_vision_apply
 @dataclass(frozen=True)
 class QwenVLSpecialTokens:
     image_pad: int = 151655
+    video_pad: int = 151656
     vision_start: int = 151652
     vision_end: int = 151653
     im_start: int = 151644
@@ -35,25 +36,39 @@ def get_rope_index(
     image_grids: list[tuple[int, int, int]],
     spatial_merge_size: int,
     image_pad_id: int,
+    video_pad_id: int | None = None,
+    tokens_per_second: float = 2.0,
+    seconds_per_grid: float | list[float] = 1.0,
 ) -> np.ndarray:
-    """-> (3, L) position ids for one sequence (host-side, numpy)."""
+    """-> (3, L) position ids for one sequence (host-side, numpy).
+
+    Video pads (`video_pad_id`) use the same grid walk with the temporal
+    stream scaled by wall-clock: t index = frame_group * seconds_per_grid *
+    tokens_per_second (Qwen2.5-VL's video M-RoPE; for images t=1 so the
+    scale is moot). `seconds_per_grid` may be per-visual (list) or shared."""
     L = len(input_ids)
     pos = np.zeros((3, L), np.int64)
     img_iter = iter(image_grids)
+    pad_ids = {image_pad_id} | ({video_pad_id} if video_pad_id is not None else set())
+    spg = seconds_per_grid if isinstance(seconds_per_grid, (list, tuple)) else None
+    n_visual = 0
     i = 0
     next_pos = 0
     while i < L:
-        if input_ids[i] == image_pad_id:
+        if input_ids[i] in pad_ids:
             t, h, w = next(img_iter)
             gh, gw = h // spatial_merge_size, w // spatial_merge_size
             n = t * gh * gw
-            t_idx = np.repeat(np.arange(t), gh * gw)
+            scale = (spg[n_visual] if spg else seconds_per_grid) * tokens_per_second
+            t_steps = (np.arange(t) * (scale if input_ids[i] == video_pad_id else 1.0)).astype(np.int64)
+            t_idx = np.repeat(t_steps, gh * gw)
             h_idx = np.tile(np.repeat(np.arange(gh), gw), t)
             w_idx = np.tile(np.arange(gw), t * gh)
             pos[0, i : i + n] = next_pos + t_idx
             pos[1, i : i + n] = next_pos + h_idx
             pos[2, i : i + n] = next_pos + w_idx
-            next_pos = next_pos + max(t, gh, gw)
+            next_pos = next_pos + max(int(t_idx.max()) + 1 if n else 1, gh, gw)
+            n_visual += 1
             i += n
         else:
             pos[:, i] = next_pos
@@ -104,7 +119,13 @@ class QwenVLModel:
             grids = []
             vision_embeds = []
             for img in images:
-                patches, grid = image_to_patches(img, self.vis_cfg)
+                img = np.asarray(img)
+                if img.ndim == 4:  # (T, H, W, 3) video clip
+                    from .video import video_to_patches
+
+                    patches, grid = video_to_patches(img, self.vis_cfg)
+                else:
+                    patches, grid = image_to_patches(img, self.vis_cfg)
                 emb = qwen_vision_apply(
                     self.vision_params, self.vis_cfg, jnp.asarray(patches, self.dtype), grid
                 )
@@ -114,13 +135,16 @@ class QwenVLModel:
         embeds = jnp.asarray(self.lm_params["embed"])[ids]  # (1, L, H)
         if vision_embeds:
             vis = jnp.concatenate(vision_embeds, axis=0).astype(embeds.dtype)  # (n_img_tokens, H)
-            is_pad = input_ids == self.tokens.image_pad
+            is_pad = (input_ids == self.tokens.image_pad) | (input_ids == self.tokens.video_pad)
             assert int(is_pad.sum()) == vis.shape[0], (
-                f"image token count mismatch: {int(is_pad.sum())} pads vs {vis.shape[0]} embeds"
+                f"visual token count mismatch: {int(is_pad.sum())} pads vs {vis.shape[0]} embeds"
             )
             idx = np.nonzero(is_pad)[0]
             embeds = embeds.at[0, jnp.asarray(idx)].set(vis)
-        pos = get_rope_index(input_ids, grids, self.vis_cfg.spatial_merge_size, self.tokens.image_pad)
+        pos = get_rope_index(
+            input_ids, grids, self.vis_cfg.spatial_merge_size, self.tokens.image_pad,
+            video_pad_id=self.tokens.video_pad,
+        )
         return embeds, jnp.asarray(pos[:, None, :])
 
     def forward_hidden(self, input_ids: np.ndarray, images: list[np.ndarray]):

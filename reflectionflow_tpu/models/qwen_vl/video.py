@@ -1,0 +1,220 @@
+"""Video input path for the Qwen2.5-VL reward stack.
+
+Capability parity with the reference's vendored qwen-vl-utils video helpers
+(`/root/reference/reward_modeling/vision_process.py:129-310`): frame-count
+policy (`smart_nframes`), uniform and multi-point frame sampling, the
+per-frame pixel budget (total pixels amortized over frames), and the
+`video_score` prompt template consumer (`rm_train.prompt_template`).
+
+Readers: this environment ships no video codecs (decord/PyAV are absent
+and torchvision.io needs PyAV), so `fetch_video` accepts decoded sources —
+an (T, H, W, 3) array, a list of frames/PIL images, a `.npy`/`.npz` file,
+or a directory of image frames — and raises a clear error for codec
+container paths. The sampling/resize policy downstream of decoding is
+identical; wiring an actual decoder is a one-function backend
+(`_read_decoded`) swap.
+
+Patching: `video_to_patches` generalizes `vision.image_to_patches` to T
+frames — frames group into `temporal_patch_size` bundles (last frame
+repeated to fill, the Qwen processor's padding rule), producing grid
+(T/tp, H/ps, W/ps); the vision tower (`vision.vision_geometry`) and M-RoPE
+(`model.get_rope_index`) already take arbitrary grid_t.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+from ...config import QwenVLVisionConfig
+
+# pixel/frame budgets (vision_process.py:26-37 semantics)
+VIDEO_MIN_PIXELS = 128 * 28 * 28
+VIDEO_MAX_PIXELS = 768 * 28 * 28
+VIDEO_TOTAL_PIXELS = 24576 * 28 * 28
+FRAME_FACTOR = 2
+FPS = 2.0
+FPS_MIN_FRAMES = 4
+FPS_MAX_FRAMES = 768
+
+
+def round_by_factor(x: float, factor: int) -> int:
+    return round(x / factor) * factor
+
+
+def ceil_by_factor(x: float, factor: int) -> int:
+    return math.ceil(x / factor) * factor
+
+
+def floor_by_factor(x: float, factor: int) -> int:
+    return math.floor(x / factor) * factor
+
+
+def smart_nframes(
+    total_frames: int,
+    video_fps: float,
+    nframes: int | None = None,
+    fps: float | None = None,
+    min_frames: int = FPS_MIN_FRAMES,
+    max_frames: int = FPS_MAX_FRAMES,
+) -> int:
+    """Frame-count policy: either an explicit `nframes` (rounded to the
+    temporal factor) or an `fps`-derived count clamped to
+    [min_frames, max_frames]; always a multiple of FRAME_FACTOR and at most
+    `total_frames`."""
+    if nframes is not None and fps is not None:
+        raise ValueError("only one of nframes / fps may be given")
+    if nframes is not None:
+        n = round_by_factor(nframes, FRAME_FACTOR)
+    else:
+        fps = FPS if fps is None else fps
+        lo = ceil_by_factor(min_frames, FRAME_FACTOR)
+        hi = floor_by_factor(min(max_frames, total_frames), FRAME_FACTOR)
+        n = total_frames / video_fps * fps
+        n = round_by_factor(min(max(n, lo), hi), FRAME_FACTOR)
+    n = min(n, total_frames)
+    if not (FRAME_FACTOR <= n <= total_frames):
+        raise ValueError(
+            f"nframes must lie in [{FRAME_FACTOR}, {total_frames}], got {n}"
+        )
+    return n
+
+
+def sample_frame_indices(
+    total_frames: int,
+    video_fps: float,
+    sample_type: str = "uniform",
+    nframes: int | None = None,
+    fps: float | None = None,
+    min_frames: int = FPS_MIN_FRAMES,
+    max_frames: int = FPS_MAX_FRAMES,
+) -> list[int]:
+    """Frame indices for model input.
+
+    "uniform": `smart_nframes` evenly spaced over the clip.
+    "multi_pts": 4 anchor points, 6 consecutive (at the working fps=8)
+    frames around each — the reference's multi-point sampler."""
+    if sample_type == "uniform":
+        n = smart_nframes(total_frames, video_fps, nframes=nframes, fps=fps,
+                          min_frames=min_frames, max_frames=max_frames)
+        return np.linspace(0, total_frames - 1, n).round().astype(int).tolist()
+    if sample_type == "multi_pts":
+        frames_each_pts, num_pts, work_fps = 6, 4, 8
+        n = int(total_frames * work_fps // video_fps)
+        if n < frames_each_pts + 1:
+            raise ValueError(
+                f"clip too short for multi_pts sampling: {n} working frames"
+            )
+        frame_idx = np.linspace(0, total_frames - 1, n).round().astype(int).tolist()
+        start_pt = frames_each_pts // 2
+        end_pt = n - frames_each_pts // 2 - 1
+        pts = np.linspace(start_pt, end_pt, num_pts).round().astype(int).tolist()
+        idx: list[int] = []
+        for pt in pts:
+            idx.extend(frame_idx[pt - frames_each_pts // 2 : pt + frames_each_pts // 2])
+        return idx
+    raise ValueError(f"unknown sample_type {sample_type!r}")
+
+
+def _read_decoded(source) -> np.ndarray:
+    """Decoded-source reader -> (T, H, W, 3) uint8."""
+    if isinstance(source, np.ndarray):
+        frames = source
+    elif isinstance(source, (list, tuple)):
+        frames = np.stack([np.asarray(f) for f in source])
+    elif isinstance(source, (str, os.PathLike)):
+        path = os.fspath(source)
+        if path.startswith("file://"):
+            path = path[7:]
+        if os.path.isdir(path):
+            from PIL import Image
+
+            names = sorted(
+                n for n in os.listdir(path)
+                if n.lower().endswith((".png", ".jpg", ".jpeg", ".bmp", ".webp"))
+            )
+            if not names:
+                raise ValueError(f"no image frames found in directory {path}")
+            frames = np.stack([np.asarray(Image.open(os.path.join(path, n)).convert("RGB")) for n in names])
+        elif path.endswith(".npy"):
+            frames = np.load(path)
+        elif path.endswith(".npz"):
+            frames = np.load(path)["frames"]
+        else:
+            raise ValueError(
+                f"no video codec backend in this environment; decode {path!r} "
+                "externally and pass frames as an array, a frame directory, or .npy/.npz"
+            )
+    else:
+        raise TypeError(f"unsupported video source: {type(source)}")
+    if frames.ndim != 4 or frames.shape[-1] != 3:
+        raise ValueError(f"expected (T, H, W, 3) frames, got {frames.shape}")
+    return frames.astype(np.uint8)
+
+
+def fetch_video(
+    source,
+    video_fps: float = FPS,
+    sample_type: str = "uniform",
+    nframes: int | None = None,
+    fps: float | None = None,
+    min_pixels: int = VIDEO_MIN_PIXELS,
+    max_pixels: int | None = None,
+    total_pixels: int = VIDEO_TOTAL_PIXELS,
+    image_factor: int = 28,
+) -> np.ndarray:
+    """Decoded video source -> sampled, budget-resized (T', H', W', 3) uint8.
+
+    The per-frame pixel cap amortizes `total_pixels` over the sampled frame
+    count (so longer clips get smaller frames), floored at ~min_pixels —
+    the reference's budget rule (`vision_process.py:286-291`)."""
+    from PIL import Image
+
+    from .vision import smart_resize
+
+    frames = _read_decoded(source)
+    idx = sample_frame_indices(
+        len(frames), video_fps, sample_type=sample_type, nframes=nframes, fps=fps
+    )
+    frames = frames[idx]
+    T, H, W, _ = frames.shape
+    if max_pixels is None:
+        max_pixels = max(
+            min(VIDEO_MAX_PIXELS, total_pixels / T * FRAME_FACTOR), int(min_pixels * 1.05)
+        )
+    nh, nw = smart_resize(H, W, factor=image_factor, min_pixels=min_pixels, max_pixels=int(max_pixels))
+    if (nh, nw) != (H, W):
+        frames = np.stack(
+            [np.asarray(Image.fromarray(f).resize((nw, nh))) for f in frames]
+        )
+    return frames
+
+
+def video_to_patches(
+    frames: np.ndarray, cfg: QwenVLVisionConfig
+) -> tuple[np.ndarray, tuple[int, int, int]]:
+    """(T, H, W, 3) uint8 (H, W multiples of patch*merge) -> flattened
+    patches (L, 3*tp*ps*ps) in Qwen order + grid (T/tp, h, w). T pads to a
+    multiple of `temporal_patch_size` by repeating the last frame (the Qwen
+    processor's rule); ordering matches `image_to_patches` exactly at T=tp."""
+    ps, tp, merge = cfg.patch_size, cfg.temporal_patch_size, cfg.spatial_merge_size
+    T, H, W, _ = frames.shape
+    assert H % (ps * merge) == 0 and W % (ps * merge) == 0, (H, W)
+    if T % tp:
+        pad = tp - T % tp
+        frames = np.concatenate([frames, np.repeat(frames[-1:], pad, axis=0)])
+        T += pad
+    gt, gh, gw = T // tp, H // ps, W // ps
+    mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+    x = (frames.astype(np.float32) / 255.0 - mean) / std  # (T, H, W, 3)
+    x = x.transpose(0, 3, 1, 2)  # (T, 3, H, W)
+    x = x.reshape(gt, tp, 3, gh // merge, merge, ps, gw // merge, merge, ps)
+    # -> (gt, gh/m, gw/m, m, m, 3, tp, ps, ps): channel-major per patch,
+    # merge-grouped ordering per frame bundle (image_to_patches with a
+    # leading gt axis)
+    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
+    patches = x.reshape(gt * gh * gw, 3 * tp * ps * ps)
+    return patches, (gt, gh, gw)

@@ -23,6 +23,18 @@ def build_prompt(prompt: str, dims: list[str] | None = None, template_type: str 
         return prompt
     if template_type == "simple":
         return f"Rate the quality of the image generated for this caption: {prompt}"
+    if template_type == "video_score":
+        # VideoScore-style single-dimension query over video frames
+        # (reference VIDEOSCORE_QUERY_PROMPT, prompt_template.py:2-10):
+        # rate one named dimension 1.0-5.0 given the generation prompt
+        d = dims[0]
+        return (
+            "You are an expert judge of AI-generated videos. Watch the frames "
+            f"of the given video and rate its {d} — "
+            f"{DIMENSION_DESCRIPTIONS.get(d, d)}. Output one float from 1.0 "
+            "(bad) to 5.0 (perfect, indistinguishable from a real video).\n"
+            f'The text prompt used for generation is "{prompt}".'
+        )
     dim_lines = "\n".join(f"- {d}: {DIMENSION_DESCRIPTIONS.get(d, d)}" for d in dims)
     body = (
         "You are presented with a generated image and its text caption. "

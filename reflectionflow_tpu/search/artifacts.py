@@ -40,6 +40,16 @@ def save_image(path: str, image: np.ndarray) -> None:
 
 
 def load_image(path: str) -> np.ndarray:
+    """Image file -> (H, W, 3); decoded video (.npy/.npz/frame dir) ->
+    (T, H, W, 3) — the score CLI then routes clips through the verifier's
+    video path (reference scores videos via the same dataset JSON,
+    /root/reference/reward_modeling/inference.py)."""
+    import os
+
+    if os.path.isdir(path) or path.endswith((".npy", ".npz")):
+        from ..models.qwen_vl.video import _read_decoded
+
+        return _read_decoded(path)
     from PIL import Image
 
     return np.asarray(Image.open(path).convert("RGB"))

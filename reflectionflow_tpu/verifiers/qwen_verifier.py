@@ -148,18 +148,32 @@ class QwenRewardVerifier(Verifier):
     # ------------------------------------------------------------------
 
     def _prepare_ids(self, image: np.ndarray, prompt: str) -> tuple[np.ndarray, np.ndarray]:
-        """smart_resize the image, build the chat sequence with image pads."""
+        """smart_resize the image (or sample+resize a (T, H, W, 3) clip),
+        build the chat sequence with image/video pads."""
         from PIL import Image
 
         vis_cfg = self.rm.model.vis_cfg
         factor = vis_cfg.patch_size * vis_cfg.spatial_merge_size
+        tokens = QwenVLSpecialTokens()
+        if image.ndim == 4:  # video clip -> video pads + video_score prompt
+            from ..models.qwen_vl.video import fetch_video, video_to_patches
+            from ..rm_train.prompt_template import build_prompt
+
+            img = fetch_video(image, image_factor=factor, max_pixels=self.max_pixels)
+            _, (gt, gh, gw) = video_to_patches(img, vis_cfg)
+            n_img = gt * (gh // vis_cfg.spatial_merge_size) * (gw // vis_cfg.spatial_merge_size)
+            pad_id = tokens.video_pad
+            text = build_prompt(prompt, template_type="video_score")
+            return self._assemble_ids(text, n_img, pad_id, tokens), img
         H, W = image.shape[:2]
         nh, nw = smart_resize(H, W, factor=factor, max_pixels=self.max_pixels)
         img = np.asarray(Image.fromarray(image).resize((nw, nh)))
         _, (t, gh, gw) = image_to_patches(img, vis_cfg)
         n_img = t * (gh // vis_cfg.spatial_merge_size) * (gw // vis_cfg.spatial_merge_size)
-        tokens = QwenVLSpecialTokens()
         text = DEFAULT_TEMPLATE.format(prompt=prompt)
+        return self._assemble_ids(text, n_img, tokens.image_pad, tokens), img
+
+    def _assemble_ids(self, text: str, n_vis: int, pad_id: int, tokens) -> np.ndarray:
         # full Qwen chat template incl. system message and the generation
         # prompt — 'last'-token pooling must land on the position the
         # reward checkpoint was trained with (apply_chat_template(...,
@@ -180,12 +194,12 @@ class QwenRewardVerifier(Verifier):
             body = [int(x) for x in ht([text], max_length=64)["input_ids"][0] if x != 0]
             body += [tokens.im_end, tokens.im_start]
         ids = np.asarray(
-            prefix + [tokens.vision_start] + [tokens.image_pad] * n_img + [tokens.vision_end] + body,
+            prefix + [tokens.vision_start] + [pad_id] * n_vis + [tokens.vision_end] + body,
             np.int64,
         )
         if self.rm.head.pooling == "special" and self.rm.head.special_token_id is not None:
             ids = np.concatenate([ids, [self.rm.head.special_token_id]])
-        return ids, img
+        return ids
 
     def raw_scores(self, images: Sequence[np.ndarray], prompts: Sequence[str]) -> list[float]:
         """Candidates in a search round share a resolution, so their chat
@@ -197,13 +211,20 @@ class QwenRewardVerifier(Verifier):
         from ..models.qwen_vl.model import get_rope_index
         from ..models.qwen_vl.vision import image_to_patches, qwen_vision_batch_apply
 
+        def to_patches(arr, vis_cfg):
+            if arr.ndim == 4:  # resized video clip from _prepare_ids
+                from ..models.qwen_vl.video import video_to_patches
+
+                return video_to_patches(arr, vis_cfg)
+            return image_to_patches(arr, vis_cfg)
+
         prepared = [self._prepare_ids(np.asarray(img), p) for img, p in zip(images, prompts)]
         # group key includes the vision GRID, not just sequence length —
         # equal-length sequences can carry different (h, w) patch grids
         groups: dict[tuple, list[int]] = {}
         grids_of = []
         for i, (ids, img) in enumerate(prepared):
-            _, grid = image_to_patches(img, self.rm.model.vis_cfg)
+            _, grid = to_patches(img, self.rm.model.vis_cfg)
             grids_of.append(grid)
             groups.setdefault((len(ids), grid), []).append(i)
         out = [0.0] * len(prepared)
@@ -211,7 +232,7 @@ class QwenRewardVerifier(Verifier):
         vis_cfg = model.vis_cfg
         for (_, grid), idxs in groups.items():
             B = len(idxs)
-            patch_list = [image_to_patches(prepared[i][1], vis_cfg)[0] for i in idxs]
+            patch_list = [to_patches(prepared[i][1], vis_cfg)[0] for i in idxs]
             patches = jnp.asarray(np.stack(patch_list), model.dtype)  # (B, L, pd)
             # stable jit (vision tower vmapped over the group) — retraces only
             # on a new grid, not per call
@@ -219,11 +240,12 @@ class QwenRewardVerifier(Verifier):
 
             id_rows = np.stack([prepared[i][0] for i in idxs])  # (B, L)
             embeds = jnp.asarray(model.lm_params["embed"])[jnp.asarray(id_rows)]
-            is_pad = id_rows == model.tokens.image_pad
+            is_pad = (id_rows == model.tokens.image_pad) | (id_rows == model.tokens.video_pad)
             pad_pos = np.nonzero(is_pad[0])[0]  # identical across the group
             embeds = embeds.at[:, jnp.asarray(pad_pos)].set(vis_batch.astype(embeds.dtype))
             pos0 = get_rope_index(
-                id_rows[0], [grid], vis_cfg.spatial_merge_size, model.tokens.image_pad
+                id_rows[0], [grid], vis_cfg.spatial_merge_size, model.tokens.image_pad,
+                video_pad_id=model.tokens.video_pad,
             )
             batch_pos = jnp.asarray(np.broadcast_to(pos0[:, None, :], (3, B, pos0.shape[1])))
             raw = _rm_scores_jit(
