@@ -45,13 +45,17 @@ _SUM = jax.jit(lambda x: jnp.sum(x.astype(jnp.float32)))
 
 BASELINE_IMGS_PER_SEC_PER_CHIP = 0.1  # H100, FLUX.1-dev 1024px/30 steps (see docstring)
 NUM_STEPS = 30
-BATCH = 1  # per-stage override via --batch (candidate batching, the TPU scale axis)
-# Candidate-batched serving (the reference loops bs=1 serially,
-# /root/reference/tts/tts_reflectionflow.py:297-325 with
-# batch_size_for_img_gen=1; here candidates are a batch axis). Best measured
-# batch for the phase-swap W8A8 profile on one 16 GB v5e — see
-# docs/BENCH_NOTES.json::candidate_batched_serving_v5e.
-BEST_BATCH = 4
+BATCH = 1  # per-stage override via --batch (candidate batching)
+# Candidate batching MEASURED NEGATIVE on one v5e (sweep, docs/BENCH_NOTES
+# ::candidate_batch_sweep_v5e): per-image e2e degrades monotonically —
+# B=1 9.61 s, B=2 10.25 s, B=4 10.93 s. The 30-step denoise is
+# compute-bound at 93% of the chip's int8/bf16 floor, so batching adds no
+# MXU efficiency and loses on HBM pressure + per-image decode serialization.
+# Candidates scale across CHIPS (mesh "data" axis, each chip at B=1), not
+# within one — unlike the reference's serial bs=1 host loop
+# (/root/reference/tts/tts_reflectionflow.py:297-325) this is one batched
+# sharded call. BEST_BATCH=1 ⇒ the e2e_swap_batch stage is skipped.
+BEST_BATCH = 1
 FUSE_SINGLE_IO = True  # serving layout (ops.fuse.fuse_single_block_io)
 # serving rope layout: contiguous-half rotation (ops.fuse.permute_rope_layout;
 # synthetic random weights need no actual permutation, only the apply path)
@@ -539,6 +543,8 @@ def main():
         return
     # parent: try stages best-first, each in its own TPU client process
     for stage in STAGES:
+        if stage == "e2e_swap_batch" and (args.batch or BEST_BATCH) == 1:
+            continue  # batching measured negative; B=1 == the e2e_swap stage
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--stage", stage]
