@@ -96,6 +96,48 @@ def test_joint_attention_ring_dispatch():
         set_ring_context(None)
 
 
+def test_denoise_matches_xla_with_ring_attention():
+    """The SERVING path: a conditioned Euler denoise with sequence-parallel
+    attention on the mesh equals the XLA-attention run (union_cond_attn
+    default — ring handles the conditioned joint sequence as plain full
+    attention)."""
+    from reflectionflow_tpu.config import FluxDiTConfig
+    from reflectionflow_tpu.models.flux.dit import flux_dit_init
+    from reflectionflow_tpu.models.flux.rope import make_image_ids, make_text_ids
+    from reflectionflow_tpu.sampler.generate import denoise
+    from reflectionflow_tpu.sampler.scheduler import FlowMatchSchedule
+
+    cfg = FluxDiTConfig(
+        in_channels=4, hidden_size=32, num_heads=2, head_dim=16, mlp_ratio=2.0,
+        num_double_blocks=1, num_single_blocks=1, text_dim=16, pooled_dim=8,
+        axes_dims_rope=(4, 6, 6), time_freq_dim=16,
+    )
+    params = flux_dit_init(jax.random.PRNGKey(0), cfg, jnp.float32)
+    B, Lt = 1, 8
+    ty = tx = 4
+    lat = jax.random.normal(jax.random.PRNGKey(1), (B, ty * tx, cfg.in_channels))
+    txt = jax.random.normal(jax.random.PRNGKey(2), (B, Lt, cfg.text_dim))
+    pooled = jax.random.normal(jax.random.PRNGKey(3), (B, cfg.pooled_dim))
+    cond = jax.random.normal(jax.random.PRNGKey(4), (B, 8, cfg.in_channels))
+    kw = dict(
+        img_ids=jnp.asarray(make_image_ids(ty, tx)),
+        txt_ids=jnp.asarray(make_text_ids(Lt)),
+        sigmas=jnp.asarray(FlowMatchSchedule.create(2, ty * tx).sigmas),
+        guidance_scale=jnp.asarray(3.5, jnp.float32),
+        num_steps=2,
+        cond=cond,
+        cond_ids=jnp.asarray(make_image_ids(2, 4, position_delta=(0, -4))),
+    )
+    ref = denoise(params, cfg, lat, txt, pooled, attn_impl="xla", **kw)
+    mesh = _mesh()
+    set_ring_context(mesh, axis="data")  # joint seq 8+16+8=32 -> 4/device
+    try:
+        out = denoise(params, cfg, lat, txt, pooled, attn_impl="ring", **kw)
+    finally:
+        set_ring_context(None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
 def test_train_step_runs_with_ring_attention():
     """A conditioned LoRA rectified-flow step (union_cond_attn=True, the
     flagship config) trains with sequence-parallel attention on the virtual
