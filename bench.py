@@ -543,8 +543,11 @@ def main():
         return
     # parent: try stages best-first, each in its own TPU client process
     for stage in STAGES:
-        if stage == "e2e_swap_batch" and (args.batch or BEST_BATCH) == 1:
-            continue  # batching measured negative; B=1 == the e2e_swap stage
+        if stage == "e2e_swap_batch" and (args.batch is not None or BEST_BATCH == 1):
+            # skip when redundant: an explicit --batch flows into e2e_swap
+            # anyway, and BEST_BATCH=1 (batching measured negative) makes
+            # this stage identical to e2e_swap
+            continue
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--stage", stage]

@@ -151,7 +151,11 @@ def _read_decoded(source) -> np.ndarray:
         raise TypeError(f"unsupported video source: {type(source)}")
     if frames.ndim != 4 or frames.shape[-1] != 3:
         raise ValueError(f"expected (T, H, W, 3) frames, got {frames.shape}")
-    return frames.astype(np.uint8)
+    if np.issubdtype(frames.dtype, np.floating):
+        # accept both decoded-float conventions: [0, 1] and [0, 255]
+        scale = 255.0 if float(frames.max(initial=0.0)) <= 1.0 + 1e-6 else 1.0
+        frames = np.clip(np.rint(frames * scale), 0, 255)
+    return np.clip(frames, 0, 255).astype(np.uint8)
 
 
 def fetch_video(
@@ -184,6 +188,9 @@ def fetch_video(
         max_pixels = max(
             min(VIDEO_MAX_PIXELS, total_pixels / T * FRAME_FACTOR), int(min_pixels * 1.05)
         )
+    # a caller-supplied max_pixels is a hard token/memory budget: never let
+    # the upscale floor push small frames past it
+    min_pixels = min(min_pixels, int(max_pixels))
     nh, nw = smart_resize(H, W, factor=image_factor, min_pixels=min_pixels, max_pixels=int(max_pixels))
     if (nh, nw) != (H, W):
         frames = np.stack(
@@ -198,23 +205,13 @@ def video_to_patches(
     """(T, H, W, 3) uint8 (H, W multiples of patch*merge) -> flattened
     patches (L, 3*tp*ps*ps) in Qwen order + grid (T/tp, h, w). T pads to a
     multiple of `temporal_patch_size` by repeating the last frame (the Qwen
-    processor's rule); ordering matches `image_to_patches` exactly at T=tp."""
-    ps, tp, merge = cfg.patch_size, cfg.temporal_patch_size, cfg.spatial_merge_size
-    T, H, W, _ = frames.shape
-    assert H % (ps * merge) == 0 and W % (ps * merge) == 0, (H, W)
+    processor's rule), then the shared patchify core runs
+    (`vision.frames_to_patches` — images are its T=tp special case)."""
+    from .vision import frames_to_patches
+
+    tp = cfg.temporal_patch_size
+    T = frames.shape[0]
     if T % tp:
         pad = tp - T % tp
         frames = np.concatenate([frames, np.repeat(frames[-1:], pad, axis=0)])
-        T += pad
-    gt, gh, gw = T // tp, H // ps, W // ps
-    mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
-    std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
-    x = (frames.astype(np.float32) / 255.0 - mean) / std  # (T, H, W, 3)
-    x = x.transpose(0, 3, 1, 2)  # (T, 3, H, W)
-    x = x.reshape(gt, tp, 3, gh // merge, merge, ps, gw // merge, merge, ps)
-    # -> (gt, gh/m, gw/m, m, m, 3, tp, ps, ps): channel-major per patch,
-    # merge-grouped ordering per frame bundle (image_to_patches with a
-    # leading gt axis)
-    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)
-    patches = x.reshape(gt * gh * gw, 3 * tp * ps * ps)
-    return patches, (gt, gh, gw)
+    return frames_to_patches(frames, cfg)

@@ -194,27 +194,42 @@ def qwen_vision_apply(
     return m[reverse]
 
 
+_CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+
+
+def frames_to_patches(frames: np.ndarray, cfg: QwenVLVisionConfig) -> tuple[np.ndarray, tuple[int, int, int]]:
+    """(T, H, W, 3) uint8, T a multiple of temporal_patch_size ->
+    flattened patches (L, 3*tp*ps*ps) in Qwen order + grid (T/tp, h, w).
+
+    The shared patchify core: normalize, bundle `tp` frames, patchify with
+    channel-major features per patch in merge-grouped ordering. Images are
+    the T=tp special case (`image_to_patches` temporal-duplicates); videos
+    pad T to a multiple of tp first (`video.video_to_patches`)."""
+    ps, tp, merge = cfg.patch_size, cfg.temporal_patch_size, cfg.spatial_merge_size
+    T, H, W, _ = frames.shape
+    assert T % tp == 0 and H % (ps * merge) == 0 and W % (ps * merge) == 0, (T, H, W)
+    gt, gh, gw = T // tp, H // ps, W // ps
+    x = (frames.astype(np.float32) / 255.0 - _CLIP_MEAN) / _CLIP_STD  # (T, H, W, 3)
+    x = x.transpose(0, 3, 1, 2)  # (T, 3, H, W)
+    # -> (gh/m, m, gw/m, m) patch grid per frame bundle, merge-grouped order
+    x = x.reshape(gt, tp, 3, gh // merge, merge, ps, gw // merge, merge, ps)
+    x = x.transpose(0, 3, 6, 4, 7, 2, 1, 5, 8)  # (gt, gh/m, gw/m, m, m, 3, tp, ps, ps)
+    patches = x.reshape(gt * gh * gw, 3 * tp * ps * ps)
+    return patches, (gt, gh, gw)
+
+
 def image_to_patches(image: np.ndarray, cfg: QwenVLVisionConfig) -> tuple[np.ndarray, tuple[int, int, int]]:
     """(H, W, 3) uint8 (H, W multiples of patch*merge) -> flattened patches
     (L, 3*tp*ps*ps) in Qwen order + grid (1, h, w).
 
-    Matches Qwen preprocessing: normalize, temporal-duplicate the frame,
-    patchify with channel-major features per patch.
+    Matches Qwen preprocessing: the frame is temporal-duplicated to fill
+    one `temporal_patch_size` bundle, then patchified by the shared core.
     """
-    ps, tp, merge = cfg.patch_size, cfg.temporal_patch_size, cfg.spatial_merge_size
-    H, W, _ = image.shape
-    assert H % (ps * merge) == 0 and W % (ps * merge) == 0
-    gh, gw = H // ps, W // ps
-    mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
-    std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
-    x = (image.astype(np.float32) / 255.0 - mean) / std  # (H, W, 3)
-    x = x.transpose(2, 0, 1)  # (3, H, W)
-    x = np.tile(x[None], (tp, 1, 1, 1))  # (tp, 3, H, W)
-    # -> (gh/m, m, gw/m, m) patch grid, merge-grouped ordering
-    x = x.reshape(tp, 3, gh // merge, merge, ps, gw // merge, merge, ps)
-    x = x.transpose(2, 5, 3, 6, 1, 0, 4, 7)  # (gh/m, gw/m, m, m, 3, tp, ps, ps)
-    patches = x.reshape(gh * gw, 3 * tp * ps * ps)
-    return patches, (1, gh, gw)
+    frames = np.broadcast_to(
+        np.asarray(image)[None], (cfg.temporal_patch_size,) + image.shape
+    )
+    return frames_to_patches(frames, cfg)
 
 
 def smart_resize(height: int, width: int, factor: int = 28, min_pixels: int = 56 * 56, max_pixels: int = 14 * 14 * 4 * 1280) -> tuple[int, int]:

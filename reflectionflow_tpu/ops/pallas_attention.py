@@ -439,22 +439,27 @@ def _flash_bwd_rule(main_len, cross_bias, block_q, block_k, interpret, res, g):
     delta = jnp.sum(
         dob.astype(jnp.float32) * out_bh.astype(jnp.float32), axis=-1, keepdims=True
     )  # (B*H, Lp, 1)
-    return _bwd_impl(q, k, v, g, delta, lse, main_len, cross_bias, block_q, block_k, interpret)
+    return _bwd_impl(
+        q, k, v, g, delta, lse, main_len, cross_bias, block_q, block_k, interpret, dob=dob
+    )
 
 
-def _bwd_impl(q, k, v, g, delta, lse, main_len, cross_bias, block_q, block_k, interpret):
+def _bwd_impl(q, k, v, g, delta, lse, main_len, cross_bias, block_q, block_k, interpret, dob=None):
     """Flash backward from precomputed (global) lse + delta.
 
     q/k/v/g are user layout (B, L, H, D); delta/lse are bh layout
-    (B*H, Lp, 1). Factored out of `_flash_bwd_rule` so ring attention can
-    run the SAME kernels per K/V chunk with the ring-global lse."""
+    (B*H, Lp, 1); `dob` is the optional already-padded bh cotangent (the
+    custom-VJP rule built it for delta — don't rebuild). Factored out of
+    `_flash_bwd_rule` so ring attention can run the SAME kernels per K/V
+    chunk with the ring-global lse."""
     B, L, H, D = q.shape
     scale = 1.0 / math.sqrt(D)
     Lp = _round_up(L, max(block_q, block_k))
     qp, kp, vp = _pad_len(q, k, v, L, Lp)
-    g = jnp.pad(g, [(0, 0), (0, Lp - L), (0, 0), (0, 0)]) if Lp != L else g
     qb, kb, vb = (_to_bh(x, B, H, Lp, D) for x in (qp, kp, vp))
-    dob = _to_bh(g, B, H, Lp, D)
+    if dob is None:
+        g_p = jnp.pad(g, [(0, 0), (0, Lp - L), (0, 0), (0, 0)]) if Lp != L else g
+        dob = _to_bh(g_p, B, H, Lp, D)
     lse_t = jnp.swapaxes(lse, 1, 2)  # (B*H, 1, Lp) for the k-major kernel
     delta_t = jnp.swapaxes(delta, 1, 2)
 

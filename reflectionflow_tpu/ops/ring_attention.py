@@ -102,11 +102,15 @@ def ring_attention(
 ) -> jnp.ndarray:
     """Differentiable full (non-causal) attention over a sequence sharded
     across the mesh. `impl`: "xla" dense chunks | "pallas" flash-kernel
-    chunks. L must divide the ring size."""
+    chunks. The ring size must divide L (pad the sequence to a multiple
+    of the ring)."""
     B, L, H, D = q.shape
     p_devices = mesh.shape[axis]
     if L % p_devices:
-        raise ValueError(f"sequence length {L} must divide the ring size {p_devices}")
+        raise ValueError(
+            f"ring size {p_devices} must divide the sequence length {L} — "
+            "pad the sequence to a multiple of the ring"
+        )
     scale = float(D) ** -0.5
     chunk_fwd, chunk_bwd = _chunk_fns(impl, interpret, scale)
     perm = [(i, (i + 1) % p_devices) for i in range(p_devices)]

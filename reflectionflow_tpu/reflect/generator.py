@@ -101,6 +101,12 @@ class LocalQwenReflector(Reflector):
         n = len(original_prompts)
         prev_reflections = prev_reflections or [""] * n
         evaluations = evaluations or [""] * n
+        # never drop entries silently (the module contract): a short input
+        # list would zip-truncate the batch
+        for name, seq in (("images", images), ("current_prompts", current_prompts),
+                          ("prev_reflections", prev_reflections), ("evaluations", evaluations)):
+            if len(seq) != n:
+                raise ValueError(f"{name} has {len(seq)} entries, expected {n}")
         prompts = [
             self.template.format(**self._fields(orig, cur, refl, ev))
             for orig, cur, refl, ev in zip(

@@ -147,31 +147,37 @@ class QwenRewardVerifier(Verifier):
 
     # ------------------------------------------------------------------
 
-    def _prepare_ids(self, image: np.ndarray, prompt: str) -> tuple[np.ndarray, np.ndarray]:
+    def _prepare_ids(
+        self, image: np.ndarray, prompt: str
+    ) -> tuple[np.ndarray, np.ndarray, tuple[int, int, int]]:
         """smart_resize the image (or sample+resize a (T, H, W, 3) clip),
-        build the chat sequence with image/video pads."""
+        build the chat sequence with image/video pads. Returns
+        (ids, prepared pixels, patches, grid) — patchified ONCE here;
+        `raw_scores` reuses the patches for grouping and the tower."""
         from PIL import Image
 
         vis_cfg = self.rm.model.vis_cfg
-        factor = vis_cfg.patch_size * vis_cfg.spatial_merge_size
+        merge = vis_cfg.spatial_merge_size
+        factor = vis_cfg.patch_size * merge
         tokens = QwenVLSpecialTokens()
         if image.ndim == 4:  # video clip -> video pads + video_score prompt
             from ..models.qwen_vl.video import fetch_video, video_to_patches
             from ..rm_train.prompt_template import build_prompt
 
             img = fetch_video(image, image_factor=factor, max_pixels=self.max_pixels)
-            _, (gt, gh, gw) = video_to_patches(img, vis_cfg)
-            n_img = gt * (gh // vis_cfg.spatial_merge_size) * (gw // vis_cfg.spatial_merge_size)
+            patches, grid = video_to_patches(img, vis_cfg)
             pad_id = tokens.video_pad
             text = build_prompt(prompt, template_type="video_score")
-            return self._assemble_ids(text, n_img, pad_id, tokens), img
-        H, W = image.shape[:2]
-        nh, nw = smart_resize(H, W, factor=factor, max_pixels=self.max_pixels)
-        img = np.asarray(Image.fromarray(image).resize((nw, nh)))
-        _, (t, gh, gw) = image_to_patches(img, vis_cfg)
-        n_img = t * (gh // vis_cfg.spatial_merge_size) * (gw // vis_cfg.spatial_merge_size)
-        text = DEFAULT_TEMPLATE.format(prompt=prompt)
-        return self._assemble_ids(text, n_img, tokens.image_pad, tokens), img
+        else:
+            H, W = image.shape[:2]
+            nh, nw = smart_resize(H, W, factor=factor, max_pixels=self.max_pixels)
+            img = np.asarray(Image.fromarray(image).resize((nw, nh)))
+            patches, grid = image_to_patches(img, vis_cfg)
+            pad_id = tokens.image_pad
+            text = DEFAULT_TEMPLATE.format(prompt=prompt)
+        gt, gh, gw = grid
+        n_vis = gt * (gh // merge) * (gw // merge)
+        return self._assemble_ids(text, n_vis, pad_id, tokens), patches, grid
 
     def _assemble_ids(self, text: str, n_vis: int, pad_id: int, tokens) -> np.ndarray:
         # full Qwen chat template incl. system message and the generation
@@ -209,31 +215,22 @@ class QwenRewardVerifier(Verifier):
         import jax.numpy as jnp
 
         from ..models.qwen_vl.model import get_rope_index
-        from ..models.qwen_vl.vision import image_to_patches, qwen_vision_batch_apply
-
-        def to_patches(arr, vis_cfg):
-            if arr.ndim == 4:  # resized video clip from _prepare_ids
-                from ..models.qwen_vl.video import video_to_patches
-
-                return video_to_patches(arr, vis_cfg)
-            return image_to_patches(arr, vis_cfg)
+        from ..models.qwen_vl.vision import qwen_vision_batch_apply
 
         prepared = [self._prepare_ids(np.asarray(img), p) for img, p in zip(images, prompts)]
         # group key includes the vision GRID, not just sequence length —
         # equal-length sequences can carry different (h, w) patch grids
         groups: dict[tuple, list[int]] = {}
-        grids_of = []
-        for i, (ids, img) in enumerate(prepared):
-            _, grid = to_patches(img, self.rm.model.vis_cfg)
-            grids_of.append(grid)
+        for i, (ids, _patches, grid) in enumerate(prepared):
             groups.setdefault((len(ids), grid), []).append(i)
         out = [0.0] * len(prepared)
         model = self.rm.model
         vis_cfg = model.vis_cfg
         for (_, grid), idxs in groups.items():
             B = len(idxs)
-            patch_list = [to_patches(prepared[i][1], vis_cfg)[0] for i in idxs]
-            patches = jnp.asarray(np.stack(patch_list), model.dtype)  # (B, L, pd)
+            patches = jnp.asarray(
+                np.stack([prepared[i][1] for i in idxs]), model.dtype
+            )  # (B, L, pd)
             # stable jit (vision tower vmapped over the group) — retraces only
             # on a new grid, not per call
             vis_batch = qwen_vision_batch_apply(model.vision_params, vis_cfg, patches, grid)

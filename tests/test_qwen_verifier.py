@@ -49,7 +49,7 @@ def test_special_pooling_appends_token():
         jax.random.PRNGKey(1), model.lm_cfg.hidden_size, pooling="special", special_token_id=77
     )
     v = QwenRewardVerifier(model=model, head=head, max_pixels=16 * 16)
-    ids, _ = v._prepare_ids(np.zeros((16, 16, 3), np.uint8), "p")
+    ids, _patches, _grid = v._prepare_ids(np.zeros((16, 16, 3), np.uint8), "p")
     assert ids[-1] == 77
 
 

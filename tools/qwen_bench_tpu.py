@@ -3,9 +3,9 @@
 VERDICT round-2 missing #3: the colocated verifier/reflector had only run
 at tiny-config scale. This builds the FULL 7B LM (28 layers, hidden 3584,
 GQA 28/4) + the full vision tower (32 layers, hidden 1280) with synthetic
-int8 weights directly on device (~7.2 GB LM blocks + 0.6 GB vision blocks
-+ 1.1 GB bf16 embed + 0.5 GB int8 lm_head ≈ 9.6 GB — fits one 16 GB v5e
-alone), then measures on hardware:
+int8 weights directly on device (~6.5 GB int8 LM blocks + 0.6 GB int8 vision
+blocks + 1.1 GB bf16 embed + 1.1 GB bf16 lm_head ≈ 9.3 GB — fits one
+16 GB v5e alone), then measures on hardware:
 
   * one batched VERIFIER score pass over branch x block candidates at
     448 px (the reward path: vision tower -> LM -> pooled rm_head), and
@@ -13,7 +13,7 @@ alone), then measures on hardware:
 
 Memory orchestration vs the 11.9 GB W8A8 DiT (documented in
 docs/DEPLOYMENT.md): the two do NOT co-reside on one 16 GB chip — serving
-either phase-swaps the verifier per round (upload ~9.6 GB: ~0.1-0.5 s on
+either phase-swaps the verifier per round (upload ~9.3 GB: ~0.1-0.5 s on
 production PCIe/DMA, minutes through this dev tunnel) or places the
 verifier on a second chip of the slice (the reference serves it as a
 separate-GPU service too, README.md:129-138; here it rides the same mesh).
@@ -126,16 +126,7 @@ def init_int8_qwen_vision(cfg: QwenVLVisionConfig):
     }
 
 
-def measure_rtt(reps=3):
-    f = jax.jit(lambda x: jnp.sum(x))
-    x = jnp.ones((8, 8), jnp.float32)
-    float(np.asarray(f(x)))
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        float(np.asarray(f(x)))
-        ts.append(time.perf_counter() - t0)
-    return min(ts)
+from bench import measure_rtt  # noqa: E402  (tunnel-aware timing helper)
 
 
 def main():

@@ -9,9 +9,10 @@ serving metric BASELINE.json tracks.
 
 Usage: python tools/serve_smoke_tpu.py [rounds] [branch] [steps] [profile]
 
-`profile` (default "swap"): "swap" = full-W8A8 DiT + phase-swapped int8
-T5 (fast denoise; refined-prompt rounds pay a per-round T5 re-upload —
-~2 min through the dev tunnel, ~0.1-0.3 s on production PCIe/DMA);
+`profile` (default "swap"): "swap" = full-W8A8 DiT + phase-swapped NF4
+T5 (fast denoise; refined-prompt rounds pay a per-round 2.4 GB T5
+re-upload — ~2 min through the dev tunnel, ~0.1-0.3 s on production
+PCIe/DMA);
 "co" = int4-MLP DiT + NF4 T5 all resident (dit_quant="int8_int4mlp": no
 swap, no upload, slower w4a16 MLP denoise) — the refined-prompt
 mitigation measured for VERDICT round-2 item 4."""
@@ -90,7 +91,7 @@ def main():
         "scale": (
             "FLUX-dev int8+int4MLP DiT + int4 T5 CO-RESIDENT (synthetic weights), 1024px, pallas"
             if co else
-            "FLUX-dev int8 W8A8 DiT + int8 T5 phase-swap (synthetic weights), 1024px, pallas"
+            "FLUX-dev int8 W8A8 DiT + int4 T5 phase-swap (synthetic weights), 1024px, pallas"
         ),
         "profile": profile, "rounds": rounds, "branch": branch, "steps": steps,
     }
