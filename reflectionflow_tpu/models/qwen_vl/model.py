@@ -45,7 +45,11 @@ def get_rope_index(
     Video pads (`video_pad_id`) use the same grid walk with the temporal
     stream scaled by wall-clock: t index = frame_group * seconds_per_grid *
     tokens_per_second (Qwen2.5-VL's video M-RoPE; for images t=1 so the
-    scale is moot). `seconds_per_grid` may be per-visual (list) or shared."""
+    scale is moot). `seconds_per_grid` may be per-visual (list) or shared.
+    NOTE: transformers casts second_per_grid_t to int64 BEFORE scaling
+    (fractional values truncate, e.g. 1.5 -> 1) — mirrored here so
+    positions match a reward checkpoint trained through that stack
+    (parity-pinned in tests/test_qwen_parity.py)."""
     L = len(input_ids)
     pos = np.zeros((3, L), np.int64)
     img_iter = iter(image_grids)
@@ -59,8 +63,10 @@ def get_rope_index(
             t, h, w = next(img_iter)
             gh, gw = h // spatial_merge_size, w // spatial_merge_size
             n = t * gh * gw
-            scale = (spg[n_visual] if spg else seconds_per_grid) * tokens_per_second
-            t_steps = (np.arange(t) * (scale if input_ids[i] == video_pad_id else 1.0)).astype(np.int64)
+            scale = int(spg[n_visual] if spg else seconds_per_grid) * tokens_per_second
+            t_steps = (
+                np.arange(t) * (scale if input_ids[i] == video_pad_id else 1.0)
+            ).astype(np.int64)
             t_idx = np.repeat(t_steps, gh * gw)
             h_idx = np.tile(np.repeat(np.arange(gh), gw), t)
             w_idx = np.tile(np.arange(gw), t * gh)

@@ -155,3 +155,39 @@ def test_kv_cache_decode_matches_full(jax_params):
         np.testing.assert_allclose(
             np.asarray(out_i[:, 0]), np.asarray(full[:, i]), atol=2e-4, rtol=2e-3
         )
+
+
+def test_video_mrope_index_parity(hf_model):
+    """Video M-RoPE positions == transformers' `get_rope_index` for a mixed
+    image+video sequence (temporal stream scaled by seconds-per-grid x
+    tokens_per_second; spatial walks; text resumption after each visual)."""
+    from reflectionflow_tpu.models.qwen_vl.model import get_rope_index
+
+    hf = hf_model.model  # Qwen2_5_VLModel carries get_rope_index
+    cfg = hf_model.config
+    merge = VIS_CFG.spatial_merge_size
+    img_grid = (1, 4, 4)   # 1*2*2 = 4 merged tokens
+    vid_grid = (2, 4, 4)   # 2*2*2 = 8 merged tokens
+    n_img = (img_grid[1] // merge) * (img_grid[2] // merge)
+    n_vid = vid_grid[0] * (vid_grid[1] // merge) * (vid_grid[2] // merge)
+    vs, ve = 151652, 151653
+    ids = np.array(
+        [5, 9, vs] + [cfg.image_token_id] * n_img + [ve, 11, vs]
+        + [cfg.video_token_id] * n_vid + [ve, 7],
+        np.int64,
+    )
+    spg = 1.5
+    with torch.no_grad():
+        ref_pos, _ = hf.get_rope_index(
+            input_ids=torch.tensor(ids[None]),
+            image_grid_thw=torch.tensor([list(img_grid)]),
+            video_grid_thw=torch.tensor([list(vid_grid)]),
+            second_per_grid_ts=torch.tensor([spg]),
+        )
+    got = get_rope_index(
+        ids, [img_grid, vid_grid], merge, cfg.image_token_id,
+        video_pad_id=cfg.video_token_id,
+        tokens_per_second=cfg.vision_config.tokens_per_second,
+        seconds_per_grid=[1.0, spg],
+    )
+    np.testing.assert_array_equal(got, ref_pos[:, 0].numpy())
