@@ -201,6 +201,8 @@ def build_verifier(cfg: TTSConfig):
             kw["cache_dir"] = va.cache_dir
         if va.quantize:
             kw["quantize"] = va.quantize
+        if va.device_index is not None:
+            kw["device_index"] = va.device_index
     elif va.name == "nvila":
         if va.model_name:
             kw["model_name"] = va.model_name

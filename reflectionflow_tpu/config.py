@@ -280,6 +280,10 @@ class VerifierArgs:
     max_new_tokens: Optional[int] = None
     choice_of_metric: str = "overall_score"
     quantize: Optional[str] = None  # "int8": 7B verifier fits one 16 GB chip
+    # place the verifier's weights/compute on a secondary chip of the slice
+    # (the recommended deployment next to the 11.9 GB DiT — they do not
+    # co-reside on one 16 GB chip; docs/DEPLOYMENT.md "Verifier colocation")
+    device_index: Optional[int] = None
     # prompt-asset overrides (reference key names)
     verifier_prompt_relpath: str = "verifier_prompt.txt"
     refine_prompt_relpath: str = "refine_prompt.txt"

@@ -61,6 +61,7 @@ class QwenRewardVerifier(Verifier):
         use_norm: bool = True,
         quantize: str | None = None,
         quantize_min_size: int = 1 << 18,
+        device_index: int | None = None,
         **_,
     ):
         if model is None:
@@ -85,6 +86,16 @@ class QwenRewardVerifier(Verifier):
                 model.vision_params,
                 blocks=quantize_dit_params({"b": model.vision_params["blocks"]}, min_size=quantize_min_size)["b"],
             )
+        if device_index is not None:
+            # second-chip deployment: the 9.3 GB verifier does not co-reside
+            # with the 11.9 GB DiT on one 16 GB chip (docs/DEPLOYMENT.md) —
+            # pin its weights to another device of the slice; jitted calls
+            # follow their operands' placement, so scoring runs there while
+            # the generator's chip keeps the DiT resident
+            dev = jax.devices()[device_index]
+            model.lm_params = jax.device_put(model.lm_params, dev)
+            model.vision_params = jax.device_put(model.vision_params, dev)
+            head.w = jax.device_put(head.w, dev)
         self.rm = QwenRewardModel(model, head)
         self.tokenizer = tokenizer
         self.max_pixels = max_pixels

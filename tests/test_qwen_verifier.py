@@ -76,3 +76,19 @@ def test_qwen_verifier_int8_serving():
     assert np.isfinite(out)
     # int8 stays in the same scoring regime as fp32 (tiny model, loose tol)
     assert abs(out - ref) < max(1.0, abs(ref)), (out, ref)
+
+
+def test_device_index_places_verifier_on_secondary_chip():
+    """Second-chip deployment (docs/DEPLOYMENT.md): device_index pins the
+    verifier's weights to another device of the slice; scoring runs there
+    (jit follows operand placement) while chip 0 keeps the DiT."""
+    import jax
+
+    model = QwenVLModel.random_init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    head = RewardHead.random_init(jax.random.PRNGKey(1), model.lm_cfg.hidden_size, pooling="last")
+    v = QwenRewardVerifier(model=model, head=head, max_pixels=16 * 16, device_index=1)
+    dev1 = jax.devices()[1]
+    leaves = jax.tree.leaves(v.rm.model.lm_params) + jax.tree.leaves(v.rm.model.vision_params)
+    assert all(leaf.devices() == {dev1} for leaf in leaves)
+    out = v.reward([np.zeros((16, 16, 3), np.uint8)], ["p"])
+    assert np.isfinite(out[0]["VQ"])
