@@ -58,6 +58,11 @@ def linear(p, x):
     elif "w_q" in p:  # int8 weight-only — dequant fused into the matmul read
         w = (p["w_q"].astype(jnp.float32) * p["w_scale"]).astype(x.dtype)
         out = x @ w
+    elif "w_p4p" in p:  # int4 weight-only, split-plane packing (no
+        # even/odd relayout in the dequant — ops.quant.int4_matmul_plane)
+        from ...ops.quant import int4_matmul_plane
+
+        out = int4_matmul_plane(x, p["w_p4p"], p["w_scale4"])
     elif "w_p4" in p:  # int4 weight-only (ops.quant.int4_matmul)
         from ...ops.quant import int4_matmul
 

@@ -159,6 +159,47 @@ def int4_matmul(x: jnp.ndarray, w_p4: jnp.ndarray, w_scale4: jnp.ndarray) -> jnp
     return x @ w.reshape(G * half * 2, dout)
 
 
+def quantize_linear_int4_plane(p: dict, group: int = 128) -> dict:
+    """NF4 packing in the SPLIT-PLANE layout: low nibbles carry rows
+    [0, K/2), high nibbles rows [K/2, K) — the dequant is then two decodes
+    + one contiguous concat instead of an even/odd sublane interleave
+    (`int4_matmul`'s stack+reshape relayout, the serving-path cost the
+    plane layout removes). Same NF4 codes/scales; leaf key "w_p4p"."""
+    w = p["w"].astype(jnp.float32)
+    din = w.shape[-2]
+    if din % (2 * group) or din < 2 * group:
+        return quantize_linear_int4(p, group=group)
+    lead = w.shape[:-2]
+    G = din // group
+    wg = w.reshape(*lead, G, group, w.shape[-1])
+    amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
+    scale = jnp.maximum(amax, 1e-12)
+    codes = _nf4_codes()
+    mids = (codes[1:] + codes[:-1]) / 2.0
+    idx = jnp.searchsorted(mids, wg / scale).astype(jnp.uint8)  # (..., G, group, out)
+    flat = idx.reshape(*lead, din, w.shape[-1])
+    packed = (flat[..., : din // 2, :] | (flat[..., din // 2 :, :] << 4)).astype(jnp.uint8)
+    out = {"w_p4p": packed, "w_scale4": scale.astype(jnp.float32)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
+def int4_matmul_plane(x: jnp.ndarray, w_p4p: jnp.ndarray, w_scale4: jnp.ndarray) -> jnp.ndarray:
+    """W4A16 matmul, split-plane packing: decode both nibble planes,
+    concatenate along K (contiguous — no interleave relayout), scale per
+    group, one bf16 MXU matmul.
+
+    x: (..., in); w_p4p: (in/2, out) uint8; w_scale4: (G, 1, out)."""
+    K2, dout = w_p4p.shape[-2:]
+    G, group = w_scale4.shape[-3], (2 * K2) // w_scale4.shape[-3]
+    lo = _nf4_decode(w_p4p & 0xF)  # (in/2, out)
+    hi = _nf4_decode(w_p4p >> 4)
+    q = jnp.concatenate([lo, hi], axis=-2)  # (in, out), rows in original order
+    w = (q.reshape(G, group, dout) * w_scale4).astype(x.dtype)
+    return x @ w.reshape(G * group, dout)
+
+
 def _quantize_tree(params, quantizer, min_size: int):
     """quantizer(node, path) -> quantized node, applied to every /w parent."""
     out = params
@@ -184,6 +225,7 @@ def quantize_dit_params(
     act_quant_exclude: tuple[str, ...] = (),
     int4_paths: tuple[str, ...] = (),
     int4_group: int = 128,
+    int4_layout: str = "pair",
 ):
     """Int8-quantize every linear weight bigger than `min_size` elements.
 
@@ -197,18 +239,23 @@ def quantize_dit_params(
     attention stays int8 W8A8; `models.flux.dit.linear` dispatches per
     leaf, so mixed trees need no model changes."""
 
+    int4_fn = quantize_linear_int4_plane if int4_layout == "plane" else quantize_linear_int4
+
     def quantizer(node, path):
         if any(sub in path for sub in int4_paths):
-            return quantize_linear_int4(node, group=int4_group)
+            return int4_fn(node, group=int4_group)
         aq = act_quant and not any(sub in path for sub in act_quant_exclude)
         return quantize_linear(node, act_quant=aq)
 
     return _quantize_tree(params, quantizer, min_size)
 
 
-def quantize_params_int4(params, min_size: int = 1 << 20, group: int = 128):
-    """Int4 (w4a16, group-wise) quantize every big linear weight."""
-    return _quantize_tree(params, lambda p, _path: quantize_linear_int4(p, group=group), min_size)
+def quantize_params_int4(params, min_size: int = 1 << 20, group: int = 128, layout: str = "pair"):
+    """Int4 (w4a16, group-wise) quantize every big linear weight.
+    `layout="plane"` packs nibbles as split-K planes (dequant = decode +
+    contiguous concat, no even/odd relayout — see quantize_linear_int4_plane)."""
+    fn = quantize_linear_int4_plane if layout == "plane" else quantize_linear_int4
+    return _quantize_tree(params, lambda p, _path: fn(p, group=group), min_size)
 
 
 def _get(tree, path):

@@ -484,3 +484,42 @@ def test_fuse_tolerates_missing_biases(key):
     np.testing.assert_allclose(np.asarray(fused["b"]), [1, 1, 1, 1, 0, 0, 0, 0, 0, 0])
     none = _fuse_parts([{"w": w2["w"]}, {"w": w2["w"]}])
     assert "b" not in none
+
+
+def test_int4_plane_layout_matches_pair():
+    """Split-plane NF4 packing (quantize_linear_int4_plane / w_p4p) is
+    numerically identical to the pair layout — same codes, same scales,
+    different nibble placement (dequant avoids the even/odd relayout)."""
+    import numpy as np
+
+    from reflectionflow_tpu.ops.quant import (
+        int4_matmul,
+        int4_matmul_plane,
+        quantize_linear_int4,
+        quantize_linear_int4_plane,
+        quantize_params_int4,
+    )
+
+    rng = np.random.default_rng(3)
+    w = jnp.asarray(rng.standard_normal((256, 48)) * 0.04, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((48,)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((5, 256)), jnp.float32)
+    q4 = quantize_linear_int4({"w": w, "b": b}, group=128)
+    q4p = quantize_linear_int4_plane({"w": w, "b": b}, group=128)
+    np.testing.assert_array_equal(np.asarray(q4["w_scale4"]), np.asarray(q4p["w_scale4"]))
+    np.testing.assert_allclose(
+        np.asarray(int4_matmul(x, q4["w_p4"], q4["w_scale4"])),
+        np.asarray(int4_matmul_plane(x, q4p["w_p4p"], q4p["w_scale4"])),
+        atol=1e-6,
+    )
+    # tree entry point + model dispatch
+    from reflectionflow_tpu.models.flux.dit import linear
+
+    tree = quantize_params_int4({"fc": {"w": w, "b": b}}, min_size=1, layout="plane")
+    assert "w_p4p" in tree["fc"]
+    out = linear(tree["fc"], x)
+    ref = linear(quantize_params_int4({"fc": {"w": w, "b": b}}, min_size=1)["fc"], x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    # small/ungroupable shapes fall back identically
+    small = quantize_linear_int4_plane({"w": w[:96]}, group=128)
+    assert "w_q" in small  # int8 weight-only fallback

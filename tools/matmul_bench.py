@@ -25,11 +25,22 @@ import numpy as np
 sys.path.insert(0, ".")
 
 from reflectionflow_tpu.ops.quant import (  # noqa: E402
-    int4_matmul, int8_matmul, quantize_linear, quantize_linear_int4,
+    int4_matmul, int4_matmul_plane, int8_matmul, quantize_linear,
+    quantize_linear_int4, quantize_linear_int4_plane,
 )
 
 
 _SUM = jax.jit(lambda v: jnp.sum(v.astype(jnp.float32)))
+
+
+def _dequant_pair(w_p4, w_scale4):
+    from reflectionflow_tpu.ops.quant import _nf4_decode
+
+    lo = _nf4_decode(w_p4 & 0xF)
+    hi = _nf4_decode(w_p4 >> 4)
+    q = jnp.stack([lo, hi], axis=-2)
+    G, half, _, dout = q.shape
+    return (q * w_scale4[:, :, None, :]).reshape(G * half * 2, dout)
 
 
 def fetch(x):
@@ -57,6 +68,7 @@ def main():
     w = jnp.asarray(rng.standard_normal((d_in, d_out)) * d_in**-0.5, jnp.float32)
     q8 = quantize_linear({"w": w}, act_quant=True)
     q4 = quantize_linear_int4({"w": w}, group=128)
+    q4p = quantize_linear_int4_plane({"w": w}, group=128)
     x_q = jnp.clip(jnp.round(x.astype(jnp.float32) * 8), -127, 127).astype(jnp.int8)
     w_q = q8["w_q"]
 
@@ -101,6 +113,25 @@ def main():
         ),
         "w4a16": (
             loop(lambda a, wp, ws: jnp.sum(int4_matmul(a, wp, ws).astype(jnp.float32))),
+            (x, q4["w_p4"], q4["w_scale4"]),
+        ),
+        # hypothesis: the pair layout's even/odd stack+reshape relayout,
+        # not the select-tree decode, is most of the w4a16 cost — the plane
+        # layout dequantizes with a plain concat
+        "w4a16_plane": (
+            loop(lambda a, wp, ws: jnp.sum(int4_matmul_plane(a, wp, ws).astype(jnp.float32))),
+            (x, q4p["w_p4p"], q4p["w_scale4"]),
+        ),
+        # hypothesis: forcing one materialized dequant (barrier) beats
+        # XLA's fused-into-operand-read choice when the weight is re-read
+        "w4a16_mat": (
+            loop(
+                lambda a, wp, ws: jnp.sum(
+                    (a @ jax.lax.optimization_barrier(
+                        _dequant_pair(wp, ws).astype(jnp.bfloat16)
+                    )).astype(jnp.float32)
+                )
+            ),
             (x, q4["w_p4"], q4["w_scale4"]),
         ),
     }
