@@ -322,23 +322,26 @@ NF4_GROUP = 128
 
 
 def _stacked_nf4(key, n, d_in, d_out):
-    """Synthetic packed-NF4 stacked leaf {"w_p4", "w_scale4"}, built on
-    device in per-block chunks (shared by the int4 T5 and int4-MLP DiT
-    synthetic inits). NF4 codes average |c|~0.4; the scale gives
-    weight-like magnitude."""
+    """Synthetic packed-NF4 stacked leaf {"w_p4p", "w_scale4"} in the
+    SPLIT-PLANE layout (the serving default: dequant = decode + contiguous
+    concat, no even/odd relayout — measured 168 vs 133 TFLOP/s,
+    docs/BENCH_NOTES.json::nf4_plane_layout_v5e), built on device in
+    per-block chunks (shared by the int4 T5 and int4-MLP DiT synthetic
+    inits). NF4 codes average |c|~0.4; the scale gives weight-like
+    magnitude."""
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("n", "G", "half", "dout"))
-    def stacked_u8(k, n, G, half, dout):
+    @functools.partial(jax.jit, static_argnames=("n", "half", "dout"))
+    def stacked_u8(k, n, half, dout):
         def body(i, buf):
-            blk = jax.random.bits(jax.random.fold_in(k, i), (1, G, half, dout), jnp.uint8)
-            return jax.lax.dynamic_update_slice(buf, blk, (i, 0, 0, 0))
+            blk = jax.random.bits(jax.random.fold_in(k, i), (1, half, dout), jnp.uint8)
+            return jax.lax.dynamic_update_slice(buf, blk, (i, 0, 0))
 
-        return jax.lax.fori_loop(0, n, body, jnp.zeros((n, G, half, dout), jnp.uint8))
+        return jax.lax.fori_loop(0, n, body, jnp.zeros((n, half, dout), jnp.uint8))
 
     G = d_in // NF4_GROUP
     return {
-        "w_p4": stacked_u8(key, n, G, NF4_GROUP // 2, d_out),
+        "w_p4p": stacked_u8(key, n, d_in // 2, d_out),
         "w_scale4": jnp.full((n, G, 1, d_out), 2.5 / np.sqrt(d_in), jnp.float32),
     }
 

@@ -225,7 +225,7 @@ def _quant_block_rows(L, width):
 
 def _out_width(p):
     """Output width of a linear param dict (int8/NF4-quantized or float)."""
-    for k in ("w_q", "w_p4", "w"):
+    for k in ("w_q", "w_p4", "w_p4p", "w"):
         if k in p:
             return p[k].shape[-1]
     raise KeyError(f"not a linear param dict: {sorted(p)}")

@@ -165,7 +165,7 @@ class FluxPipeline:
                     self.params[name], min_size=min_size,
                     act_quant_exclude=act_quant_exclude,
                     int4_paths=int4_paths if name == "dit" else (),
-                    int4_group=int4_group,
+                    int4_group=int4_group, int4_layout="plane",
                 )
         for name in weight_only:
             if name in self.params and name not in which:
@@ -174,12 +174,14 @@ class FluxPipeline:
                 )
         for name in int4:
             if name in self.params and name not in which and name not in weight_only:
-                self.params[name] = quantize_params_int4(self.params[name], min_size=min_size)
+                self.params[name] = quantize_params_int4(
+                    self.params[name], min_size=min_size, layout="plane"
+                )
         if self.cond_dit_params is not None and "dit" in which:
             self.cond_dit_params = quantize_dit_params(
                 self.cond_dit_params, min_size=min_size,
                 act_quant_exclude=act_quant_exclude,
-                int4_paths=int4_paths, int4_group=int4_group,
+                int4_paths=int4_paths, int4_group=int4_group, int4_layout="plane",
             )
         return self
 

@@ -432,8 +432,8 @@ def test_pipeline_quantize_int4_mlp(key):
     pipe.quantize(which=("dit",), dit_int4_mlp=True, min_size=16 * 16, int4_group=16)
     dit = pipe.params["dit"]
     # MLP leaves actually went NF4, attention panels actually went int8
-    assert "w_p4" in dit["double_blocks"]["img_mlp"]["fc1"]
-    assert "w_p4" in dit["single_blocks"]["out_mlp"]
+    assert "w_p4p" in dit["double_blocks"]["img_mlp"]["fc1"]  # serving default: plane layout
+    assert "w_p4p" in dit["single_blocks"]["out_mlp"]
     assert "w_q" in dit["single_blocks"]["in_proj"]
     out = pipe.generate(["x"], height=16, width=16, num_inference_steps=2, seed=1)
     assert out.shape == (1, 16, 16, 3)
