@@ -46,16 +46,18 @@ def get_rope_index(
     stream scaled by wall-clock: t index = frame_group * seconds_per_grid *
     tokens_per_second (Qwen2.5-VL's video M-RoPE; for images t=1 so the
     scale is moot). `seconds_per_grid` may be per-visual (list) or shared.
-    NOTE: transformers casts second_per_grid_t to int64 BEFORE scaling
-    (fractional values truncate, e.g. 1.5 -> 1) — mirrored here so
-    positions match a reward checkpoint trained through that stack
-    (parity-pinned in tests/test_qwen_parity.py)."""
+    NOTE two transformers conventions mirrored here so positions match a
+    reward checkpoint trained through that stack (parity-pinned in
+    tests/test_qwen_parity.py): (a) second_per_grid_t is cast to int64
+    BEFORE scaling (fractional values truncate, e.g. 1.5 -> 1); (b) a
+    `seconds_per_grid` list indexes per VIDEO (like second_per_grid_ts),
+    not per visual — images don't consume an entry."""
     L = len(input_ids)
     pos = np.zeros((3, L), np.int64)
     img_iter = iter(image_grids)
     pad_ids = {image_pad_id} | ({video_pad_id} if video_pad_id is not None else set())
     spg = seconds_per_grid if isinstance(seconds_per_grid, (list, tuple)) else None
-    n_visual = 0
+    n_videos = 0
     i = 0
     next_pos = 0
     while i < L:
@@ -63,10 +65,11 @@ def get_rope_index(
             t, h, w = next(img_iter)
             gh, gw = h // spatial_merge_size, w // spatial_merge_size
             n = t * gh * gw
-            scale = int(spg[n_visual] if spg else seconds_per_grid) * tokens_per_second
-            t_steps = (
-                np.arange(t) * (scale if input_ids[i] == video_pad_id else 1.0)
-            ).astype(np.int64)
+            is_video = input_ids[i] == video_pad_id
+            if is_video:
+                scale = int(spg[n_videos] if spg else seconds_per_grid) * tokens_per_second
+                n_videos += 1
+            t_steps = (np.arange(t) * (scale if is_video else 1.0)).astype(np.int64)
             t_idx = np.repeat(t_steps, gh * gw)
             h_idx = np.tile(np.repeat(np.arange(gh), gw), t)
             w_idx = np.tile(np.arange(gw), t * gh)
@@ -74,7 +77,6 @@ def get_rope_index(
             pos[1, i : i + n] = next_pos + h_idx
             pos[2, i : i + n] = next_pos + w_idx
             next_pos = next_pos + max(int(t_idx.max()) + 1 if n else 1, gh, gw)
-            n_visual += 1
             i += n
         else:
             pos[:, i] = next_pos

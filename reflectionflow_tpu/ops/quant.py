@@ -97,6 +97,24 @@ def _nf4_codes() -> jnp.ndarray:
     return jnp.asarray(NF4_CODE_VALUES, jnp.float32)
 
 
+def _nf4_indices(w: jnp.ndarray, group: int):
+    """Shared NF4 quantization core: (..., in, out) float ->
+    (idx (..., G, group, out) uint8 nearest-code indices,
+     scale (..., G, 1, out) f32 per-(group, channel) absmax). Both nibble
+    packings (pair / plane) consume this so codes and scales stay
+    bit-identical across layouts."""
+    din = w.shape[-2]
+    lead = w.shape[:-2]
+    G = din // group
+    wg = w.reshape(*lead, G, group, w.shape[-1])
+    amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)  # (..., G, 1, out)
+    scale = jnp.maximum(amax, 1e-12)
+    codes = _nf4_codes()
+    mids = (codes[1:] + codes[:-1]) / 2.0
+    idx = jnp.searchsorted(mids, wg / scale).astype(jnp.uint8)  # nearest code
+    return idx, scale.astype(jnp.float32)
+
+
 def quantize_linear_int4(p: dict, group: int = 128) -> dict:
     """{"w": float (..., in, out)} -> packed NF4 weight-only quantized dict.
 
@@ -113,17 +131,9 @@ def quantize_linear_int4(p: dict, group: int = 128) -> dict:
         # shape not groupable: fall back to weight-only int8 — int4 trees are
         # chosen for quality-sensitive encoders, so keep activations fp
         return quantize_linear(p, act_quant=False)
-    lead = w.shape[:-2]
-    G = din // group
-    wg = w.reshape(*lead, G, group, w.shape[-1])
-    amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)  # (..., G, 1, out)
-    scale = jnp.maximum(amax, 1e-12)
-    w_norm = wg / scale  # in [-1, 1]
-    codes = _nf4_codes()
-    mids = (codes[1:] + codes[:-1]) / 2.0
-    idx = jnp.searchsorted(mids, w_norm).astype(jnp.uint8)  # nearest code
+    idx, scale = _nf4_indices(w, group)
     packed = (idx[..., 0::2, :] | (idx[..., 1::2, :] << 4)).astype(jnp.uint8)
-    out = {"w_p4": packed, "w_scale4": scale.astype(jnp.float32)}
+    out = {"w_p4": packed, "w_scale4": scale}
     if "b" in p:
         out["b"] = p["b"]
     return out
@@ -170,16 +180,10 @@ def quantize_linear_int4_plane(p: dict, group: int = 128) -> dict:
     if din % (2 * group) or din < 2 * group:
         return quantize_linear_int4(p, group=group)
     lead = w.shape[:-2]
-    G = din // group
-    wg = w.reshape(*lead, G, group, w.shape[-1])
-    amax = jnp.max(jnp.abs(wg), axis=-2, keepdims=True)
-    scale = jnp.maximum(amax, 1e-12)
-    codes = _nf4_codes()
-    mids = (codes[1:] + codes[:-1]) / 2.0
-    idx = jnp.searchsorted(mids, wg / scale).astype(jnp.uint8)  # (..., G, group, out)
+    idx, scale = _nf4_indices(w, group)
     flat = idx.reshape(*lead, din, w.shape[-1])
     packed = (flat[..., : din // 2, :] | (flat[..., din // 2 :, :] << 4)).astype(jnp.uint8)
-    out = {"w_p4p": packed, "w_scale4": scale.astype(jnp.float32)}
+    out = {"w_p4p": packed, "w_scale4": scale}
     if "b" in p:
         out["b"] = p["b"]
     return out

@@ -188,6 +188,6 @@ def test_video_mrope_index_parity(hf_model):
         ids, [img_grid, vid_grid], merge, cfg.image_token_id,
         video_pad_id=cfg.video_token_id,
         tokens_per_second=cfg.vision_config.tokens_per_second,
-        seconds_per_grid=[1.0, spg],
+        seconds_per_grid=[spg],  # per-VIDEO list (transformers second_per_grid_ts)
     )
     np.testing.assert_array_equal(got, ref_pos[:, 0].numpy())
