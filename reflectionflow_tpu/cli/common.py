@@ -228,7 +228,8 @@ def build_reflector(cfg: TTSConfig):
         return load_reflector(
             "local_qwen",
             model=load_generator(
-                ra.model_path or cfg.verifier_args.model_path, quantize=ra.quantize
+                ra.model_path or cfg.verifier_args.model_path, quantize=ra.quantize,
+                device_index=ra.device_index,
             ),
             template=ra.template,
             system=ra.system_prompt,

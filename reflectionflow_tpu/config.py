@@ -298,6 +298,9 @@ class ReflectionArgs:
     model_name: Optional[str] = None
     model_path: Optional[str] = None  # local_qwen weights
     quantize: Optional[str] = None  # "int8" for 16 GB colocated serving
+    # secondary chip for the 7B reflection model (it does not co-reside
+    # with the DiT or the verifier on one 16 GB chip; see DEPLOYMENT.md)
+    device_index: Optional[int] = None
     max_retries: int = 5
     retry_delay_s: float = 2.0
     # local_qwen message format — match a finetuned Reflection-Generator's

@@ -64,38 +64,45 @@ class QwenRewardVerifier(Verifier):
         device_index: int | None = None,
         **_,
     ):
-        if model is None:
-            from ..utils.hf_loader import load_qwen_vl
+        import contextlib
 
-            model, tokenizer = load_qwen_vl(model_path)
-        if head is None and model_path is not None:
-            head = self._load_head(model_path, model.lm_cfg.hidden_size)
-        assert head is not None, "QwenRewardVerifier needs a RewardHead"
-        if model_path is not None:
-            model = self._apply_rm_adapter(model, model_path, head)
-        if quantize == "int8":
-            # serve the 7B verifier in int8 on a 16 GB chip: W8A8 LM blocks
-            # (after the LoRA fold so deltas are captured), int8 vision blocks
-            from ..ops.quant import quantize_dit_params
+        # second-chip deployment: the 9.3 GB verifier does not co-reside
+        # with the 11.9 GB DiT on one 16 GB chip (docs/DEPLOYMENT.md).
+        # The ENTIRE construction — LoRA fold, quantization, device_put —
+        # runs under default_device(target) so no intermediate (folded bf16
+        # leaves, int8 blocks) ever materializes on the generator's chip;
+        # jitted calls then follow their operands' placement, so scoring
+        # runs on the target chip too.
+        dev = jax.devices()[device_index] if device_index is not None else None
+        ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
+        with ctx:
+            if model is None:
+                from ..utils.hf_loader import load_qwen_vl
 
-            model.lm_params = dict(
-                model.lm_params,
-                blocks=quantize_dit_params({"b": model.lm_params["blocks"]}, min_size=quantize_min_size)["b"],
-            )
-            model.vision_params = dict(
-                model.vision_params,
-                blocks=quantize_dit_params({"b": model.vision_params["blocks"]}, min_size=quantize_min_size)["b"],
-            )
-        if device_index is not None:
-            # second-chip deployment: the 9.3 GB verifier does not co-reside
-            # with the 11.9 GB DiT on one 16 GB chip (docs/DEPLOYMENT.md) —
-            # pin its weights to another device of the slice; jitted calls
-            # follow their operands' placement, so scoring runs there while
-            # the generator's chip keeps the DiT resident
-            dev = jax.devices()[device_index]
-            model.lm_params = jax.device_put(model.lm_params, dev)
-            model.vision_params = jax.device_put(model.vision_params, dev)
-            head.w = jax.device_put(head.w, dev)
+                model, tokenizer = load_qwen_vl(model_path)
+            if head is None and model_path is not None:
+                head = self._load_head(model_path, model.lm_cfg.hidden_size)
+            assert head is not None, "QwenRewardVerifier needs a RewardHead"
+            if model_path is not None:
+                model = self._apply_rm_adapter(model, model_path, head)
+            if quantize == "int8":
+                # serve the 7B verifier in int8 on a 16 GB chip: W8A8 LM blocks
+                # (after the LoRA fold so deltas are captured), int8 vision blocks
+                from ..ops.quant import quantize_dit_params
+
+                model.lm_params = dict(
+                    model.lm_params,
+                    blocks=quantize_dit_params({"b": model.lm_params["blocks"]}, min_size=quantize_min_size)["b"],
+                )
+                model.vision_params = dict(
+                    model.vision_params,
+                    blocks=quantize_dit_params({"b": model.vision_params["blocks"]}, min_size=quantize_min_size)["b"],
+                )
+            if dev is not None:  # pin host-loaded leaves too (default_device
+                # only places computed arrays, not numpy trees)
+                model.lm_params = jax.device_put(model.lm_params, dev)
+                model.vision_params = jax.device_put(model.vision_params, dev)
+                head.w = jax.device_put(head.w, dev)
         self.rm = QwenRewardModel(model, head)
         self.tokenizer = tokenizer
         self.max_pixels = max_pixels

@@ -92,3 +92,21 @@ def test_device_index_places_verifier_on_secondary_chip():
     assert all(leaf.devices() == {dev1} for leaf in leaves)
     out = v.reward([np.zeros((16, 16, 3), np.uint8)], ["p"])
     assert np.isfinite(out[0]["VQ"])
+
+
+def test_device_index_quantizes_on_target_chip():
+    """quantize='int8' + device_index: the int8 blocks are BUILT under
+    default_device(target), so no intermediate materializes on chip 0
+    (the generator's chip) during construction."""
+    import jax
+
+    model = QwenVLModel.random_init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    head = RewardHead.random_init(jax.random.PRNGKey(1), model.lm_cfg.hidden_size, pooling="last")
+    v = QwenRewardVerifier(
+        model=model, head=head, max_pixels=16 * 16,
+        quantize="int8", quantize_min_size=16, device_index=2,
+    )
+    dev = jax.devices()[2]
+    assert "w_q" in v.rm.model.lm_params["blocks"]["q"]
+    assert v.rm.model.lm_params["blocks"]["q"]["w_q"].devices() == {dev}
+    assert np.isfinite(v.reward([np.zeros((16, 16, 3), np.uint8)], ["p"])[0]["VQ"])
