@@ -208,6 +208,12 @@ def build_verifier(cfg: TTSConfig):
             kw["model_name"] = va.model_name
         if va.cache_dir:
             kw["cache_dir"] = va.cache_dir
+    elif va.name == "nvila_jax":
+        kw = dict(model_path=va.model_path)
+        if va.quantize:
+            kw["quantize"] = va.quantize
+        if va.device_index is not None:
+            kw["device_index"] = va.device_index
     return load_verifier(va.name, **kw)
 
 

@@ -21,7 +21,7 @@ def main(argv=None):
     prompts = load_prompts(args)
     verifier = build_verifier(cfg)
     rule = RankingRule(
-        kind="yes_no" if verifier.name.endswith("nvila") else "score",
+        kind=verifier.output_kind,
         choice_of_metric=cfg.verifier_args.choice_of_metric,
     )
     sel = run_nfe_filter(

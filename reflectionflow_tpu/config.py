@@ -224,6 +224,45 @@ class QwenLMConfig:
         )
 
 
+@dataclass(frozen=True)
+class SiglipVisionConfig:
+    """SigLIP vision tower (pre-LN ViT, no CLS token, learned positions).
+    Defaults = SigLIP-SO400M-patch14-448, the NVILA tower
+    (`/root/reference/tts/verifiers/nvila_verifier.py:4-10` loads the
+    checkpoint whose `vision_tower/` subdir is this model)."""
+
+    hidden_size: int = 1152
+    intermediate_size: int = 4304
+    num_layers: int = 27
+    num_heads: int = 16
+    patch_size: int = 14
+    image_size: int = 448
+    layer_norm_eps: float = 1e-6
+
+    @staticmethod
+    def tiny() -> "SiglipVisionConfig":
+        return SiglipVisionConfig(
+            hidden_size=32, intermediate_size=64, num_layers=3, num_heads=4,
+            patch_size=4, image_size=24,
+        )
+
+
+@dataclass(frozen=True)
+class NvilaConfig:
+    """NVILA/VILA glue: tower feature tap + token-compressing projector.
+
+    `select_layer` follows LLaVA/VILA convention: hidden_states index into
+    [embeddings, block_1, ..., block_N] (so -2 = output of block N-1, NO
+    final post-layernorm). `downsample` is the projector's spatial token
+    compression factor per side (VILA "mlp_downsample" = 2,
+    "mlp_downsample_3x3_fix" = 3); the projector itself is
+    LayerNorm(C*k^2) -> Linear -> GELU -> Linear."""
+
+    select_layer: int = -2
+    downsample: int = 3
+    media_token: str = "<image>"
+
+
 # ---------------------------------------------------------------------------
 # TTS (search) configs — key names mirror the reference JSON schema
 # ---------------------------------------------------------------------------
@@ -271,7 +310,7 @@ class SearchArgs:
 
 @dataclass
 class VerifierArgs:
-    name: str = "fake"  # fake | fake_nvila | qwen_rm | nvila | openai
+    name: str = "fake"  # fake | fake_nvila | qwen_rm | nvila | nvila_jax | openai
     model_path: Optional[str] = None
     model_name: Optional[str] = None
     base_url: Optional[str] = None

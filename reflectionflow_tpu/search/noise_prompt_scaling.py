@@ -45,7 +45,7 @@ def run_noise_prompt_scaling(
     pa, sa = cfg.pipeline_args, cfg.search_args
     branch = sa.search_branch
     rule = RankingRule(
-        kind="yes_no" if verifier.name.endswith("nvila") else "score",
+        kind=verifier.output_kind,
         choice_of_metric=cfg.verifier_args.choice_of_metric,
     )
     refine_on = refiner is not None and cfg.prompt_refiner_args.run_refinement

@@ -124,7 +124,7 @@ def run_reflectionflow_block(
     pa, sa = cfg.pipeline_args, cfg.search_args
     branch = sa.search_branch
     rule = RankingRule(
-        kind="yes_no" if verifier.name.endswith("nvila") else "score",
+        kind=verifier.output_kind,
         choice_of_metric=cfg.verifier_args.choice_of_metric,
     )
 

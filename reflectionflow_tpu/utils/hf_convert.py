@@ -13,7 +13,15 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..config import CLIPTextConfig, FluxDiTConfig, FluxVAEConfig, QwenLMConfig, QwenVLVisionConfig, T5Config
+from ..config import (
+    CLIPTextConfig,
+    FluxDiTConfig,
+    FluxVAEConfig,
+    QwenLMConfig,
+    QwenVLVisionConfig,
+    SiglipVisionConfig,
+    T5Config,
+)
 
 
 def _lin(sd, name):
@@ -336,3 +344,62 @@ def convert_qwen_vision_state(sd: dict[str, np.ndarray], cfg: QwenVLVisionConfig
             "fc2": _lin(sd, "visual.merger.mlp.2"),
         },
     }
+
+
+# ---------------------------------------------------------------------------
+# SigLIP vision tower + NVILA projector (the NVILA verifier's pieces —
+# checkpoint layout: VILA releases store llm/, vision_tower/, mm_projector/
+# as separate standard-HF subdirs; /root/reference/tts/verifiers/
+# nvila_verifier.py:4-10 loads the bundle via trust_remote_code)
+# ---------------------------------------------------------------------------
+
+
+def convert_siglip_state(sd: dict[str, np.ndarray], cfg: SiglipVisionConfig) -> dict:
+    """transformers `SiglipVisionModel` state dict -> siglip.py tree.
+    Accepts keys with or without the `vision_model.` prefix."""
+    if any(k.startswith("vision_model.") for k in sd):
+        sd = {k[len("vision_model."):]: v for k, v in sd.items() if k.startswith("vision_model.")}
+    conv_w = sd["embeddings.patch_embedding.weight"]  # (H, 3, P, P)
+    blocks = []
+    for i in range(cfg.num_layers):
+        b = f"encoder.layers.{i}"
+        blocks.append(
+            {
+                "ln1": {"scale": sd[f"{b}.layer_norm1.weight"], "bias": sd[f"{b}.layer_norm1.bias"]},
+                "q": _lin(sd, f"{b}.self_attn.q_proj"),
+                "k": _lin(sd, f"{b}.self_attn.k_proj"),
+                "v": _lin(sd, f"{b}.self_attn.v_proj"),
+                "o": _lin(sd, f"{b}.self_attn.out_proj"),
+                "ln2": {"scale": sd[f"{b}.layer_norm2.weight"], "bias": sd[f"{b}.layer_norm2.bias"]},
+                "fc1": _lin(sd, f"{b}.mlp.fc1"),
+                "fc2": _lin(sd, f"{b}.mlp.fc2"),
+            }
+        )
+    return {
+        "patch_embed": {
+            # (H, 3, P, P) -> (3*P*P, H), feature order (c, ph, pw) matching
+            # siglip.patchify_images
+            "w": np.ascontiguousarray(conv_w.reshape(conv_w.shape[0], -1).T),
+            "b": sd["embeddings.patch_embedding.bias"],
+        },
+        "pos_embed": sd["embeddings.position_embedding.weight"],
+        "blocks": _stack(blocks),
+        "post_ln": {"scale": sd["post_layernorm.weight"], "bias": sd["post_layernorm.bias"]},
+    }
+
+
+def convert_nvila_projector_state(sd: dict[str, np.ndarray]) -> dict:
+    """VILA `mm_projector/` state dict -> projector tree.
+
+    The torch module is `nn.Sequential(DownSampleBlock(), LayerNorm,
+    Linear, GELU, Linear)` saved as `layers.{1,2,4}.*` (the downsample and
+    GELU are parameter-free). Also accepts the plain-`mlp` layout
+    (`layers.{0,2}.*` = Linear, GELU, Linear — no LN, no downsample)."""
+    sd = {k.removeprefix("mm_projector."): v for k, v in sd.items()}
+    if "layers.1.weight" in sd:  # mlp_downsample[_3x3_fix]
+        return {
+            "ln": {"scale": sd["layers.1.weight"], "bias": sd["layers.1.bias"]},
+            "fc1": _lin(sd, "layers.2"),
+            "fc2": _lin(sd, "layers.4"),
+        }
+    return {"fc1": _lin(sd, "layers.0"), "fc2": _lin(sd, "layers.2")}

@@ -21,4 +21,8 @@ def load_verifier(name: str, **kw) -> "Verifier":
         from .nvila import NvilaVerifier
 
         return NvilaVerifier(**kw)
+    if name == "nvila_jax":
+        from .nvila import NvilaJaxVerifier
+
+        return NvilaJaxVerifier(**kw)
     raise ValueError(f"unknown verifier: {name}")

@@ -27,6 +27,8 @@ class Verifier(abc.ABC):
     """Scores images against a prompt. Results are in input order."""
 
     name: str = "base"
+    # which RankingRule convention this verifier's outputs follow
+    output_kind: str = "score"  # "score" | "yes_no"
 
     @abc.abstractmethod
     def score(

@@ -65,6 +65,7 @@ class FakeNvilaVerifier(Verifier):
     """Yes/no + logit outputs matching the nvila ranking convention."""
 
     name = "fake_nvila"
+    output_kind = "yes_no"
 
     def __init__(self, yes_threshold: float = 0.5, quality_fn=None, **_):
         self.yes_threshold = yes_threshold

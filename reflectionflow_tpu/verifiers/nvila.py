@@ -21,6 +21,7 @@ from .base import Verifier
 
 class NvilaVerifier(Verifier):
     name = "nvila"
+    output_kind = "yes_no"
 
     def __init__(self, model_name: str = "Efficient-Large-Model/NVILA-Lite-2B-Verifier",
                  cache_dir: str | None = None, **_):
@@ -44,4 +45,80 @@ class NvilaVerifier(Verifier):
                 outputs.append({"label": "yes", "score": float(scores[0][0, self.yes_id])})
             else:
                 outputs.append({"label": "no", "score": float(scores[0][0, self.no_id])})
+        return outputs
+
+
+class NvilaJaxVerifier(Verifier):
+    """TPU-native NVILA yes/no verifier (`models/nvila`): SigLIP tower +
+    projector + Qwen2 LM in one jitted graph, candidates scored as ONE
+    batch (the reference loops images serially through torch
+    `generate_content`, `tts_reflectionflow.py:158-165`).
+
+    Output contract matches `NvilaVerifier`: per-image
+    `{"label": "yes"|"no", "score": <that label's logit>}`, consumed by the
+    (yes-first, then logit) ranking rule in `base.py`. The label is the
+    greedy first generated token — exactly what the reference's decoded
+    `r1 == "yes"` check sees; a first token that is neither falls back to
+    comparing the yes/no logits directly."""
+
+    name = "nvila_jax"
+    output_kind = "yes_no"
+
+    def __init__(self, model=None, model_path: str | None = None, quantize: str | None = None,
+                 quantize_min_size: int = 1 << 18, device_index: int | None = None,
+                 tokenizer=None, **_):
+        import contextlib
+
+        import jax
+
+        if model is None:
+            from ..utils.hf_loader import load_nvila
+
+            if model_path is None:
+                raise ValueError("nvila_jax needs model_path (a VILA bundle dir) or a NvilaModel")
+            # build + quantize + pin under default_device so nothing
+            # materializes next to a resident DiT (same recipe as
+            # QwenRewardVerifier; an int8 2B NVILA is ~2.4 GB and CAN
+            # co-reside with the 11.9 GB W8A8 DiT on one 16 GB chip)
+            dev = jax.devices()[device_index] if device_index is not None else None
+            ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
+            with ctx:
+                model = load_nvila(model_path)
+                if quantize == "int8":
+                    from ..ops.quant import quantize_dit_params
+
+                    model.lm_params = dict(
+                        model.lm_params,
+                        blocks=quantize_dit_params(
+                            {"b": model.lm_params["blocks"]}, min_size=quantize_min_size
+                        )["b"],
+                    )
+                    model.vis_params = dict(
+                        model.vis_params,
+                        blocks=quantize_dit_params(
+                            {"b": model.vis_params["blocks"]}, min_size=quantize_min_size
+                        )["b"],
+                    )
+                if dev is not None:
+                    model.lm_params = jax.device_put(model.lm_params, dev)
+                    model.vis_params = jax.device_put(model.vis_params, dev)
+                    model.proj_params = jax.device_put(model.proj_params, dev)
+        self.model = model
+        if tokenizer is not None:
+            model.tokenizer = tokenizer
+        tok = model.tokenizer
+        assert tok is not None, "nvila_jax needs the bundle's llm/ tokenizer"
+        self.yes_id = tok.encode("yes", add_special_tokens=False)[0]
+        self.no_id = tok.encode("no", add_special_tokens=False)[0]
+
+    def score(self, images: Sequence[np.ndarray], prompts: Sequence[str], tag=None, max_new_tokens=None):
+        logits = self.model.first_token_logits(images, prompts)  # (B, vocab)
+        first = np.argmax(logits, axis=-1)
+        outputs = []
+        for i in range(len(images)):
+            yes = first[i] == self.yes_id or (
+                first[i] != self.no_id and logits[i, self.yes_id] >= logits[i, self.no_id]
+            )
+            label = "yes" if yes else "no"
+            outputs.append({"label": label, "score": float(logits[i, self.yes_id if yes else self.no_id])})
         return outputs
