@@ -611,8 +611,9 @@ def flux_dit_apply(
 
     L_main = img.shape[1] + txt.shape[1]
     L_cond = cond_h.shape[1] if use_cond else 0
-    # two equivalent bias forms: dense for the XLA path, structural for Pallas
-    if use_cond and attn_impl.startswith("pallas"):
+    # two equivalent bias forms: dense for the XLA path, structural for
+    # Pallas and ring (SP reconstructs global positions from the ring)
+    if use_cond and attn_impl.startswith(("pallas", "ring")):
         # c_factor takes precedence over the union mask (block.py:106-122)
         if c_factor is not None:
             cross = float(jnp.log(jnp.asarray(c_factor)))

@@ -116,14 +116,13 @@ def joint_attention(
     v = jnp.concatenate(streams_v, axis=1) if len(streams_v) > 1 else streams_v[0]
     if impl.startswith("ring"):
         # sequence parallelism: the concatenated sequence shards over the
-        # ring axis (set_ring_context). Only plain full attention — the
-        # structural cond modifiers need global positions, which ring
-        # shards don't carry; union_cond_attn=True + no c_factor (the
-        # flagship config) is exactly this case.
-        if bias is not None or cross_bias != 0.0:
+        # ring axis (set_ring_context). Cond modifiers come in the
+        # STRUCTURAL form (cond_len/cross_bias) — ring reconstructs global
+        # positions from the ring topology (see ring_attention docstring).
+        if bias is not None:
             raise NotImplementedError(
-                "impl='ring' supports plain full attention only "
-                "(union_cond_attn=True, no c_factor)"
+                "impl='ring' takes the structural modifier form "
+                "(cond_len/cross_bias), not a dense bias"
             )
         if _RING_CTX["mesh"] is None:
             raise ValueError("impl='ring' requires ops.attention.set_ring_context(mesh, axis)")
@@ -133,6 +132,8 @@ def joint_attention(
             q, k, v, mesh=_RING_CTX["mesh"], axis=_RING_CTX["axis"],
             impl="pallas" if "pallas" in impl else "xla",
             interpret=impl.endswith("interpret"),
+            main_len=q.shape[1] - cond_len if cond_len else None,
+            cross_bias=cross_bias,
         )
     elif impl.startswith("pallas"):
         from .pallas_attention import flash_attention

@@ -596,8 +596,8 @@ def flash_chunk_fwd(q, k, v, interpret: bool = False):
 
     q/k/v (B, L, H, D) with equal local lengths; returns
     (out (B, L, H, D) fp32, lse (B, L, H, 1) fp32). No cond-stream
-    modifiers: ring shards carry no global positions (ops.ring_attention
-    rejects those configs up front)."""
+    modifiers: this kernel only sees local positions, so ring configs with
+    modifiers run the XLA chunk math instead (ops.ring_attention)."""
     B, L, H, D = q.shape
     bq, bk = _block_policy(L)
     Lp = _round_up(L, max(bq, bk))

@@ -16,10 +16,11 @@ The backward is a custom VJP: a second ring pass that recomputes chunk
 probabilities from the forward's ring-global logsumexp rows and
 accumulates dK/dV on the rotating shards — after a full cycle each shard's
 gradient lands back on its owner device. Exposed to models via
-`ops.attention.joint_attention(impl="ring"...)` (plain full attention
-only: the structural cond modifiers need global positions, which shards
-don't carry — the flagship `union_cond_attn=True` config is exactly this
-case, `/root/reference/train_flux/flux/block.py:101-125` with no mask).
+`ops.attention.joint_attention(impl="ring"...)`, INCLUDING the structural
+cond-stream modifiers (`union_cond_attn=False` mask / `c_factor` bias,
+`/root/reference/train_flux/flux/block.py:106-122`): global token
+positions are reconstructed per chunk from the ring topology, see
+`ring_attention`.
 """
 
 from __future__ import annotations
@@ -36,10 +37,13 @@ from jax.sharding import Mesh, PartitionSpec as P
 # ---------------------------------------------------------------------------
 
 
-def _xla_chunk_fwd(q, k, v, scale):
+def _xla_chunk_fwd(q, k, v, scale, bias=None):
     """Normalized chunk attention + logsumexp. q/k/v (B, L, H, D);
-    returns (out fp32 (B, L, H, D), lse fp32 (B, L, H, 1))."""
+    returns (out fp32 (B, L, H, D), lse fp32 (B, L, H, 1)).
+    bias: optional (Lq, Lk) fp32 additive logits bias (-1e30 masks)."""
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias[None, None]
     m = jnp.max(logits, axis=-1, keepdims=True)  # (B, H, Lq, 1)
     p = jnp.exp(logits - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
@@ -48,9 +52,11 @@ def _xla_chunk_fwd(q, k, v, scale):
     return out.astype(jnp.float32), lse.squeeze(-1).transpose(0, 2, 1)[..., None]
 
 
-def _xla_chunk_bwd(q, k, v, g, lse, delta, scale):
+def _xla_chunk_bwd(q, k, v, g, lse, delta, scale, bias=None):
     """Chunk gradients from ring-global lse/delta ((B, L, H, 1) fp32)."""
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias[None, None]
     lse_bh = lse[..., 0].transpose(0, 2, 1)[..., None]  # (B, H, Lq, 1)
     delta_bh = delta[..., 0].transpose(0, 2, 1)[..., None]
     p = jnp.exp(logits - lse_bh)  # (B, H, Lq, Lk)
@@ -99,11 +105,25 @@ def ring_attention(
     axis: str = "data",
     impl: str = "xla",
     interpret: bool = False,
+    main_len: int | None = None,
+    cross_bias: float = 0.0,
 ) -> jnp.ndarray:
     """Differentiable full (non-causal) attention over a sequence sharded
     across the mesh. `impl`: "xla" dense chunks | "pallas" flash-kernel
     chunks. The ring size must divide L (pad the sequence to a multiple
-    of the ring)."""
+    of the ring).
+
+    Cond-stream modifiers (`/root/reference/train_flux/flux/block.py:106-122`
+    under SP): tokens at GLOBAL position >= `main_len` are the cond stream;
+    `cross_bias` is added to cross-(cond, main) logits (-1e30 reproduces
+    `union_cond_attn=False`, log(c_factor) reproduces `c_factor`). Global
+    positions are reconstructed per chunk from the ring topology: shard_map
+    shards the sequence contiguously, so the Q chunk of device i starts at
+    i*L/p and the K shard held after r rotations started at ((i-r) mod p)*L/p.
+    Modifier chunks run the XLA chunk math (the Pallas chunk kernel takes
+    only local positions); at SP chunk sizes (L/p, a few k tokens) the dense
+    chunk is within the XLA-fusion comfort zone, so `impl="pallas"` +
+    modifiers silently uses XLA chunks rather than failing."""
     B, L, H, D = q.shape
     p_devices = mesh.shape[axis]
     if L % p_devices:
@@ -112,11 +132,27 @@ def ring_attention(
             "pad the sequence to a multiple of the ring"
         )
     scale = float(D) ** -0.5
-    chunk_fwd, chunk_bwd = _chunk_fns(impl, interpret, scale)
+    modifiers = main_len is not None and cross_bias != 0.0
+    if modifiers:
+        chunk_fwd, chunk_bwd = _chunk_fns("xla", interpret, scale)
+    else:
+        chunk_fwd, chunk_bwd = _chunk_fns(impl, interpret, scale)
     perm = [(i, (i + 1) % p_devices) for i in range(p_devices)]
+    L_chunk = L // p_devices
 
     def rotate(*xs):
         return [jax.lax.ppermute(x, axis, perm) for x in xs]
+
+    def _bias_for(r):
+        """(Lq, Lk) fp32 cross-segment bias for rotation step r, from
+        ring-global positions (None when modifiers are off)."""
+        if not modifiers:
+            return None
+        i = jax.lax.axis_index(axis)
+        is_cond = lambda off: (off * L_chunk + jnp.arange(L_chunk)) >= main_len  # noqa: E731
+        q_seg = is_cond(i)
+        k_seg = is_cond((i - r) % p_devices)
+        return jnp.where(q_seg[:, None] != k_seg[None, :], jnp.float32(cross_bias), 0.0)
 
     @jax.custom_vjp
     def ring(q_loc, k_loc, v_loc):
@@ -124,11 +160,14 @@ def ring_attention(
         return out
 
     def _fwd(q_loc, k_loc, v_loc):
-        out, lse = chunk_fwd(q_loc, k_loc, v_loc)
+        out, lse = chunk_fwd(q_loc, k_loc, v_loc, bias=_bias_for(0)) if modifiers else chunk_fwd(q_loc, k_loc, v_loc)
         k_rot, v_rot = k_loc, v_loc
-        for _ in range(p_devices - 1):
+        for r in range(1, p_devices):
             k_rot, v_rot = rotate(k_rot, v_rot)
-            out2, lse2 = chunk_fwd(q_loc, k_rot, v_rot)
+            out2, lse2 = (
+                chunk_fwd(q_loc, k_rot, v_rot, bias=_bias_for(r)) if modifiers
+                else chunk_fwd(q_loc, k_rot, v_rot)
+            )
             out, lse = _merge(out, lse, out2, lse2)
         return out.astype(q_loc.dtype), lse
 
@@ -145,8 +184,11 @@ def ring_attention(
         dk_rot = jnp.zeros(k_loc.shape, jnp.float32)
         dv_rot = jnp.zeros(v_loc.shape, jnp.float32)
         k_rot, v_rot = k_loc, v_loc
-        for _ in range(p_devices):
-            dq_c, dk_c, dv_c = chunk_bwd(q_loc, k_rot, v_rot, g, lse, delta)
+        for r in range(p_devices):
+            dq_c, dk_c, dv_c = (
+                chunk_bwd(q_loc, k_rot, v_rot, g, lse, delta, bias=_bias_for(r)) if modifiers
+                else chunk_bwd(q_loc, k_rot, v_rot, g, lse, delta)
+            )
             dq = dq + dq_c.astype(jnp.float32)
             dk_rot = dk_rot + dk_c.astype(jnp.float32)
             dv_rot = dv_rot + dv_c.astype(jnp.float32)

@@ -80,27 +80,93 @@ def test_ring_sharding_preserved():
 
 def test_joint_attention_ring_dispatch():
     """impl="ring" on the public entry: multi-stream concat, split back,
-    same values as the XLA path; modifier configs are rejected."""
+    same values as the XLA path; structural cond modifiers supported,
+    dense-bias form rejected."""
+    from reflectionflow_tpu.ops.attention import cond_attention_bias
+
     q, k, v = _qkv(B=1, L=48, H=2, D=8)
     streams = ([q[:, :16], q[:, 16:]], [k[:, :16], k[:, 16:]], [v[:, :16], v[:, 16:]])
     ref = joint_attention(*streams, impl="xla")
+    mask_bias = cond_attention_bias(48, 16, union_cond_attn=False)
+    ref_masked = joint_attention(*streams, impl="xla", bias=mask_bias)
     mesh = _mesh()
     set_ring_context(mesh, axis="data")
     try:
         out = joint_attention(*streams, impl="ring")
         for o, r in zip(out, ref):
             np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=3e-5)
+        out_masked = joint_attention(*streams, impl="ring", cond_len=16, cross_bias=-1e30)
+        for o, r in zip(out_masked, ref_masked):
+            np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=3e-5)
         with pytest.raises(NotImplementedError):
-            joint_attention(*streams, impl="ring", cond_len=16, cross_bias=-1e30)
+            joint_attention(*streams, impl="ring", bias=mask_bias)
     finally:
         set_ring_context(None)
 
 
-def test_denoise_matches_xla_with_ring_attention():
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize("modifier", ["mask", "c_factor"])
+def test_ring_cond_modifiers_match_dense(impl, modifier):
+    """Structural cond modifiers under SP: union_cond_attn=False (-1e30
+    cross mask) and c_factor (log bias on cross blocks) equal the dense
+    biased reference — global segment membership is reconstructed from the
+    ring topology. (impl="pallas" + modifiers runs the XLA chunk math,
+    exercised here for the dispatch.)"""
+    from reflectionflow_tpu.ops.attention import cond_attention_bias
+
+    L, cond_len = 64, 16
+    q, k, v = _qkv(B=2, L=L, H=2, D=16)
+    if modifier == "mask":
+        bias = cond_attention_bias(L, cond_len, union_cond_attn=False)
+        cross = -1e30
+    else:
+        bias = cond_attention_bias(L, cond_len, union_cond_attn=True, c_factor=2.0)
+        cross = float(np.log(2.0))
+    ref = sdpa(q, k, v, bias=bias)
+    mesh = _mesh()
+    qs, ks, vs = _shard(mesh, q, k, v)
+    out = ring_attention(
+        qs, ks, vs, mesh, impl=impl, interpret=impl == "pallas",
+        main_len=L - cond_len, cross_bias=cross,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_ring_cond_modifier_gradients_match_dense():
+    """Gradients through the masked (union_cond_attn=False) ring equal
+    autodiff through the dense biased reference."""
+    from reflectionflow_tpu.ops.attention import cond_attention_bias
+
+    L, cond_len = 32, 8
+    q, k, v = _qkv(B=1, L=L, H=2, D=8)
+    bias = cond_attention_bias(L, cond_len, union_cond_attn=False)
+    tgt = jax.random.normal(jax.random.PRNGKey(9), q.shape)
+
+    def dense_loss(q, k, v):
+        return jnp.sum((sdpa(q, k, v, bias=bias) - tgt) ** 2)
+
+    ref_grads = jax.grad(dense_loss, argnums=(0, 1, 2))(q, k, v)
+    mesh = _mesh()
+
+    def ring_loss(q, k, v):
+        return jnp.sum(
+            (ring_attention(q, k, v, mesh, main_len=L - cond_len, cross_bias=-1e30) - tgt) ** 2
+        )
+
+    qs, ks, vs = _shard(mesh, q, k, v)
+    got = jax.grad(ring_loss, argnums=(0, 1, 2))(qs, ks, vs)
+    for g_ref, g_got, name in zip(ref_grads, got, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(g_got), np.asarray(g_ref), atol=5e-4, err_msg=f"d{name}"
+        )
+
+
+@pytest.mark.parametrize("union_cond_attn", [True, False])
+def test_denoise_matches_xla_with_ring_attention(union_cond_attn):
     """The SERVING path: a conditioned Euler denoise with sequence-parallel
-    attention on the mesh equals the XLA-attention run (union_cond_attn
-    default — ring handles the conditioned joint sequence as plain full
-    attention)."""
+    attention on the mesh equals the XLA-attention run — both the flagship
+    union_cond_attn=True config (plain full attention) and the structural
+    block-diagonal mask (union_cond_attn=False) under SP."""
     from reflectionflow_tpu.config import FluxDiTConfig
     from reflectionflow_tpu.models.flux.dit import flux_dit_init
     from reflectionflow_tpu.models.flux.rope import make_image_ids, make_text_ids
@@ -127,6 +193,7 @@ def test_denoise_matches_xla_with_ring_attention():
         num_steps=2,
         cond=cond,
         cond_ids=jnp.asarray(make_image_ids(2, 4, position_delta=(0, -4))),
+        union_cond_attn=union_cond_attn,
     )
     ref = denoise(params, cfg, lat, txt, pooled, attn_impl="xla", **kw)
     mesh = _mesh()
