@@ -29,6 +29,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ...config import FluxDiTConfig
 from ...ops.attention import cond_attention_bias, joint_attention
@@ -556,12 +557,21 @@ def flux_dit_apply(
     remat: bool = False,
     cond_params=None,
     rope_layout: str = "pair",
+    controlnet_block_samples: jnp.ndarray | None = None,  # (n, B, L_img, hidden)
+    controlnet_single_block_samples: jnp.ndarray | None = None,  # (n, B, L_img, hidden)
 ) -> jnp.ndarray:
     """Predict rectified-flow velocity for the packed image tokens.
 
     `rope_layout="split"` expects weights transformed by
     `ops.fuse.permute_rope_layout` (serving: contiguous-half rotation
     instead of stride-2 shuffles).
+
+    `controlnet_[single_]block_samples`: stacked per-hook residuals added
+    to the image stream after each block, hook i serving blocks
+    [i*interval, (i+1)*interval) with interval = ceil(n_blocks / n_hooks)
+    (`/root/reference/train_flux/flux/transformer.py:172-181,230-239`).
+    Expanded to one residual per block OUTSIDE the scan (a static gather)
+    so the scan body stays shape-uniform.
 
     Returns (B, L_img, in_channels)."""
     from .rope import rope_split_perm, rope_tables
@@ -626,53 +636,81 @@ def flux_dit_apply(
         dense = cond_attention_bias(L_main + L_cond, L_cond, union_cond_attn, c_factor) if use_cond else None
         bias = {"bias": dense, "cond_len": 0, "cross_bias": 0.0}
 
+    # ControlNet hook residuals expanded to one slice per block (static
+    # gather — keeps the scan bodies shape-uniform, no in-scan indexing)
+    def _ctrl_per_block(samples, n_blocks):
+        samples = jnp.asarray(samples, dtype)
+        interval = -(-n_blocks // samples.shape[0])  # ceil, transformer.py:174-178
+        return samples[np.arange(n_blocks) // interval]  # (n_blocks, B, L_img, H)
+
+    ctrl_d = (
+        _ctrl_per_block(controlnet_block_samples, cfg.num_double_blocks)
+        if controlnet_block_samples is not None else None
+    )
+    ctrl_s = (
+        _ctrl_per_block(controlnet_single_block_samples, cfg.num_single_blocks)
+        if controlnet_single_block_samples is not None else None
+    )
+
     # --- double-stream blocks (scan over stacked params) ---
     def double_body(carry, bps):
-        bp, bp_c = bps
         img, txt, cond_h = carry
         img, txt, cond_h = _double_block_apply(
-            bp, cfg, img, txt, cond_h, temb, cond_temb, rope_main, rope_cond, bias, flags, attn_impl,
-            bp_c=bp_c,
+            bps[0], cfg, img, txt, cond_h, temb, cond_temb, rope_main, rope_cond, bias, flags,
+            attn_impl, bp_c=bps[1],
         )
+        if len(bps) == 3:  # controlnet residual on the image stream
+            img = img + bps[2]
         return (img, txt, cond_h), None
 
     body_d = jax.checkpoint(double_body) if remat else double_body
     if use_cond:
-        (img, txt, cond_h), _ = jax.lax.scan(
-            body_d, (img, txt, cond_h), (params["double_blocks"], cp["double_blocks"])
-        )
+        xs_d = (params["double_blocks"], cp["double_blocks"]) + ((ctrl_d,) if ctrl_d is not None else ())
+        (img, txt, cond_h), _ = jax.lax.scan(body_d, (img, txt, cond_h), xs_d)
     else:
-        def double_body_nc(carry, bp):
-            (i, t), _ = carry, None
-            i2, t2, _ = _double_block_apply(bp, cfg, i, t, None, temb, None, rope_main, None, bias, flags, attn_impl)
+        def double_body_nc(carry, bps):
+            i, t = carry
+            i2, t2, _ = _double_block_apply(
+                bps[0], cfg, i, t, None, temb, None, rope_main, None, bias, flags, attn_impl
+            )
+            if len(bps) == 2:
+                i2 = i2 + bps[1]
             return (i2, t2), None
 
         body_d = jax.checkpoint(double_body_nc) if remat else double_body_nc
-        (img, txt), _ = jax.lax.scan(body_d, (img, txt), params["double_blocks"])
+        xs_d = (params["double_blocks"],) + ((ctrl_d,) if ctrl_d is not None else ())
+        (img, txt), _ = jax.lax.scan(body_d, (img, txt), xs_d)
 
     hidden = jnp.concatenate([txt, img], axis=1)
+    Lt = txt.shape[1]
 
     # --- single-stream blocks ---
     if use_cond:
         def single_body(carry, bps):
-            bp, bp_c = bps
             h, c = carry
             h, c = _single_block_apply(
-                bp, cfg, h, c, temb, cond_temb, rope_main, rope_cond, bias, flags, attn_impl, bp_c=bp_c
+                bps[0], cfg, h, c, temb, cond_temb, rope_main, rope_cond, bias, flags, attn_impl,
+                bp_c=bps[1],
             )
+            if len(bps) == 3:  # controlnet residual on the image rows
+                h = h.at[:, Lt:, :].add(bps[2])
             return (h, c), None
 
         body_s = jax.checkpoint(single_body) if remat else single_body
-        (hidden, cond_h), _ = jax.lax.scan(
-            body_s, (hidden, cond_h), (params["single_blocks"], cp["single_blocks"])
-        )
+        xs_s = (params["single_blocks"], cp["single_blocks"]) + ((ctrl_s,) if ctrl_s is not None else ())
+        (hidden, cond_h), _ = jax.lax.scan(body_s, (hidden, cond_h), xs_s)
     else:
-        def single_body_nc(h, bp):
-            h, _ = _single_block_apply(bp, cfg, h, None, temb, None, rope_main, None, bias, flags, attn_impl)
+        def single_body_nc(h, bps):
+            h, _ = _single_block_apply(
+                bps[0], cfg, h, None, temb, None, rope_main, None, bias, flags, attn_impl
+            )
+            if len(bps) == 2:
+                h = h.at[:, Lt:, :].add(bps[1])
             return h, None
 
         body_s = jax.checkpoint(single_body_nc) if remat else single_body_nc
-        hidden, _ = jax.lax.scan(body_s, hidden, params["single_blocks"])
+        xs_s = (params["single_blocks"],) + ((ctrl_s,) if ctrl_s is not None else ())
+        hidden, _ = jax.lax.scan(body_s, hidden, xs_s)
 
     img = hidden[:, txt.shape[1] :]
     # final AdaLN (scale-first chunk order, matching loaded weights)

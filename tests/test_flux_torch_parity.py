@@ -113,6 +113,10 @@ def _torch_fwd(m, inputs, **kw):
             union_cond_attn=kw.get("union_cond_attn", True),
             add_cond_attn=kw.get("add_cond_attn", False),
             c_factor=kw.get("c_factor"),
+            controlnet_block_samples=[torch.from_numpy(x) for x in kw["ctrl_d"]]
+            if kw.get("ctrl_d") is not None else None,
+            controlnet_single_block_samples=[torch.from_numpy(x) for x in kw["ctrl_s"]]
+            if kw.get("ctrl_s") is not None else None,
         )
     return out.numpy()
 
@@ -135,6 +139,10 @@ def _jax_fwd(params, cfg, inputs, **kw):
         union_cond_attn=kw.get("union_cond_attn", True),
         add_cond_attn=kw.get("add_cond_attn", False),
         c_factor=kw.get("c_factor"),
+        controlnet_block_samples=jnp.asarray(np.stack(kw["ctrl_d"]))
+        if kw.get("ctrl_d") is not None else None,
+        controlnet_single_block_samples=jnp.asarray(np.stack(kw["ctrl_s"]))
+        if kw.get("ctrl_s") is not None else None,
     )
     return np.asarray(out)
 
@@ -159,6 +167,32 @@ def test_dit_parity(name, kw):
     ours = _jax_fwd(params, cfg, inputs, **kw)
     ref = _torch_fwd(m, inputs, **kw)
     np.testing.assert_allclose(ours, ref, atol=ATOL, rtol=1e-4)
+
+
+@pytest.mark.parametrize("use_cond", [False, True], ids=["no_cond", "cond"])
+def test_dit_parity_controlnet_residuals(use_cond):
+    """ControlNet hook residuals: fewer hooks than blocks exercises the
+    ceil-interval block->hook mapping (transformer.py:172-181,230-239) —
+    1 hook over 2 double blocks, 2 hooks over 3 single blocks."""
+    cfg = _cfg()
+    m = _torch_model(cfg)
+    params = _params_from(m, cfg)
+    rng = np.random.default_rng(7)
+    inputs = _inputs(cfg, rng)
+    kw = {
+        "use_cond": use_cond,
+        "ctrl_d": [rng.standard_normal((B, TY * TX, cfg.hidden_size), dtype=np.float32) * 0.1],
+        "ctrl_s": [
+            rng.standard_normal((B, TY * TX, cfg.hidden_size), dtype=np.float32) * 0.1
+            for _ in range(2)
+        ],
+    }
+    ours = _jax_fwd(params, cfg, inputs, **kw)
+    ref = _torch_fwd(m, inputs, **kw)
+    np.testing.assert_allclose(ours, ref, atol=ATOL, rtol=1e-4)
+    # the residuals must actually change the output (hooks are live)
+    base = _jax_fwd(params, cfg, inputs, use_cond=use_cond)
+    assert np.abs(ours - base).max() > 1e-3
 
 
 def test_dit_parity_add_cond_attn():

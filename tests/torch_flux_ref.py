@@ -341,6 +341,8 @@ class TorchFluxRef(nn.Module):
         union_cond_attn: bool = True,
         add_cond_attn: bool = False,
         c_factor: float | None = None,
+        controlnet_block_samples=None,  # list of (B, L_img, hidden)
+        controlnet_single_block_samples=None,  # list of (B, L_img, hidden)
     ) -> torch.Tensor:
         use_cond = cond is not None
         flags = {
@@ -365,12 +367,27 @@ class TorchFluxRef(nn.Module):
         rope_main = rope_tables(torch.cat([txt_ids, img_ids], dim=0), self.axes_dims)
         rope_cond = rope_tables(cond_ids, self.axes_dims) if use_cond else None
 
-        for block in self.transformer_blocks:
+        for i, block in enumerate(self.transformer_blocks):
             img, txt, cond_h = block(img, txt, cond_h, temb, cond_temb, rope_main, rope_cond, flags)
+            if controlnet_block_samples is not None:
+                # hook i//interval serves this block (transformer.py:172-181)
+                interval = math.ceil(len(self.transformer_blocks) / len(controlnet_block_samples))
+                img = img + controlnet_block_samples[i // interval]
 
         hidden = torch.cat([txt, img], dim=1)
-        for block in self.single_transformer_blocks:
+        for i, block in enumerate(self.single_transformer_blocks):
             hidden, cond_h = block(hidden, cond_h, temb, cond_temb, rope_main, rope_cond, flags)
+            if controlnet_single_block_samples is not None:
+                interval = math.ceil(
+                    len(self.single_transformer_blocks) / len(controlnet_single_block_samples)
+                )
+                hidden = torch.cat(
+                    [
+                        hidden[:, : txt.shape[1]],
+                        hidden[:, txt.shape[1] :] + controlnet_single_block_samples[i // interval],
+                    ],
+                    dim=1,
+                )
 
         img = hidden[:, txt.shape[1] :]
         return self.proj_out(self.norm_out(img, temb))
