@@ -34,8 +34,10 @@ CONDITION_TYPE_IDS = {
     "subject": 4,
     "coloring": 6,
     "deblurring": 7,
+    "depth_pred": 8,
     "fill": 9,
     "sr": 10,
+    "cartoon": 11,
     "cot": 12,
 }
 
@@ -59,6 +61,22 @@ def _deblurring(img: np.ndarray) -> np.ndarray:
     return cv2.GaussianBlur(img, (0, 0), sigmaX=4)
 
 
+def _depth(img: np.ndarray) -> np.ndarray:
+    """Monocular depth via a LOCAL depth-estimation snapshot (the reference
+    loads LiheYoung/depth-anything-small-hf from the hub, condition.py:49-59;
+    this environment has no network, so the model dir must be local)."""
+    import os
+
+    from transformers import pipeline
+
+    model = os.environ.get("DEPTH_MODEL_DIR", "LiheYoung/depth-anything-small-hf")
+    from PIL import Image
+
+    pipe = pipeline(task="depth-estimation", model=model)
+    depth = pipe(Image.fromarray(img).convert("RGB"))["depth"].convert("RGB")
+    return np.asarray(depth)
+
+
 # preprocessors: image (H, W, 3) uint8 -> image (H, W, 3) uint8
 # (semantics of condition.py:43-80; "cot" — the only type ReflectionFlow
 # exercises — is identity, conditioning directly on the previous sample)
@@ -67,6 +85,9 @@ PREPROCESSORS: dict[str, Callable[[np.ndarray], np.ndarray]] = {
     "subject": lambda img: img,
     "fill": lambda img: img,
     "sr": lambda img: img,
+    "cartoon": lambda img: img,
+    "depth_pred": lambda img: img,  # precomputed depth map passed through
+    "depth": _depth,
     "canny": _canny,
     "coloring": _coloring,
     "deblurring": _deblurring,
