@@ -130,11 +130,13 @@ def main():
     out = verifier.score(imgs, prompts)
     t_score = max(time.perf_counter() - t0 - rtt, 0.0)
 
+    scale_desc = (
+        "tiny CPU smoke" if mode == "tiny"
+        else "NVILA-Lite-2B scale (SigLIP-SO400M + Qwen2.5-1.5B), synthetic weights "
+        "quantized via the verifier's own int8 path"
+    )
     result = {
-        "config": (
-            f"NVILA-Lite-2B scale (SigLIP-SO400M + Qwen2.5-1.5B), synthetic weights "
-            f"quantized via the verifier's own int8 path, {n_cand} candidates @ {px}px, one v5e"
-        ),
+        "config": f"{scale_desc}, {n_cand} candidates @ {px}px",
         "nvila_weights_gb": round(nvila_gb, 2),
         "t_init_s": round(t_init, 2),
         "t_compile_s": round(t_compile, 2),
