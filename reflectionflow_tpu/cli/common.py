@@ -104,6 +104,7 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
         quantize = None if cli_quant == "none" else cli_quant
     attn_impl = args.attn_impl or cfg.pipeline_args.attn_impl or "xla"
     pipe.attn_impl = attn_impl
+    pipe.vae_tiling = getattr(cfg.pipeline_args, "vae_tiling", False)
     if cfg.pipeline_args.lora_path and not args.synthetic_weights:
         from safetensors.numpy import load_file
 

@@ -155,15 +155,18 @@ def vae_encode_moments(params, cfg: FluxVAEConfig, images: jnp.ndarray) -> jnp.n
     return conv2d(params["conv_out"], x)
 
 
-@partial(jax.jit, static_argnums=(1,))
-def vae_encode(params, cfg: FluxVAEConfig, images: jnp.ndarray, key=None) -> jnp.ndarray:
-    """Encode to scaled/shifted latents; `key=None` -> mode (mean)."""
-    moments = vae_encode_moments(params, cfg, images)
+def _moments_to_latents(moments, cfg: FluxVAEConfig, key=None) -> jnp.ndarray:
     mean, logvar = jnp.split(moments, 2, axis=-1)
     if key is not None:
         logvar = jnp.clip(logvar, -30.0, 20.0)
         mean = mean + jnp.exp(0.5 * logvar) * jax.random.normal(key, mean.shape, mean.dtype)
     return (mean - cfg.shift_factor) * cfg.scaling_factor
+
+
+@partial(jax.jit, static_argnums=(1,))
+def vae_encode(params, cfg: FluxVAEConfig, images: jnp.ndarray, key=None) -> jnp.ndarray:
+    """Encode to scaled/shifted latents; `key=None` -> mode (mean)."""
+    return _moments_to_latents(vae_encode_moments(params, cfg, images), cfg, key)
 
 
 def vae_decoder_init(key, cfg: FluxVAEConfig, dtype=jnp.float32):
@@ -211,3 +214,111 @@ def vae_decode(params, cfg: FluxVAEConfig, latents: jnp.ndarray) -> jnp.ndarray:
 def vae_init(key, cfg: FluxVAEConfig, dtype=jnp.float32):
     k1, k2 = jax.random.split(key)
     return {"encoder": vae_encoder_init(k1, cfg, dtype), "decoder": vae_decoder_init(k2, cfg, dtype)}
+
+
+# ---------------------------------------------------------------------------
+# Tiled encode/decode — parity with diffusers `enable_vae_tiling`
+# (`AutoencoderKL.tiled_decode/tiled_encode`), which the reference inherits
+# through its diffusers VAE. Bounds decode activation memory at high
+# resolution: the 1024px decode transients (~1.5 GB) are what break
+# all-resident single-chip serving layouts; per-tile they shrink ~4x.
+#
+# TPU shape: each tile runs the SAME jitted `vae_decode`/moments graph
+# (interior tiles share one compiled signature; clipped edge tiles add at
+# most 3 more), and overlap blending is a handful of elementwise jnp ops on
+# the small image/moment tiles — no host round-trips between tiles.
+#
+# Exactly like diffusers, per-tile GroupNorm statistics make a multi-tile
+# result differ slightly from the untiled one near seams; a single-tile
+# call is bit-identical (tested), and the stitch math is tested exactly
+# with a shift-invariant decoder.
+
+
+def _blend_v(top, bottom, extent):
+    """Linearly blend `bottom`'s first rows with `top`'s last rows (NHWC)."""
+    extent = min(extent, top.shape[1], bottom.shape[1])
+    if extent <= 0:
+        return bottom
+    w = (jnp.arange(extent, dtype=jnp.float32) / extent)[None, :, None, None]
+    mixed = top[:, -extent:].astype(jnp.float32) * (1.0 - w) + bottom[:, :extent].astype(jnp.float32) * w
+    return jnp.concatenate([mixed.astype(bottom.dtype), bottom[:, extent:]], axis=1)
+
+
+def _blend_h(left, right, extent):
+    """Linearly blend `right`'s first columns with `left`'s last columns (NHWC)."""
+    extent = min(extent, left.shape[2], right.shape[2])
+    if extent <= 0:
+        return right
+    w = (jnp.arange(extent, dtype=jnp.float32) / extent)[None, None, :, None]
+    mixed = left[:, :, -extent:].astype(jnp.float32) * (1.0 - w) + right[:, :, :extent].astype(jnp.float32) * w
+    return jnp.concatenate([mixed.astype(right.dtype), right[:, :, extent:]], axis=2)
+
+
+def _tiled_grid(full_fn, x, tile, overlap_factor, tile_out):
+    """Shared tile/blend/stitch core (diffusers' overlap scheme, NHWC).
+
+    `x` is split into `tile`-sized windows at stride tile*(1-overlap); each
+    window goes through `full_fn` (which maps a full `tile` window to a
+    `tile_out`-sized output — x8 for decode, /8 for encode), then adjacent
+    outputs are linearly cross-faded over the overlap and cropped so kept
+    extents sum exactly to x's extent * tile_out/tile.
+    """
+    _, h, w, _ = x.shape
+    stride = int(tile * (1.0 - overlap_factor))
+    assert 0 < stride <= tile, f"overlap_factor {overlap_factor} leaves no stride"
+    blend = int(tile_out * overlap_factor)
+    row_limit = tile_out - blend
+    rows = [
+        [full_fn(x[:, i : i + tile, j : j + tile]) for j in range(0, w, stride)]
+        for i in range(0, h, stride)
+    ]
+    out_rows = []
+    for i, row in enumerate(rows):
+        out_row = []
+        for j, t in enumerate(row):
+            if i > 0:
+                t = _blend_v(rows[i - 1][j], t, blend)
+            if j > 0:
+                t = _blend_h(row[j - 1], t, blend)
+            out_row.append(t[:, :row_limit, :row_limit])
+        out_rows.append(jnp.concatenate(out_row, axis=2))
+    return jnp.concatenate(out_rows, axis=1)
+
+
+def vae_decode_tiled(
+    params, cfg: FluxVAEConfig, latents: jnp.ndarray, tile_latent: int = 64,
+    overlap_factor: float = 0.25, decode_fn=None,
+) -> jnp.ndarray:
+    """`vae_decode` in overlapping `tile_latent`-sized latent tiles
+    (64 latent = 512px samples, diffusers' default tile). Single-tile
+    inputs take the exact untiled path."""
+    decode_fn = decode_fn or (lambda z: vae_decode(params, cfg, z))
+    _, h, w, _ = latents.shape
+    if h <= tile_latent and w <= tile_latent:
+        return decode_fn(latents)
+    return _tiled_grid(decode_fn, latents, tile_latent, overlap_factor, tile_latent * cfg.downscale)
+
+
+def vae_encode_tiled(
+    params, cfg: FluxVAEConfig, images: jnp.ndarray, key=None, tile_sample: int = 512,
+    overlap_factor: float = 0.25, moments_fn=None,
+) -> jnp.ndarray:
+    """`vae_encode` in overlapping `tile_sample`-sized image tiles; the
+    diagonal-Gaussian moments are blended across seams (like diffusers'
+    `tiled_encode`), then sampled/scaled once."""
+    _, h, w, _ = images.shape
+    if h <= tile_sample and w <= tile_sample:
+        return vae_encode(params, cfg, images, key)
+    s = cfg.downscale
+    assert tile_sample % s == 0 and int(tile_sample * (1.0 - overlap_factor)) % s == 0, (
+        f"tile_sample {tile_sample} / overlap {overlap_factor} must keep tile "
+        f"and stride multiples of the VAE scale {s} so latent tiles align"
+    )
+    moments_fn = moments_fn or (lambda t: _moments_jit(params, cfg, t))
+    # run the conv stack per tile, blend in latent-space moments (tile,
+    # stride and blend all divide by s exactly — asserted above)
+    moments = _tiled_grid(moments_fn, images, tile_sample, overlap_factor, tile_sample // s)
+    return _moments_to_latents(moments, cfg, key)
+
+
+_moments_jit = partial(jax.jit, static_argnums=(1,))(vae_encode_moments)

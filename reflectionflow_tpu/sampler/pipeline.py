@@ -46,6 +46,7 @@ class FluxPipeline:
     cond_dit_params: Any = None  # LoRA-folded view for the cond stream (lora.make_dit_param_views)
     mesh: Any = None  # jax.sharding.Mesh: candidates sharded over "data"
     rope_layout: str = "pair"  # "split" after quantize() permutes q/k (ops.fuse)
+    vae_tiling: bool = False  # diffusers enable_vae_tiling: 512px-tile decode
 
     # -- construction -------------------------------------------------------
 
@@ -381,7 +382,12 @@ class FluxPipeline:
         if output_type == "latent":
             return final
         grid = unpack_latents(final, ty, tx)
-        images = vae_decode(self.params["vae"]["decoder"], self.vae_cfg, grid)
+        if self.vae_tiling:
+            from ..models.flux.vae import vae_decode_tiled
+
+            images = vae_decode_tiled(self.params["vae"]["decoder"], self.vae_cfg, grid)
+        else:
+            images = vae_decode(self.params["vae"]["decoder"], self.vae_cfg, grid)
         images = jnp.clip((images.astype(jnp.float32) + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
         if output_type == "jax":
             # async handle (a few MB of uint8 on device): callers dispatch

@@ -191,3 +191,15 @@ def test_enable_prompt_cache_without_phase_swap(key):
     # warm_prompt_cache works and only encodes the new prompt
     pipe.warm_prompt_cache(["a", "c"], 16)
     assert len(calls) == 2 and calls[1] == ["c"]
+
+
+def test_vae_tiling_pipeline_path(pipe):
+    # tiny 8x8 latent with the default 64-latent tile takes the exact
+    # single-tile path, so tiled serving must reproduce the untiled images
+    base = pipe.generate(["x"], height=SIZE, width=SIZE, num_inference_steps=2, seed=5)
+    pipe.vae_tiling = True
+    try:
+        tiled = pipe.generate(["x"], height=SIZE, width=SIZE, num_inference_steps=2, seed=5)
+    finally:
+        pipe.vae_tiling = False
+    np.testing.assert_array_equal(base, tiled)
