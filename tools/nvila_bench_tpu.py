@@ -43,6 +43,20 @@ class _StubTokenizer:
         return [zlib.crc32(w.encode()) % 150000 for w in text.split()] or [7]
 
 
+def nvila_lite_2b_configs():
+    """The real checkpoint's shapes: SigLIP-SO400M-patch14-448 tower +
+    Qwen2.5-1.5B LM (the NVILA-Lite-2B-Verifier `llm/`)."""
+    from reflectionflow_tpu.config import QwenLMConfig, SiglipVisionConfig
+
+    vis_cfg = SiglipVisionConfig()  # defaults = SO400M
+    lm_cfg = QwenLMConfig(
+        vocab_size=151936, hidden_size=1536, intermediate_size=8960,
+        num_layers=28, num_heads=12, num_kv_heads=2, head_dim=128,
+        rope_theta=1000000.0, mrope_section=(64, 0, 0), tie_word_embeddings=True,
+    )
+    return vis_cfg, lm_cfg
+
+
 def build_synthetic_nvila(vis_cfg, lm_cfg, downsample: int, quantize: bool):
     from reflectionflow_tpu.config import NvilaConfig
     from reflectionflow_tpu.models.nvila.model import NvilaModel
@@ -99,12 +113,7 @@ def main():
         )
         px = vis_cfg.image_size
     else:
-        vis_cfg = SiglipVisionConfig()  # SigLIP-SO400M-patch14-448 (defaults)
-        lm_cfg = QwenLMConfig(  # Qwen2.5-1.5B (the NVILA-Lite-2B llm/)
-            vocab_size=151936, hidden_size=1536, intermediate_size=8960,
-            num_layers=28, num_heads=12, num_kv_heads=2, head_dim=128,
-            rope_theta=1000000.0, mrope_section=(64, 0, 0), tie_word_embeddings=True,
-        )
+        vis_cfg, lm_cfg = nvila_lite_2b_configs()
 
     from bench import measure_rtt  # tunnel-aware timing helper
     from reflectionflow_tpu.verifiers.nvila import NvilaJaxVerifier

@@ -15,7 +15,12 @@ re-upload — ~2 min through the dev tunnel, ~0.1-0.3 s on production
 PCIe/DMA);
 "co" = int4-MLP DiT + NF4 T5 all resident (dit_quant="int8_int4mlp": no
 swap, no upload, slower w4a16 MLP denoise) — the refined-prompt
-mitigation measured for VERDICT round-2 item 4."""
+mitigation measured for VERDICT round-2 item 4;
+"nvila" = the "co" layout PLUS the real JAX-native NVILA-2B verifier
+(int8, ~2.1 GB) resident on the SAME chip — the whole loop (generate +
+REAL verifier scoring) on one 16 GB v5e, no swap and no second chip
+(~14.6 GB total; the verify phase is real NVILA batched yes/no scoring,
+not the fake)."""
 
 import json
 import sys
@@ -49,7 +54,22 @@ def main():
     vae_cfg = FluxVAEConfig()
     t5_cfg = T5Config()
     clip_cfg = CLIPTextConfig()
-    co = profile == "co"
+    co = profile in ("co", "nvila")
+
+    verifier = None
+    if profile == "nvila":
+        # build the int8 NVILA FIRST: its bf16->int8 quantization peak
+        # (~6 GB transient) must not land next to the 12.5 GB pipeline
+        sys.path.insert(0, "tools")
+        from nvila_bench_tpu import build_synthetic_nvila, nvila_lite_2b_configs, _StubTokenizer  # noqa: E402
+
+        from reflectionflow_tpu.verifiers.nvila import NvilaJaxVerifier  # noqa: E402
+
+        vis_cfg, lm_cfg = nvila_lite_2b_configs()
+        nvila = build_synthetic_nvila(vis_cfg, lm_cfg, downsample=3, quantize=True)
+        nvila.tokenizer = _StubTokenizer()
+        verifier = NvilaJaxVerifier(model=nvila)
+
     params = {
         # co-resident: NF4-MLP DiT (~9.7 GB) + NF4 T5 fit 16 GB together;
         # swap: full W8A8 DiT + NF4 T5 swapped out between encodes (NF4 keeps
@@ -66,6 +86,9 @@ def main():
         clip_tokenizer=load_tokenizer(None, "clip", clip_cfg.vocab_size, clip_cfg.eos_token_id),
         dtype=jnp.bfloat16, attn_impl="pallas",
         rope_layout="split",  # synthetic weights: apply-path timing only
+        # with the NVILA verifier resident too (~14.6 GB weights), the full
+        # 1024px decode transients no longer fit — tile the decode
+        vae_tiling=profile == "nvila",
     )
     if co:
         pipe.enable_prompt_cache()
@@ -89,6 +112,9 @@ def main():
     }
     out = {
         "scale": (
+            "FLUX-dev int8+int4MLP DiT + int4 T5 + int8 NVILA-2B verifier ALL RESIDENT "
+            "on one chip (synthetic weights), 1024px, pallas"
+            if profile == "nvila" else
             "FLUX-dev int8+int4MLP DiT + int4 T5 CO-RESIDENT (synthetic weights), 1024px, pallas"
             if co else
             "FLUX-dev int8 W8A8 DiT + int4 T5 phase-swap (synthetic weights), 1024px, pallas"
@@ -109,7 +135,8 @@ def main():
             cfg = TTSConfig.load(cfg_path)
             timer = PhaseTimer()
             run_reflectionflow_block(
-                pipe, load_verifier("fake"), load_reflector("fake"), load_refiner("fake"),
+                pipe, verifier or load_verifier("fake"),
+                load_reflector("fake"), load_refiner("fake"),
                 cfg, [{"prompt": "a red cube on a blue sphere", "tag": "colors"}],
                 output_root=f"{tmp}/out", run_seed=0, timer=timer,
             )
