@@ -155,3 +155,30 @@ def test_serving_profile_validation(tmp_path):
         load_pipeline(load_config(args_noquant(p_bad)), args_noquant("x"))
     # ... but an explicit --quantize none override is the user's call
     load_pipeline(load_config(args_noquant(p_bad, "none")), args_noquant("x", "none"))
+
+
+def test_shipped_presets_parse():
+    """Every shipped config preset parses into a TTSConfig with a known
+    verifier backend (reference ships gptscore + nvilascore:
+    /root/reference/tts/configs/)."""
+    from reflectionflow_tpu.config import TTSConfig
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "configs", "flux*.json")))
+    assert len(paths) >= 6
+    known = {"fake", "openai", "qwen_rm", "nvila", "nvila_jax", "image_verifier"}
+    names = {}
+    for p in paths:
+        cfg = TTSConfig.load(p)
+        assert cfg.verifier_args.name in known, p
+        assert cfg.search_args.search_branch >= 2, p
+        names[os.path.basename(p)] = cfg.verifier_args.name
+    # reference parity: gptscore -> openai verifier, nvilascore -> NVILA verifier
+    assert names["flux.1_dev_gptscore.json"] == "openai"
+    assert names["flux.1_dev_nvilascore.json"] == "nvila_jax"
+    # the v5e serving presets quantize and use micro-batch 1 (measured)
+    for k in ("flux.1_dev_qwenscore_v5e.json", "flux.1_dev_qwenscore_v5e_co.json",
+              "flux.1_dev_nvilascore.json"):
+        cfg = TTSConfig.load(os.path.join(repo, "configs", k))
+        assert cfg.pipeline_args.quantize == "int8", k
+        assert cfg.batch_size_for_img_gen == 1, k
