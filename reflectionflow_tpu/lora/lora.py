@@ -146,6 +146,40 @@ def lora_param_count(lora: dict) -> int:
     return sum(int(np.prod(x.shape)) for ab in lora["adapters"].values() for x in ab.values())
 
 
+def save_lora_adapter(path: str, lora: dict) -> None:
+    """One-file adapter interchange: the {_alpha,_r,adapters} tree as a
+    safetensors file (flat `{path with / as __}.A/.B` keys + 0-d _alpha/_r).
+    This is how a finetuned Reflection-Generator adapter ships (the
+    reference serves qwen2_vl + a LLaMA-Factory LoRA,
+    /root/reference/tts/configs/our_reflectionmodel.yaml); consumed by
+    `models.qwen_vl.generate.QwenVLGenerator.from_pretrained`."""
+    from safetensors.numpy import save_file
+
+    flat = {
+        "_alpha": np.asarray(lora["_alpha"], np.float32),
+        "_r": np.asarray(lora["_r"], np.float32),
+    }
+    for p, ab in lora["adapters"].items():
+        safe = p.replace("/", "__")
+        flat[f"{safe}.A"] = np.ascontiguousarray(np.asarray(ab["A"], np.float32))
+        flat[f"{safe}.B"] = np.ascontiguousarray(np.asarray(ab["B"], np.float32))
+    save_file(flat, path)
+
+
+def load_lora_adapter(path: str) -> dict:
+    """Inverse of `save_lora_adapter` -> a tree `fold_lora`/`attach_lora` accept."""
+    from safetensors.numpy import load_file
+
+    flat = load_file(path)
+    adapters: dict = {}
+    for k, v in flat.items():
+        if k in ("_alpha", "_r"):
+            continue
+        p, which = k.rsplit(".", 1)
+        adapters.setdefault(p.replace("__", "/"), {})[which] = v
+    return {"_alpha": float(flat["_alpha"]), "_r": float(flat["_r"]), "adapters": adapters}
+
+
 # ---------------------------------------------------------------------------
 # diffusers-peft checkpoint conversion
 # ---------------------------------------------------------------------------

@@ -91,6 +91,28 @@ def _decode_tokens(
     return out, lengths
 
 
+def _maybe_fold_adapter(model: QwenVLModel, model_dir: str) -> QwenVLModel:
+    """Fold a finetuned adapter (`lora.safetensors` next to the checkpoint,
+    `lora.save_lora_adapter` format) into the LM weights at load — the
+    serving-time equivalent of the reference's LLaMA-Factory
+    `finetuning_type: lora` Reflection-Generator deployment
+    (/root/reference/tts/configs/our_reflectionmodel.yaml). Folding (not
+    attaching) because serving never differentiates through the adapter."""
+    import os
+
+    adapter = os.path.join(model_dir, "lora.safetensors")
+    if not os.path.exists(adapter):
+        return model
+    from ...lora.lora import fold_lora, load_lora_adapter
+
+    lora = load_lora_adapter(adapter)
+    lora = dict(lora, adapters={
+        p: {k: jnp.asarray(v) for k, v in ab.items()} for p, ab in lora["adapters"].items()
+    })
+    model.lm_params = fold_lora(model.lm_params, lora)
+    return model
+
+
 @dataclass
 class QwenVLGenerator:
     model: QwenVLModel
@@ -118,6 +140,7 @@ class QwenVLGenerator:
         ctx = _jax.default_device(dev) if dev is not None else contextlib.nullcontext()
         with ctx:
             model, tokenizer = load_qwen_vl(model_path)
+            model = _maybe_fold_adapter(model, model_path)
             if quantize == "int8":
                 from ...ops.quant import quantize_dit_params
 

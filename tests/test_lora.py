@@ -179,3 +179,54 @@ def test_attach_lora_matches_fold(key):
         g_attach,
         g_fold,
     )
+
+
+def test_lora_adapter_file_roundtrip(tmp_path):
+    """save_lora_adapter/load_lora_adapter preserve the tree and its fold
+    (the one-file adapter interchange used for finetuned Reflection-Generator
+    checkpoints, reference tts/configs/our_reflectionmodel.yaml)."""
+    from reflectionflow_tpu.lora.lora import load_lora_adapter, save_lora_adapter
+
+    key = jax.random.PRNGKey(7)
+    params = {"blk": {"q": {"w": jax.random.normal(key, (3, 8, 8))}}}
+    lora = lora_init(jax.random.PRNGKey(8), params, r=2, alpha=4.0, targets=("blk/q/w",))
+    # gaussian-init B is zero; make the fold non-trivial
+    lora["adapters"]["blk/q/w"]["B"] = jax.random.normal(jax.random.PRNGKey(9), (3, 2, 8))
+    p = str(tmp_path / "lora.safetensors")
+    save_lora_adapter(p, lora)
+    back = load_lora_adapter(p)
+    assert back["_alpha"] == 4.0 and back["_r"] == 2
+    assert set(back["adapters"]) == {"blk/q/w"}
+    np.testing.assert_allclose(
+        np.asarray(fold_lora(params, lora)["blk"]["q"]["w"]),
+        np.asarray(fold_lora(params, back)["blk"]["q"]["w"]),
+        atol=1e-6,
+    )
+
+
+def test_generator_folds_adapter_at_load(tmp_path):
+    """A `lora.safetensors` next to a Reflection-Generator checkpoint is
+    folded into the LM at load; absence is a no-op."""
+    from reflectionflow_tpu.lora.lora import save_lora_adapter
+    from reflectionflow_tpu.models.qwen_vl.generate import _maybe_fold_adapter
+    from reflectionflow_tpu.models.qwen_vl.model import QwenVLModel
+
+    model = QwenVLModel.random_init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    base_q = np.asarray(model.lm_params["blocks"]["q"]["w"]).copy()
+    # no adapter file -> untouched
+    model = _maybe_fold_adapter(model, str(tmp_path))
+    np.testing.assert_array_equal(np.asarray(model.lm_params["blocks"]["q"]["w"]), base_q)
+
+    n, d, r = base_q.shape[0], base_q.shape[1], 2
+    A = jax.random.normal(jax.random.PRNGKey(1), (n, d, r)) * 0.1
+    B = jax.random.normal(jax.random.PRNGKey(2), (n, r, base_q.shape[2])) * 0.1
+    save_lora_adapter(
+        str(tmp_path / "lora.safetensors"),
+        {"_alpha": 4.0, "_r": r, "adapters": {"blocks/q/w": {"A": A, "B": B}}},
+    )
+    model = _maybe_fold_adapter(model, str(tmp_path))
+    want = base_q + (4.0 / r) * np.einsum("ndr,nrk->ndk", np.asarray(A, np.float32),
+                                          np.asarray(B, np.float32))
+    np.testing.assert_allclose(
+        np.asarray(model.lm_params["blocks"]["q"]["w"]), want, atol=1e-4, rtol=1e-4
+    )
