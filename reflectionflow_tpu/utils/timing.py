@@ -19,6 +19,10 @@ from dataclasses import dataclass, field
 class PhaseTimer:
     spans: dict[str, list[float]] = field(default_factory=lambda: defaultdict(list))
     trace: bool = False
+    # live=True prints each span as it closes (stderr) — first-call spans
+    # include jit compile, which through the dev tunnel can be tens of
+    # minutes; live output tells a watchdog which phase ate the budget
+    live: bool = False
 
     @contextlib.contextmanager
     def span(self, name: str):
@@ -30,7 +34,13 @@ class PhaseTimer:
         t0 = time.perf_counter()
         with ctx:
             yield
-        self.spans[name].append(time.perf_counter() - t0)
+        dt = time.perf_counter() - t0
+        self.spans[name].append(dt)
+        if self.live:
+            import sys
+
+            print(f"[phase {name} #{len(self.spans[name])}] {dt:.2f}s",
+                  file=sys.stderr, flush=True)
 
     def percentile(self, name: str, q: float) -> float:
         xs = sorted(self.spans.get(name, []))

@@ -44,6 +44,19 @@ from reflectionflow_tpu.utils.tokenizers import load_tokenizer  # noqa: E402
 from reflectionflow_tpu.verifiers import load_verifier  # noqa: E402
 
 
+def _log(msg: str) -> None:
+    # tunnel compiles are tens of minutes: timestamped milestones on stderr
+    # so a wrapper timeout can be diagnosed (which stage ate the budget)
+    import time
+
+    print(f"[serve_smoke +{time.monotonic() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+import time as _time  # noqa: E402
+
+_T0 = _time.monotonic()
+
+
 def main():
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     branch = int(sys.argv[2]) if len(sys.argv) > 2 else 2
@@ -66,10 +79,13 @@ def main():
         from reflectionflow_tpu.verifiers.nvila import NvilaJaxVerifier  # noqa: E402
 
         vis_cfg, lm_cfg = nvila_lite_2b_configs()
+        _log("building int8 NVILA-2B on device...")
         nvila = build_synthetic_nvila(vis_cfg, lm_cfg, downsample=3, quantize=True)
+        _log("NVILA built")
         nvila.tokenizer = _StubTokenizer()
         verifier = NvilaJaxVerifier(model=nvila)
 
+    _log("building pipeline weights on device...")
     params = {
         # co-resident: NF4-MLP DiT (~9.7 GB) + NF4 T5 fit 16 GB together;
         # swap: full W8A8 DiT + NF4 T5 swapped out between encodes (NF4 keeps
@@ -90,6 +106,7 @@ def main():
         # 1024px decode transients no longer fit — tile the decode
         vae_tiling=profile == "nvila",
     )
+    _log("pipeline weights resident")
     if co:
         pipe.enable_prompt_cache()
     else:
@@ -126,6 +143,7 @@ def main():
     # dev tunnel; on production interconnects that upload is ~0.1-0.3 s)
     # pass 2: fixed prompts (cache hits) -> pure device round latency
     for label, reflect_on in (("refined_prompts", True), ("fixed_prompts", False)):
+        _log(f"pass {label}: {rounds} rounds x branch {branch} @ {steps} steps starting")
         cfg_dict["reflection_args"]["run_reflection"] = reflect_on
         cfg_dict["prompt_refiner_args"]["run_refinement"] = reflect_on
         with tempfile.TemporaryDirectory() as tmp:
@@ -133,7 +151,7 @@ def main():
             with open(cfg_path, "w") as f:
                 json.dump(cfg_dict, f)
             cfg = TTSConfig.load(cfg_path)
-            timer = PhaseTimer()
+            timer = PhaseTimer(live=True)
             run_reflectionflow_block(
                 pipe, verifier or load_verifier("fake"),
                 load_reflector("fake"), load_refiner("fake"),
@@ -144,6 +162,7 @@ def main():
                 phase: {"count": st["count"], "p50_s": round(st["p50_s"], 2), "p90_s": round(st["p90_s"], 2)}
                 for phase, st in timer.summary().items()
             }
+            _log(f"pass {label} done: {out[label]}")
     print(json.dumps(out))
 
 
