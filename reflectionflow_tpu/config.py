@@ -294,8 +294,9 @@ class PipelineArgs:
     # (~9.7 GB DiT) — everything co-resides on one 16 GB chip, no phase
     # swap, at a slower w4a16 MLP matmul rate
     dit_quant: str = "int8"
-    # diffusers `enable_vae_tiling` equivalent: run VAE encode/decode in
-    # overlapping 512px tiles (models/flux/vae.py::vae_decode_tiled) —
+    # diffusers `enable_vae_tiling` equivalent: run the VAE decode and the
+    # condition-image encode in overlapping 512px tiles
+    # (models/flux/vae.py::vae_decode_tiled / vae_encode_tiled) —
     # bounds the ~1.5 GB 1024px decode transients to ~1/4, which is what
     # lets a verifier co-reside with the all-resident serving layout
     vae_tiling: bool = False

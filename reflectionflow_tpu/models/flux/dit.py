@@ -636,21 +636,23 @@ def flux_dit_apply(
         dense = cond_attention_bias(L_main + L_cond, L_cond, union_cond_attn, c_factor) if use_cond else None
         bias = {"bias": dense, "cond_len": 0, "cross_bias": 0.0}
 
-    # ControlNet hook residuals expanded to one slice per block (static
-    # gather — keeps the scan bodies shape-uniform, no in-scan indexing)
-    def _ctrl_per_block(samples, n_blocks):
-        samples = jnp.asarray(samples, dtype)
+    # ControlNet hook residuals: the scan carries only a per-block hook
+    # INDEX (int32 xs); each body gathers its slice from the small
+    # (n_hooks, B, L_img, H) stack, which rides the scan as a loop
+    # invariant. (Expanding to one slice per block as xs multiplies the
+    # residual HBM by the hook interval — ~0.9 GB/batch-elem for 2 hooks
+    # over 38 single blocks at 1024px, enough to tip 16 GB serving.)
+    def _ctrl_idx(samples, n_blocks):
         interval = -(-n_blocks // samples.shape[0])  # ceil, transformer.py:174-178
-        return samples[np.arange(n_blocks) // interval]  # (n_blocks, B, L_img, H)
+        return jnp.asarray(np.arange(n_blocks) // interval, jnp.int32)
 
-    ctrl_d = (
-        _ctrl_per_block(controlnet_block_samples, cfg.num_double_blocks)
-        if controlnet_block_samples is not None else None
-    )
-    ctrl_s = (
-        _ctrl_per_block(controlnet_single_block_samples, cfg.num_single_blocks)
-        if controlnet_single_block_samples is not None else None
-    )
+    ctrl_d_smp = ctrl_s_smp = ctrl_d = ctrl_s = None
+    if controlnet_block_samples is not None:
+        ctrl_d_smp = jnp.asarray(controlnet_block_samples, dtype)
+        ctrl_d = _ctrl_idx(ctrl_d_smp, cfg.num_double_blocks)
+    if controlnet_single_block_samples is not None:
+        ctrl_s_smp = jnp.asarray(controlnet_single_block_samples, dtype)
+        ctrl_s = _ctrl_idx(ctrl_s_smp, cfg.num_single_blocks)
 
     # --- double-stream blocks (scan over stacked params) ---
     def double_body(carry, bps):
@@ -660,7 +662,7 @@ def flux_dit_apply(
             attn_impl, bp_c=bps[1],
         )
         if len(bps) == 3:  # controlnet residual on the image stream
-            img = img + bps[2]
+            img = img + jax.lax.dynamic_index_in_dim(ctrl_d_smp, bps[2], 0, keepdims=False)
         return (img, txt, cond_h), None
 
     body_d = jax.checkpoint(double_body) if remat else double_body
@@ -674,7 +676,7 @@ def flux_dit_apply(
                 bps[0], cfg, i, t, None, temb, None, rope_main, None, bias, flags, attn_impl
             )
             if len(bps) == 2:
-                i2 = i2 + bps[1]
+                i2 = i2 + jax.lax.dynamic_index_in_dim(ctrl_d_smp, bps[1], 0, keepdims=False)
             return (i2, t2), None
 
         body_d = jax.checkpoint(double_body_nc) if remat else double_body_nc
@@ -693,7 +695,7 @@ def flux_dit_apply(
                 bp_c=bps[1],
             )
             if len(bps) == 3:  # controlnet residual on the image rows
-                h = h.at[:, Lt:, :].add(bps[2])
+                h = h.at[:, Lt:, :].add(jax.lax.dynamic_index_in_dim(ctrl_s_smp, bps[2], 0, keepdims=False))
             return (h, c), None
 
         body_s = jax.checkpoint(single_body) if remat else single_body
@@ -705,7 +707,7 @@ def flux_dit_apply(
                 bps[0], cfg, h, None, temb, None, rope_main, None, bias, flags, attn_impl
             )
             if len(bps) == 2:
-                h = h.at[:, Lt:, :].add(bps[1])
+                h = h.at[:, Lt:, :].add(jax.lax.dynamic_index_in_dim(ctrl_s_smp, bps[1], 0, keepdims=False))
             return h, None
 
         body_s = jax.checkpoint(single_body_nc) if remat else single_body_nc

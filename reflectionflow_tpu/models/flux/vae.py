@@ -296,7 +296,16 @@ def vae_decode_tiled(
     _, h, w, _ = latents.shape
     if h <= tile_latent and w <= tile_latent:
         return decode_fn(latents)
-    return _tiled_grid(decode_fn, latents, tile_latent, overlap_factor, tile_latent * cfg.downscale)
+    tile_out = tile_latent * cfg.downscale
+    stride, blend = int(tile_latent * (1.0 - overlap_factor)), int(tile_out * overlap_factor)
+    # stitch invariant: each kept tile extent (tile_out - blend) must equal
+    # the latent stride upscaled, or the output is silently mis-sized/shifted
+    assert stride * cfg.downscale == tile_out - blend, (
+        f"tile_latent {tile_latent} / overlap {overlap_factor} misalign: kept "
+        f"extent {tile_out - blend}px != stride {stride}*{cfg.downscale}px — "
+        f"pick an overlap where int(tile*(1-f))*scale == tile*scale - int(tile*scale*f)"
+    )
+    return _tiled_grid(decode_fn, latents, tile_latent, overlap_factor, tile_out)
 
 
 def vae_encode_tiled(

@@ -125,36 +125,22 @@ class QwenVLGenerator:
                         quantize_min_size: int = 1 << 18, device_index: int | None = None, **kw):
         if model_path is None:
             raise ValueError("local_qwen reflector needs a model path (or pass a QwenVLModel directly)")
-        import contextlib
-
-        import jax as _jax
-
+        from ...utils.device import on_device, pin, quantize_blocks
         from ...utils.hf_loader import load_qwen_vl
 
-        # device_index: build + quantize + pin on a secondary chip so no
-        # intermediate materializes next to the generator's resident DiT
-        # (same recipe as QwenRewardVerifier — the reflection model is its
-        # own 7B checkpoint and gets its own chip, the analogue of the
-        # reference's separate reflection GPU, tts_reflectionflow.py:24)
-        dev = _jax.devices()[device_index] if device_index is not None else None
-        ctx = _jax.default_device(dev) if dev is not None else contextlib.nullcontext()
-        with ctx:
+        # device_index: build + quantize + pin on a secondary chip
+        # (utils.device) — the reflection model is its own 7B checkpoint
+        # and gets its own chip, the analogue of the reference's separate
+        # reflection GPU (tts_reflectionflow.py:24)
+        with on_device(device_index) as dev:
             model, tokenizer = load_qwen_vl(model_path)
             model = _maybe_fold_adapter(model, model_path)
             if quantize == "int8":
-                from ...ops.quant import quantize_dit_params
-
-                model.lm_params = dict(
-                    model.lm_params,
-                    blocks=quantize_dit_params({"b": model.lm_params["blocks"]}, min_size=quantize_min_size)["b"],
-                )
-                model.vision_params = dict(
-                    model.vision_params,
-                    blocks=quantize_dit_params({"b": model.vision_params["blocks"]}, min_size=quantize_min_size)["b"],
-                )
-            if dev is not None:
-                model.lm_params = _jax.device_put(model.lm_params, dev)
-                model.vision_params = _jax.device_put(model.vision_params, dev)
+                model.lm_params = quantize_blocks(model.lm_params, quantize_min_size)
+                model.vision_params = quantize_blocks(model.vision_params, quantize_min_size)
+            model.lm_params, model.vision_params = pin(
+                dev, model.lm_params, model.vision_params
+            )
         return cls(model=model, tokenizer=tokenizer, **kw)
 
     # -- batched core --------------------------------------------------------

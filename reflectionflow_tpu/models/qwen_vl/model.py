@@ -45,7 +45,7 @@ def get_rope_index(
     Video pads (`video_pad_id`) use the same grid walk with the temporal
     stream scaled by wall-clock: t index = frame_group * seconds_per_grid *
     tokens_per_second (Qwen2.5-VL's video M-RoPE; for images t=1 so the
-    scale is moot). `seconds_per_grid` may be per-visual (list) or shared.
+    scale is moot). `seconds_per_grid` is shared (scalar) or per-VIDEO (list).
     NOTE two transformers conventions mirrored here so positions match a
     reward checkpoint trained through that stack (parity-pinned in
     tests/test_qwen_parity.py): (a) second_per_grid_t is cast to int64

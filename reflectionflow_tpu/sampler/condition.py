@@ -24,7 +24,7 @@ import numpy as np
 from ..config import FluxVAEConfig
 from ..models.flux.latents import pack_latents
 from ..models.flux.rope import make_image_ids
-from ..models.flux.vae import vae_encode
+from ..models.flux.vae import vae_encode, vae_encode_tiled
 
 # condition_type -> type id (parity with condition.py:10-21; only "cot" is
 # exercised by ReflectionFlow)
@@ -120,18 +120,21 @@ def encode_conditions(
     vae_cfg: FluxVAEConfig,
     dtype=jnp.bfloat16,
     empty: bool = False,
+    tiled: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Batch-encode one condition per candidate.
 
     Returns (cond_tokens (B, L_c, C*4), cond_ids (L_c, 3)). All conditions
     in the batch must share size and position_delta (uniform-shape rule for
-    the jitted DiT)."""
+    the jitted DiT). `tiled` routes through `vae_encode_tiled` (diffusers
+    enable_vae_tiling covers encode too) — a no-op at <=512px conditions."""
     enc = vae_params["encoder"] if "encoder" in vae_params else vae_params
+    _encode = vae_encode_tiled if tiled else vae_encode
     if empty:
         # black image: encode ONE frame and broadcast (all-identical batch)
         H, W = conditions[0].preprocess().shape[:2]
         x = np.full((1, H, W, 3), -1.0, np.float32)
-        latents = vae_encode(enc, vae_cfg, jnp.asarray(x, dtype))
+        latents = _encode(enc, vae_cfg, jnp.asarray(x, dtype))
         tokens = jnp.broadcast_to(
             pack_latents(latents), (len(conditions),) + pack_latents(latents).shape[1:]
         )
@@ -139,7 +142,7 @@ def encode_conditions(
     else:
         imgs = np.stack([c.preprocess() for c in conditions])  # (B, H, W, 3) uint8
         x = imgs.astype(np.float32) / 127.5 - 1.0
-        latents = vae_encode(enc, vae_cfg, jnp.asarray(x, dtype))  # deterministic (mode)
+        latents = _encode(enc, vae_cfg, jnp.asarray(x, dtype))  # deterministic (mode)
         tokens = pack_latents(latents)
     ty = latents.shape[1] // 2
     tx = latents.shape[2] // 2

@@ -46,7 +46,7 @@ class FluxPipeline:
     cond_dit_params: Any = None  # LoRA-folded view for the cond stream (lora.make_dit_param_views)
     mesh: Any = None  # jax.sharding.Mesh: candidates sharded over "data"
     rope_layout: str = "pair"  # "split" after quantize() permutes q/k (ops.fuse)
-    vae_tiling: bool = False  # diffusers enable_vae_tiling: 512px-tile decode
+    vae_tiling: bool = False  # diffusers enable_vae_tiling: 512px-tile encode+decode
 
     # -- construction -------------------------------------------------------
 
@@ -332,10 +332,13 @@ class FluxPipeline:
 
         cond = cond_ids = cond_empty = None
         if conditions:
-            cond, cond_ids = encode_conditions(conditions, self.params["vae"], self.vae_cfg, self.dtype)
+            cond, cond_ids = encode_conditions(
+                conditions, self.params["vae"], self.vae_cfg, self.dtype, tiled=self.vae_tiling
+            )
             if image_guidance_scale != 1.0:
                 cond_empty, _ = encode_conditions(
-                    conditions, self.params["vae"], self.vae_cfg, self.dtype, empty=True
+                    conditions, self.params["vae"], self.vae_cfg, self.dtype, empty=True,
+                    tiled=self.vae_tiling,
                 )
 
         if self.mesh is not None and B % self.mesh.shape["data"] == 0:

@@ -67,42 +67,23 @@ class NvilaJaxVerifier(Verifier):
     def __init__(self, model=None, model_path: str | None = None, quantize: str | None = None,
                  quantize_min_size: int = 1 << 18, device_index: int | None = None,
                  tokenizer=None, **_):
-        import contextlib
-
-        import jax
-
         if model is None:
+            from ..utils.device import on_device, pin, quantize_blocks
             from ..utils.hf_loader import load_nvila
 
             if model_path is None:
                 raise ValueError("nvila_jax needs model_path (a VILA bundle dir) or a NvilaModel")
-            # build + quantize + pin under default_device so nothing
-            # materializes next to a resident DiT (same recipe as
-            # QwenRewardVerifier; an int8 2B NVILA is ~2.4 GB and CAN
-            # co-reside with the 11.9 GB W8A8 DiT on one 16 GB chip)
-            dev = jax.devices()[device_index] if device_index is not None else None
-            ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
-            with ctx:
+            # build + quantize + pin on the target chip (utils.device: an
+            # int8 2B NVILA is ~2.4 GB and CAN co-reside with the 11.9 GB
+            # W8A8 DiT on one 16 GB chip, so device_index is optional)
+            with on_device(device_index) as dev:
                 model = load_nvila(model_path)
                 if quantize == "int8":
-                    from ..ops.quant import quantize_dit_params
-
-                    model.lm_params = dict(
-                        model.lm_params,
-                        blocks=quantize_dit_params(
-                            {"b": model.lm_params["blocks"]}, min_size=quantize_min_size
-                        )["b"],
-                    )
-                    model.vis_params = dict(
-                        model.vis_params,
-                        blocks=quantize_dit_params(
-                            {"b": model.vis_params["blocks"]}, min_size=quantize_min_size
-                        )["b"],
-                    )
-                if dev is not None:
-                    model.lm_params = jax.device_put(model.lm_params, dev)
-                    model.vis_params = jax.device_put(model.vis_params, dev)
-                    model.proj_params = jax.device_put(model.proj_params, dev)
+                    model.lm_params = quantize_blocks(model.lm_params, quantize_min_size)
+                    model.vis_params = quantize_blocks(model.vis_params, quantize_min_size)
+                model.lm_params, model.vis_params, model.proj_params = pin(
+                    dev, model.lm_params, model.vis_params, model.proj_params
+                )
         self.model = model
         if tokenizer is not None:
             model.tokenizer = tokenizer

@@ -64,18 +64,14 @@ class QwenRewardVerifier(Verifier):
         device_index: int | None = None,
         **_,
     ):
-        import contextlib
+        from ..utils.device import on_device, pin, quantize_blocks
 
         # second-chip deployment: the 9.3 GB verifier does not co-reside
-        # with the 11.9 GB DiT on one 16 GB chip (docs/DEPLOYMENT.md).
-        # The ENTIRE construction — LoRA fold, quantization, device_put —
-        # runs under default_device(target) so no intermediate (folded bf16
-        # leaves, int8 blocks) ever materializes on the generator's chip;
-        # jitted calls then follow their operands' placement, so scoring
-        # runs on the target chip too.
-        dev = jax.devices()[device_index] if device_index is not None else None
-        ctx = jax.default_device(dev) if dev is not None else contextlib.nullcontext()
-        with ctx:
+        # with the 11.9 GB DiT on one 16 GB chip (docs/DEPLOYMENT.md) —
+        # utils.device runs the whole construction (LoRA fold, quantize,
+        # pin) on the target chip; jitted calls then follow their
+        # operands' placement, so scoring runs there too.
+        with on_device(device_index) as dev:
             if model is None:
                 from ..utils.hf_loader import load_qwen_vl
 
@@ -86,23 +82,13 @@ class QwenRewardVerifier(Verifier):
             if model_path is not None:
                 model = self._apply_rm_adapter(model, model_path, head)
             if quantize == "int8":
-                # serve the 7B verifier in int8 on a 16 GB chip: W8A8 LM blocks
-                # (after the LoRA fold so deltas are captured), int8 vision blocks
-                from ..ops.quant import quantize_dit_params
-
-                model.lm_params = dict(
-                    model.lm_params,
-                    blocks=quantize_dit_params({"b": model.lm_params["blocks"]}, min_size=quantize_min_size)["b"],
-                )
-                model.vision_params = dict(
-                    model.vision_params,
-                    blocks=quantize_dit_params({"b": model.vision_params["blocks"]}, min_size=quantize_min_size)["b"],
-                )
-            if dev is not None:  # pin host-loaded leaves too (default_device
-                # only places computed arrays, not numpy trees)
-                model.lm_params = jax.device_put(model.lm_params, dev)
-                model.vision_params = jax.device_put(model.vision_params, dev)
-                head.w = jax.device_put(head.w, dev)
+                # int8 on a 16 GB chip: W8A8 LM blocks (after the LoRA
+                # fold so deltas are captured), int8 vision blocks
+                model.lm_params = quantize_blocks(model.lm_params, quantize_min_size)
+                model.vision_params = quantize_blocks(model.vision_params, quantize_min_size)
+            model.lm_params, model.vision_params, head.w = pin(
+                dev, model.lm_params, model.vision_params, head.w
+            )
         self.rm = QwenRewardModel(model, head)
         self.tokenizer = tokenizer
         self.max_pixels = max_pixels
