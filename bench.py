@@ -533,9 +533,33 @@ def run_stage(stage: str, batch: int | None = None) -> None:
     }))
 
 
+def _wait_for_service(max_wait_s: float = 2700.0, poll_s: float = 300.0) -> bool:
+    """Poll a trivial jitted sum in a subprocess until the TPU service
+    answers (the axon backend can be hard-down — fast UNAVAILABLE on init —
+    for tens of minutes after a client crash elsewhere). True = recovered."""
+    import subprocess
+    import time
+
+    deadline = time.monotonic() + max_wait_s
+    while time.monotonic() < deadline:
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp, numpy as np;"
+                 "print(float(np.asarray(jax.jit(lambda x: jnp.sum(x))(jnp.ones((8, 8))))))"],
+                capture_output=True, timeout=min(poll_s * 2, 600),
+            )
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        log("# service probe failed; retrying")
+        time.sleep(poll_s)
+    return False
+
+
 def main():
     import argparse
-    import subprocess
 
     p = argparse.ArgumentParser()
     p.add_argument("--stage", choices=STAGES, default=None)
@@ -544,7 +568,23 @@ def main():
     if args.stage:
         run_stage(args.stage, batch=args.batch)
         return
-    # parent: try stages best-first, each in its own TPU client process
+    # Stage sweep, with one outage retry: if EVERY stage fails (a hard-down
+    # service errors each client in seconds), wait for the service to answer
+    # a probe and sweep once more before giving up.
+    for outage_round in range(2):
+        if _try_stages(args):
+            return
+        if outage_round == 0:
+            log("# all stages failed; waiting for the TPU service before one retry")
+            if not _wait_for_service():
+                break
+    raise SystemExit("all bench stages failed")
+
+
+def _try_stages(args) -> bool:
+    import subprocess
+
+    # try stages best-first, each in its own TPU client process
     for stage in STAGES:
         if stage == "e2e_swap_batch" and (args.batch is not None or BEST_BATCH == 1):
             # skip when redundant: an explicit --batch flows into e2e_swap
@@ -577,9 +617,9 @@ def main():
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
         if proc.returncode == 0 and line.startswith("{"):
             print(line)
-            return
+            return True
         log(f"# stage {stage} failed (rc={proc.returncode}); falling back")
-    raise SystemExit("all bench stages failed")
+    return False
 
 
 if __name__ == "__main__":
