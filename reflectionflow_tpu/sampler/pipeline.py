@@ -227,20 +227,28 @@ class FluxPipeline:
 
     # -- text ---------------------------------------------------------------
 
-    def encode_prompts(self, prompts: Sequence[str], max_sequence_length: int = 512):
+    def encode_prompts(self, prompts: Sequence[str], max_sequence_length: int = 512,
+                       prompts_2: Sequence[str] | None = None):
         """-> (txt (B, L, text_dim), pooled (B, pooled_dim)), on device.
 
         T5 for the sequence stream, CLIP for the pooled AdaLN vector —
         semantics of `pipeline_tools.prepare_text_input`
         (/root/reference/train_flux/flux/pipeline_tools.py:33-52).
+        `prompts_2` splits the towers the way diffusers' prompt_2 does
+        (CLIP pools `prompts`, T5 encodes `prompts_2`) — the corrector's
+        standalone sampler feeds the original prompt to CLIP and the
+        reflection-suffixed one to T5
+        (/root/reference/train_flux/sample.py:158-170).
 
-        Under `enable_phase_swap`, embeddings are cached per (prompt, L):
-        only cache misses touch the text encoders, which are uploaded for
-        the miss batch and freed again before the DiT phase."""
+        Under `enable_phase_swap`, embeddings are cached per
+        ((clip_prompt, t5_prompt), L): only cache misses touch the text
+        encoders, which are uploaded for the miss batch and freed again
+        before the DiT phase."""
+        pairs = list(zip(prompts, prompts_2 if prompts_2 is not None else prompts))
         cache = getattr(self, "_embed_cache", None)
         if cache is None:
-            return self._encode_raw(prompts, max_sequence_length)
-        misses = sorted({p for p in prompts if (p, max_sequence_length) not in cache})
+            return self._encode_raw(pairs, max_sequence_length)
+        misses = sorted({pr for pr in pairs if (pr, max_sequence_length) not in cache})
         if misses:
             hold = getattr(self, "_hold_encoders", False)
             for n in self._swap:
@@ -248,12 +256,12 @@ class FluxPipeline:
             txt_m, pooled_m = self._encode_raw(misses, max_sequence_length)
             txt_m = np.asarray(txt_m)
             pooled_m = np.asarray(pooled_m)
-            for i, p in enumerate(misses):
-                cache[(p, max_sequence_length)] = (txt_m[i], pooled_m[i])
+            for i, pr in enumerate(misses):
+                cache[(pr, max_sequence_length)] = (txt_m[i], pooled_m[i])
             # bounded: refined-prompt loops mint new prompts every round and
             # would otherwise leak ~4 MB of host RAM per prompt forever.
             # Never evict keys the CURRENT call is about to read.
-            needed = {(p, max_sequence_length) for p in prompts}
+            needed = {(pr, max_sequence_length) for pr in pairs}
             while len(cache) > self._embed_cache_cap:
                 victim = next((k for k in cache if k not in needed), None)
                 if victim is None:
@@ -262,8 +270,8 @@ class FluxPipeline:
             if not hold:
                 for n in self._swap:
                     self._offload(n)
-        txt = np.stack([cache[(p, max_sequence_length)][0] for p in prompts])
-        pooled = np.stack([cache[(p, max_sequence_length)][1] for p in prompts])
+        txt = np.stack([cache[(pr, max_sequence_length)][0] for pr in pairs])
+        pooled = np.stack([cache[(pr, max_sequence_length)][1] for pr in pairs])
         return jnp.asarray(txt), jnp.asarray(pooled)
 
     def warm_prompt_cache(self, prompts: Sequence[str], max_sequence_length: int = 512, batch: int = 16) -> None:
@@ -281,10 +289,13 @@ class FluxPipeline:
             for n in getattr(self, "_swap", ()):
                 self._offload(n)
 
-    def _encode_raw(self, prompts: Sequence[str], max_sequence_length: int):
-        t5_in = self.t5_tokenizer(list(prompts), max_length=max_sequence_length)
+    def _encode_raw(self, pairs: Sequence, max_sequence_length: int):
+        # each entry is (clip_prompt, t5_prompt) — identical unless the
+        # caller split the towers via prompts_2; bare strings also accepted
+        pairs = [(p, p) if isinstance(p, str) else p for p in pairs]
+        t5_in = self.t5_tokenizer([t for _, t in pairs], max_length=max_sequence_length)
         txt = t5_encode(self.params["t5"], self.t5_cfg, jnp.asarray(t5_in["input_ids"]))
-        clip_in = self.clip_tokenizer(list(prompts), max_length=self.clip_cfg.max_position_embeddings)
+        clip_in = self.clip_tokenizer([c for c, _ in pairs], max_length=self.clip_cfg.max_position_embeddings)
         _, pooled = clip_text_encode(self.params["clip"], self.clip_cfg, jnp.asarray(clip_in["input_ids"]))
         return txt.astype(self.dtype), pooled.astype(self.dtype)
 
@@ -306,12 +317,15 @@ class FluxPipeline:
         output_type: str = "np",
         txt: jnp.ndarray | None = None,
         pooled: jnp.ndarray | None = None,
+        prompts_2: Sequence[str] | None = None,
     ):
         """Sample images. Returns uint8 images (B, H, W, 3) for 'np', raw
         packed latents for 'latent'.
 
         `latents` injection (packed (B, L, C)) bypasses seeding — the
-        determinism contract: same latents -> same images."""
+        determinism contract: same latents -> same images. `prompts_2`
+        splits the text towers (diffusers prompt_2 semantics — see
+        `encode_prompts`)."""
         B = len(prompts)
         down = self.vae_cfg.downscale
         ty, tx = latent_tokens(height, width, down)
@@ -325,7 +339,7 @@ class FluxPipeline:
                 vae_downscale=down,
             )
         if txt is None or pooled is None:
-            txt, pooled = self.encode_prompts(prompts, max_sequence_length)
+            txt, pooled = self.encode_prompts(prompts, max_sequence_length, prompts_2=prompts_2)
         img_ids = jnp.asarray(make_image_ids(ty, tx))
         txt_ids = jnp.asarray(make_text_ids(txt.shape[1]))
         sigmas = make_schedule(num_inference_steps, ty * tx)

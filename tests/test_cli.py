@@ -182,3 +182,37 @@ def test_shipped_presets_parse():
         cfg = TTSConfig.load(os.path.join(repo, "configs", k))
         assert cfg.pipeline_args.quantize == "int8", k
         assert cfg.batch_size_for_img_gen == 1, k
+
+
+def test_sample_cli_corrector_standalone(tmp_path):
+    """Working equivalent of the reference's broken train_flux/sample.py:
+    (bad image, prompt, reflection) -> corrected sheet via the cot
+    Condition + prompt/prompt_2 tower split."""
+    import numpy as np
+
+    from reflectionflow_tpu.cli.sample import main
+    from reflectionflow_tpu.search.artifacts import save_image
+
+    cfg_path = write_tiny_config(str(tmp_path / "cfg.json"))
+    rng = np.random.default_rng(0)
+    save_image(str(tmp_path / "bad.png"), rng.integers(0, 255, (20, 24, 3), dtype=np.uint8))
+    save_image(str(tmp_path / "good.png"), rng.integers(0, 255, (24, 28, 3), dtype=np.uint8))
+    meta = [
+        {"prompt": "a cat", "bad_image": "bad.png", "good_image": "good.png",
+         "reflection": "make it fluffier", "image_id": "pair0"},
+        {"prompt": "a dog", "bad_image": "bad.png", "instruction": "fix the ears"},
+    ]
+    with open(tmp_path / "pairs.json", "w") as f:
+        json.dump(meta, f)
+    out = str(tmp_path / "out")
+    main([
+        "--pipeline_config_path", cfg_path, "--meta_path", str(tmp_path / "pairs.json"),
+        "--output_dir", out, "--root_dir", str(tmp_path), "--synthetic_weights",
+    ])
+    import PIL.Image
+
+    sheet0 = np.asarray(PIL.Image.open(os.path.join(out, "pair0.png")))
+    sheet1 = np.asarray(PIL.Image.open(os.path.join(out, "result_1.png")))
+    # tiny config: target 16, cond 8 -> [cond|good|result] = 48 wide, no-good item 32
+    assert sheet0.shape == (16, 48, 3)
+    assert sheet1.shape == (16, 32, 3)

@@ -190,7 +190,8 @@ def test_enable_prompt_cache_without_phase_swap(key):
     assert pipe.params["t5"] is not None
     # warm_prompt_cache works and only encodes the new prompt
     pipe.warm_prompt_cache(["a", "c"], 16)
-    assert len(calls) == 2 and calls[1] == ["c"]
+    # _encode_raw receives (clip_prompt, t5_prompt) pairs since prompts_2
+    assert len(calls) == 2 and calls[1] == [("c", "c")]
 
 
 def test_vae_tiling_pipeline_path(pipe):
@@ -203,3 +204,22 @@ def test_vae_tiling_pipeline_path(pipe):
     finally:
         pipe.vae_tiling = False
     np.testing.assert_array_equal(base, tiled)
+
+
+def test_prompts_2_splits_the_towers(pipe):
+    """diffusers prompt_2 semantics (reference sample.py:158-170): CLIP
+    pools `prompts`, T5 encodes `prompts_2`."""
+    txt_a, pooled_a = pipe.encode_prompts(["a cat"], 16)
+    txt_b, pooled_b = pipe.encode_prompts(["a reflected dog"], 16)
+    txt_s, pooled_s = pipe.encode_prompts(["a cat"], 16, prompts_2=["a reflected dog"])
+    # T5 stream follows prompts_2, pooled follows prompts
+    np.testing.assert_allclose(np.asarray(txt_s), np.asarray(txt_b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(pooled_s), np.asarray(pooled_a), atol=1e-6)
+    assert not np.allclose(np.asarray(txt_s), np.asarray(txt_a))
+    assert not np.allclose(np.asarray(pooled_s), np.asarray(pooled_b))
+    # and generate() accepts the split without disturbing determinism
+    i1 = pipe.generate(["a cat"], prompts_2=["a reflected dog"], height=SIZE, width=SIZE,
+                       num_inference_steps=2, seed=7)
+    i2 = pipe.generate(["a cat"], prompts_2=["a reflected dog"], height=SIZE, width=SIZE,
+                       num_inference_steps=2, seed=7)
+    np.testing.assert_array_equal(i1, i2)
