@@ -346,7 +346,7 @@ def _stacked_nf4(key, n, d_in, d_out):
     }
 
 
-def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1) -> dict | None:
+def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1, pipelined: int = 0) -> dict | None:
     """TRUE end-to-end single-chip image cost: T5-XXL(int4) encode +
     CLIP pooled + 30-step int8 DiT denoise + VAE decode + host image fetch.
     Co-resident by default; with `phase_swap` the T5 tree lives on host and
@@ -438,10 +438,23 @@ def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1) -> dict | No
     t0 = time.perf_counter()
     decode(final)  # image fetch included
     t_dec = max(time.perf_counter() - t0 - rtt, 0.0)
+    t_pipe = None
+    if pipelined and batch == 1:
+        # steady-state serving order (search/reflectionflow.py dispatches
+        # every candidate's denoise+decode before fetching any image —
+        # "dispatch every micro-batch before fetching"): candidate k's
+        # host fetch rides candidate k+1's device time instead of stalling
+        # the serial queue. `pipelined` = the search branch (2).
+        float(np.asarray(_SUM(latents)))  # drain the queue
+        t0 = time.perf_counter()
+        dev_imgs = [decode_one(run_denoise(txt, pooled)) for _ in range(pipelined)]
+        fetched = [np.asarray(x) for x in dev_imgs]
+        t_pipe = max(time.perf_counter() - t0 - rtt, 0.0)
+        assert fetched[0].shape == (1, TY * 16, TX * 16, 3)
     mode = "phase-swap" if phase_swap else "co-resident"
     t5_kind = "int8-T5" if phase_swap else "int4-T5"
     dit_kind = "W8A8 DiT" if phase_swap else "W8A8+int4MLP DiT"
-    return {
+    out = {
         "t_image_s": (t_enc + t_den + t_dec) / batch,
         "config": f"e2e {t5_kind} encode + {dit_kind} 19/38 (pallas flash attn, split rope) + VAE decode, {mode}, B={batch}",
         "t_encode_s": round(t_enc, 3),
@@ -449,6 +462,12 @@ def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1) -> dict | No
         "t_decode_fetch_s": round(t_dec, 3),
         "t_batch_s": round(t_enc + t_den + t_dec, 3),
     }
+    if t_pipe is not None:
+        out["t_image_s"] = t_enc + t_pipe / pipelined
+        out["t_pipelined_total_s"] = round(t_pipe, 3)
+        out["pipelined_candidates"] = pipelined
+        out["config"] += f", branch-{pipelined} steady state (deferred fetch)"
+    return out
 
 
 def bench_int8_full(rtt: float) -> dict | None:
@@ -497,7 +516,9 @@ def bench_bf16_extrapolated(rtt: float) -> dict:
 # serving profile (candidates are a batch axis; the reference loops bs=1).
 # Then single-image phase-swap, then the int4-MLP CO-RESIDENT profile
 # (dit_quant="int8_int4mlp") — fits with no swap, slower w4a16 MLPs.
-STAGES = ("e2e_swap_batch", "e2e_swap", "e2e", "int8", "bf16")
+# e2e_swap_pipe first: phase-swap W8A8 measured in the search loop's
+# dispatch-then-fetch order (branch-2 steady state) — the serving metric.
+STAGES = ("e2e_swap_pipe", "e2e_swap_batch", "e2e_swap", "e2e", "int8", "bf16")
 
 
 def run_stage(stage: str, batch: int | None = None) -> None:
@@ -508,6 +529,8 @@ def run_stage(stage: str, batch: int | None = None) -> None:
     rtt = measure_rtt()
     if stage == "e2e":
         primary = bench_e2e(rtt, phase_swap=False, batch=batch or BATCH)
+    elif stage == "e2e_swap_pipe":
+        primary = bench_e2e(rtt, phase_swap=True, batch=batch or BATCH, pipelined=2)
     elif stage == "e2e_swap":
         primary = bench_e2e(rtt, phase_swap=True, batch=batch or BATCH)
     elif stage == "e2e_swap_batch":
