@@ -439,7 +439,13 @@ def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1, pipelined: i
     decode(final)  # image fetch included
     t_dec = max(time.perf_counter() - t0 - rtt, 0.0)
     t_pipe = None
-    if pipelined and batch == 1:
+    if pipelined and batch != 1:
+        # the deferred-fetch order is defined per candidate; at B>1 the
+        # plain per-phase numbers are what's meaningful — say so instead of
+        # silently reporting an e2e_swap-shaped result under the pipe stage
+        log(f"# pipelined order needs batch=1 (got {batch}); reporting per-phase numbers")
+        pipelined = 0
+    if pipelined:
         # steady-state serving order (search/reflectionflow.py dispatches
         # every candidate's denoise+decode before fetching any image —
         # "dispatch every micro-batch before fetching"): candidate k's
@@ -556,26 +562,38 @@ def run_stage(stage: str, batch: int | None = None) -> None:
     }))
 
 
+def _probe_service(timeout_s: float = 3000.0) -> bool:
+    """Run a trivial jitted sum in a subprocess. True = service answered.
+
+    The timeout must stay LONG (50 min): in the wedge mode clients hang in
+    device init, and timeout-killing a hung TPU client wedges the service
+    for another ~30-40 min — a short kill-and-retry loop actively prevents
+    the recovery it waits for. Waiting inside one hung probe IS the wait."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp, numpy as np;"
+             "print(float(np.asarray(jax.jit(lambda x: jnp.sum(x))(jnp.ones((8, 8))))))"],
+            capture_output=True, timeout=timeout_s,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def _wait_for_service(max_wait_s: float = 2700.0, poll_s: float = 300.0) -> bool:
     """Poll a trivial jitted sum in a subprocess until the TPU service
     answers (the axon backend can be hard-down — fast UNAVAILABLE on init —
-    for tens of minutes after a client crash elsewhere). True = recovered."""
-    import subprocess
+    for tens of minutes after a client crash elsewhere). True = recovered.
+    A hung probe may overshoot max_wait_s by design (see _probe_service)."""
     import time
 
     deadline = time.monotonic() + max_wait_s
     while time.monotonic() < deadline:
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp, numpy as np;"
-                 "print(float(np.asarray(jax.jit(lambda x: jnp.sum(x))(jnp.ones((8, 8))))))"],
-                capture_output=True, timeout=min(poll_s * 2, 600),
-            )
-            if proc.returncode == 0:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
+        if _probe_service():
+            return True
         log("# service probe failed; retrying")
         time.sleep(poll_s)
     return False
@@ -626,14 +644,7 @@ def _try_stages(args) -> bool:
             # ~30-40 min, so PROBE (trivial jitted sum) before the next stage
             # rather than launching a fresh client straight into the wedge
             log(f"# stage {stage} timed out after {e.timeout}s; probing service before next stage")
-            try:
-                subprocess.run(
-                    [sys.executable, "-c",
-                     "import jax, jax.numpy as jnp, numpy as np;"
-                     "print(float(np.asarray(jax.jit(lambda x: jnp.sum(x))(jnp.ones((8, 8))))))"],
-                    capture_output=True, timeout=3000,
-                )
-            except subprocess.TimeoutExpired:
+            if not _probe_service():
                 log("# service probe also timed out; trying the next stage anyway")
             continue
         sys.stderr.write(proc.stderr)

@@ -63,6 +63,12 @@ def load_config(args) -> TTSConfig:
     return TTSConfig.load(args.pipeline_config_path, overrides)
 
 
+def slice_rows(rows: list, args) -> list:
+    """--start_index/--end_index window (end_index < 0 means "to the end")."""
+    end = args.end_index if args.end_index >= 0 else len(rows)
+    return rows[args.start_index : end]
+
+
 def load_prompts(args) -> list[dict]:
     if args.prompt is not None:
         return [{"prompt": args.prompt, "tag": None}]
@@ -72,8 +78,7 @@ def load_prompts(args) -> list[dict]:
             line = line.strip()
             if line:
                 rows.append(json.loads(line))
-    end = args.end_index if args.end_index >= 0 else len(rows)
-    return rows[args.start_index : end]
+    return slice_rows(rows, args)
 
 
 def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:

@@ -27,9 +27,9 @@ import random
 import numpy as np
 
 from ..sampler.condition import Condition, cot_position_delta
-from ..search.artifacts import save_image
+from ..search.artifacts import load_image, save_image
 from ..utils.timing import PhaseTimer
-from .common import build_parser, load_config, load_pipeline
+from .common import build_parser, load_config, load_pipeline, slice_rows
 
 
 def _reflection_of(item: dict) -> str:
@@ -93,18 +93,21 @@ def main(argv=None):
     cfg = load_config(args)
     pa = cfg.pipeline_args
     target, cond_size = pa.height, pa.condition_size
+    if cond_size > target:
+        raise SystemExit(
+            f"condition_size ({cond_size}) must not exceed height ({target}): "
+            "the condition panel is pasted into a height-sized sheet column"
+        )
     pipe = load_pipeline(cfg, args)
-    items = _load_items(args.meta_path)
-    end = args.end_index if args.end_index >= 0 else len(items)
-    items = items[args.start_index : end]
+    items = slice_rows(_load_items(args.meta_path), args)
     out_dir = cfg.output_dir
     os.makedirs(out_dir, exist_ok=True)
-    rng = random.Random(args.seed)
     timer = PhaseTimer()
 
     for idx, item in enumerate(items):
-        from ..search.artifacts import load_image
-
+        # per-item crop RNG keyed on the GLOBAL index: the same item gets
+        # the same crop whether the run starts at 0 or resumes mid-list
+        rng = random.Random(args.seed * 1_000_003 + args.start_index + idx)
         bad = load_image(os.path.join(args.root_dir, item["bad_image"]))
         good = (
             load_image(os.path.join(args.root_dir, item["good_image"]))
@@ -122,7 +125,10 @@ def main(argv=None):
                 num_inference_steps=pa.num_inference_steps,
                 guidance_scale=pa.guidance_scale,
                 max_sequence_length=pa.max_sequence_length,
-                seed=args.seed,
+                # fresh noise per item (the reference draws unseeded noise
+                # per call, sample.py:158-170) but still deterministic and
+                # resume-stable under --start_index
+                seed=args.seed + args.start_index + idx,
                 conditions=[condition],
                 image_guidance_scale=args.image_guidance_scale,
             )[0]

@@ -244,6 +244,10 @@ class FluxPipeline:
         ((clip_prompt, t5_prompt), L): only cache misses touch the text
         encoders, which are uploaded for the miss batch and freed again
         before the DiT phase."""
+        if prompts_2 is not None and len(prompts_2) != len(prompts):
+            raise ValueError(
+                f"prompts_2 must pair 1:1 with prompts: got {len(prompts_2)} vs {len(prompts)}"
+            )
         pairs = list(zip(prompts, prompts_2 if prompts_2 is not None else prompts))
         cache = getattr(self, "_embed_cache", None)
         if cache is None:
