@@ -223,3 +223,14 @@ def test_prompts_2_splits_the_towers(pipe):
     i2 = pipe.generate(["a cat"], prompts_2=["a reflected dog"], height=SIZE, width=SIZE,
                        num_inference_steps=2, seed=7)
     np.testing.assert_array_equal(i1, i2)
+
+
+def test_prompts_2_length_mismatch_raises(pipe):
+    """A mispaired prompts_2 must fail at the API boundary, not zip-truncate
+    into a wrong-batch encode."""
+    import pytest
+
+    with pytest.raises(ValueError, match="prompts_2"):
+        pipe.encode_prompts(["a", "b"], 16, prompts_2=["x"])
+    with pytest.raises(ValueError, match="prompts_2"):
+        pipe.encode_prompts(["a"], 16, prompts_2=["x", "y"])
