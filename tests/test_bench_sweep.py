@@ -1,0 +1,103 @@
+"""Control-flow tests for bench.py's stage sweep and outage recovery.
+
+bench.py is the driver-facing artifact: a regression in its fallback logic
+silently costs the round its headline number. The device-touching stages run
+in subprocesses, so the sweep itself is pure host control flow — testable by
+stubbing subprocess.run.
+"""
+
+import subprocess
+import sys
+import types
+
+import bench
+
+
+def _args(batch=None, stage=None):
+    return types.SimpleNamespace(batch=batch, stage=stage)
+
+
+class _Proc:
+    def __init__(self, rc=0, stdout="", stderr=""):
+        self.returncode = rc
+        self.stdout = stdout
+        self.stderr = stderr
+
+
+def test_try_stages_prints_first_success_and_skips_batch_stage(monkeypatch, capsys):
+    calls = []
+
+    def fake_run(cmd, **kw):
+        calls.append(cmd)
+        stage = cmd[cmd.index("--stage") + 1]
+        if stage == "e2e_swap":
+            return _Proc(0, stdout='{"metric": "m", "value": 1}\n')
+        return _Proc(1)
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench._try_stages(_args()) is True
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[-1] == '{"metric": "m", "value": 1}'
+    tried = [c[c.index("--stage") + 1] for c in calls]
+    # BEST_BATCH == 1 makes e2e_swap_batch redundant — it must be skipped
+    assert bench.BEST_BATCH == 1
+    assert "e2e_swap_batch" not in tried
+    # best-first order, stopping at the first success
+    assert tried == ["e2e_swap_pipe", "e2e_swap"]
+
+
+def test_try_stages_timeout_probes_service_then_continues(monkeypatch, capsys):
+    seq = []
+
+    def fake_run(cmd, **kw):
+        if "--stage" in cmd:
+            stage = cmd[cmd.index("--stage") + 1]
+            seq.append(("stage", stage))
+            if stage == "e2e_swap_pipe":
+                raise subprocess.TimeoutExpired(cmd, kw.get("timeout"))
+            return _Proc(0, stdout='{"metric": "m", "value": 2}\n')
+        seq.append(("probe", kw.get("timeout")))
+        return _Proc(0, stdout="1.0\n")
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench._try_stages(_args()) is True
+    # a hung stage triggers a probe BEFORE the next stage launches, and the
+    # probe must use the wedge-safe long timeout (never a sub-3000s kill)
+    assert seq[0] == ("stage", "e2e_swap_pipe")
+    assert seq[1][0] == "probe" and seq[1][1] >= 3000
+    assert seq[2] == ("stage", "e2e_swap")
+    assert capsys.readouterr().out.strip().endswith('{"metric": "m", "value": 2}')
+
+
+def test_try_stages_all_fail_returns_false(monkeypatch, capsys):
+    monkeypatch.setattr(subprocess, "run", lambda cmd, **kw: _Proc(1))
+    assert bench._try_stages(_args()) is False
+    assert capsys.readouterr().out.strip() == ""
+
+
+def test_explicit_batch_flows_into_stage_commands(monkeypatch, capsys):
+    cmds = []
+
+    def fake_run(cmd, **kw):
+        cmds.append(cmd)
+        return _Proc(0, stdout='{"metric": "m", "value": 3}\n')
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench._try_stages(_args(batch=2)) is True
+    assert cmds[0][-2:] == ["--batch", "2"]
+    capsys.readouterr()
+
+
+def test_probe_service_timeout_is_false_not_raise(monkeypatch):
+    def fake_run(cmd, **kw):
+        raise subprocess.TimeoutExpired(cmd, kw.get("timeout"))
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench._probe_service(timeout_s=1) is False
+
+
+def test_wait_for_service_recovers_and_gives_up(monkeypatch):
+    monkeypatch.setattr(bench, "_probe_service", lambda timeout_s=3000.0: True)
+    assert bench._wait_for_service(max_wait_s=1.0, poll_s=0.01) is True
+    monkeypatch.setattr(bench, "_probe_service", lambda timeout_s=3000.0: False)
+    assert bench._wait_for_service(max_wait_s=0.05, poll_s=0.01) is False
