@@ -8,7 +8,7 @@ import os
 import pytest
 
 
-def write_tiny_config(path, rounds=1, branch=2, verifier="fake"):
+def write_tiny_config(path, rounds=1, branch=2, verifier="fake", overrides=None):
     cfg = {
         "pipeline_args": {
             "torch_dtype": "fp32",
@@ -18,6 +18,7 @@ def write_tiny_config(path, rounds=1, branch=2, verifier="fake"):
             "max_sequence_length": 16,
             "guidance_scale": 3.5,
             "num_inference_steps": 2,
+            **(overrides or {}),
         },
         "verifier_args": {"name": verifier, "choice_of_metric": "overall_score"},
         "search_args": {"search_branch": branch, "search_rounds": rounds},
@@ -216,3 +217,12 @@ def test_sample_cli_corrector_standalone(tmp_path):
     # tiny config: target 16, cond 8 -> [cond|good|result] = 48 wide, no-good item 32
     assert sheet0.shape == (16, 48, 3)
     assert sheet1.shape == (16, 32, 3)
+    # a condition panel taller than the sheet must fail up front, before any
+    # generation runs (the sheet column is height-sized)
+    cfg_bad = write_tiny_config(str(tmp_path / "cfg_bad.json"),
+                                overrides={"condition_size": 32})
+    with pytest.raises(SystemExit, match="condition_size"):
+        main([
+            "--pipeline_config_path", cfg_bad, "--meta_path", str(tmp_path / "pairs.json"),
+            "--output_dir", out, "--root_dir", str(tmp_path), "--synthetic_weights",
+        ])
