@@ -62,6 +62,22 @@ FUSE_SINGLE_IO = True  # serving layout (ops.fuse.fuse_single_block_io)
 ROPE_LAYOUT = "split"
 TY = TX = 64  # 1024px -> 64x64 packed tokens
 LT = 512
+# --tiny: hermetic CPU mode (tiny configs, interpret-mode pallas). Exercises
+# every stage's control flow — phase ordering, pipelined dispatch-then-fetch,
+# per-image decode, the one-JSON-line contract — without TPU hardware, so a
+# stage regression is caught by CI instead of by the round's bench run.
+TINY = False
+ATTN_PALLAS = "pallas"
+
+
+def _enable_tiny() -> None:
+    global TINY, ATTN_PALLAS, TY, TX, LT, NUM_STEPS
+    jax.config.update("jax_platforms", "cpu")  # before first backend use
+    TINY = True
+    ATTN_PALLAS = "pallas_interpret"
+    TY = TX = 4
+    LT = 16
+    NUM_STEPS = 2
 
 
 def build_runner(cfg: FluxDiTConfig, params, attn_impl: str = "xla"):
@@ -362,10 +378,13 @@ def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1, pipelined: i
 
     import gc
 
-    dit_cfg = FluxDiTConfig()
-    t5_cfg = T5Config()
-    clip_cfg = CLIPTextConfig()
-    vae_cfg = FluxVAEConfig()
+    if TINY:
+        dit_cfg, t5_cfg = FluxDiTConfig.tiny(), T5Config.tiny()
+        clip_cfg, vae_cfg = CLIPTextConfig.tiny(), FluxVAEConfig.tiny()
+    else:
+        dit_cfg, t5_cfg = FluxDiTConfig(), T5Config()
+        clip_cfg, vae_cfg = CLIPTextConfig(), FluxVAEConfig()
+    px = 2 * vae_cfg.downscale  # pixels per packed token side (full: 16)
 
     rng = np.random.default_rng(1)
     t5_ids = jnp.asarray(rng.integers(0, t5_cfg.vocab_size, (batch, LT)), jnp.int32)
@@ -379,7 +398,9 @@ def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1, pipelined: i
 
     # --- encode phase (T5 + CLIP resident; in swap mode the DiT is not yet
     # up, so T5 can be the fast w8a16 int8 profile; co-resident needs NF4)
-    t5 = init_int8_t5(t5_cfg) if phase_swap else init_int4_t5(t5_cfg)
+    # tiny dims don't divide the NF4 group — tiny mode always takes the
+    # int8 profiles (the control flow under test is identical)
+    t5 = init_int8_t5(t5_cfg) if (phase_swap or TINY) else init_int4_t5(t5_cfg)
     clip = clip_text_init(jax.random.PRNGKey(3), clip_cfg, jnp.bfloat16)
 
     def encode():
@@ -403,13 +424,13 @@ def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1, pipelined: i
 
     # --- DiT + VAE phase (co-resident: int4-MLP DiT (~9.7 GB) so the whole
     # pipeline fits 16 GB with T5 still resident — dit_quant="int8_int4mlp")
-    dit = init_int8_on_device(dit_cfg, int4_mlp=not phase_swap)
+    dit = init_int8_on_device(dit_cfg, int4_mlp=not phase_swap and not TINY)
     vae_dec = vae_decoder_init(jax.random.PRNGKey(4), vae_cfg, jnp.bfloat16)
 
     def run_denoise(txt, pooled):
         return denoise(
             dit, dit_cfg, latents, txt, pooled, img_ids, txt_ids, sigmas,
-            jnp.asarray(3.5, jnp.float32), NUM_STEPS, attn_impl="pallas",
+            jnp.asarray(3.5, jnp.float32), NUM_STEPS, attn_impl=ATTN_PALLAS,
             rope_layout=ROPE_LAYOUT,
         )
 
@@ -428,7 +449,7 @@ def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1, pipelined: i
         )
 
     img = decode(run_denoise(txt, pooled))  # compile + warmup
-    assert img.shape == (batch, TY * 16, TX * 16, 3), img.shape
+    assert img.shape == (batch, TY * px, TX * px, 3), img.shape
     final = run_denoise(txt, pooled)
     float(np.asarray(_SUM(final)))  # force: the device queue is serial —
     # an unfetched dispatch would otherwise be included in the timed run
@@ -456,13 +477,15 @@ def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1, pipelined: i
         dev_imgs = [decode_one(run_denoise(txt, pooled)) for _ in range(pipelined)]
         fetched = [np.asarray(x) for x in dev_imgs]
         t_pipe = max(time.perf_counter() - t0 - rtt, 0.0)
-        assert fetched[0].shape == (1, TY * 16, TX * 16, 3)
+        assert fetched[0].shape == (1, TY * px, TX * px, 3)
     mode = "phase-swap" if phase_swap else "co-resident"
-    t5_kind = "int8-T5" if phase_swap else "int4-T5"
-    dit_kind = "W8A8 DiT" if phase_swap else "W8A8+int4MLP DiT"
+    t5_kind = "int8-T5" if (phase_swap or TINY) else "int4-T5"
+    dit_kind = "W8A8 DiT" if (phase_swap or TINY) else "W8A8+int4MLP DiT"
     out = {
         "t_image_s": (t_enc + t_den + t_dec) / batch,
-        "config": f"e2e {t5_kind} encode + {dit_kind} 19/38 (pallas flash attn, split rope) + VAE decode, {mode}, B={batch}",
+        "config": f"e2e {t5_kind} encode + {dit_kind} "
+                  f"{dit_cfg.num_double_blocks}/{dit_cfg.num_single_blocks} "
+                  f"(pallas flash attn, split rope) + VAE decode, {mode}, B={batch}",
         "t_encode_s": round(t_enc, 3),
         "t_denoise_s": round(t_den, 3),
         "t_decode_fetch_s": round(t_dec, 3),
@@ -473,6 +496,8 @@ def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1, pipelined: i
         out["t_pipelined_total_s"] = round(t_pipe, 3)
         out["pipelined_candidates"] = pipelined
         out["config"] += f", branch-{pipelined} steady state (deferred fetch)"
+    if TINY:
+        out["config"] += ", TINY-CPU (control-flow check, not a measurement)"
     return out
 
 
@@ -482,16 +507,20 @@ def bench_int8_full(rtt: float) -> dict | None:
     the XLA attention path."""
     import gc
 
-    cfg = FluxDiTConfig()
+    cfg = FluxDiTConfig.tiny() if TINY else FluxDiTConfig()
     params = None
+    impls = (ATTN_PALLAS, "xla") if TINY else ("pallas", "pallas_int8", "xla")
     for init_name, init_fn in (("device", init_int8_on_device), ("host", init_int8_full)):
-        for attn_impl in ("pallas", "pallas_int8", "xla"):
+        for attn_impl in impls:
             try:
                 if params is None:
                     params = init_fn(cfg)
                 run = build_runner(cfg, params, attn_impl=attn_impl)
                 t = time_runner(run, rtt)
-                return {"t_image_s": t, "config": f"int8 full 19/38 ({attn_impl} attention, {init_name} init)"}
+                return {"t_image_s": t,
+                        "config": f"int8 full {cfg.num_double_blocks}/{cfg.num_single_blocks} "
+                                  f"({attn_impl} attention, {init_name} init)"
+                                  + (", TINY-CPU (control-flow check)" if TINY else "")}
             except Exception as e:  # OOM / kernel failure
                 log(f"# int8 bench ({init_name}/{attn_impl}) failed: {type(e).__name__}")
                 gc.collect()
@@ -501,8 +530,12 @@ def bench_int8_full(rtt: float) -> dict | None:
 
 
 def bench_bf16_extrapolated(rtt: float) -> dict:
+    import dataclasses
+
+    base = FluxDiTConfig.tiny() if TINY else FluxDiTConfig()
+
     def t_for(nd, ns):
-        cfg = FluxDiTConfig(num_double_blocks=nd, num_single_blocks=ns)
+        cfg = dataclasses.replace(base, num_double_blocks=nd, num_single_blocks=ns)
         params = flux_dit_init(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
         return time_runner(build_runner(cfg, params), rtt)
 
@@ -605,7 +638,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--stage", choices=STAGES, default=None)
     p.add_argument("--batch", type=int, default=None, help="candidate batch for the e2e stages")
+    p.add_argument("--tiny", action="store_true",
+                   help="hermetic CPU control-flow check (tiny configs, not a measurement)")
     args = p.parse_args()
+    if args.tiny:
+        _enable_tiny()
     if args.stage:
         run_stage(args.stage, batch=args.batch)
         return
@@ -635,7 +672,8 @@ def _try_stages(args) -> bool:
         try:
             proc = subprocess.run(
                 [sys.executable, __file__, "--stage", stage]
-                + (["--batch", str(args.batch)] if args.batch else []),
+                + (["--batch", str(args.batch)] if args.batch else [])
+                + (["--tiny"] if TINY else []),
                 capture_output=True, text=True, timeout=3600,
             )
         except subprocess.TimeoutExpired as e:

@@ -101,3 +101,26 @@ def test_wait_for_service_recovers_and_gives_up(monkeypatch):
     assert bench._wait_for_service(max_wait_s=1.0, poll_s=0.01) is True
     monkeypatch.setattr(bench, "_probe_service", lambda timeout_s=3000.0: False)
     assert bench._wait_for_service(max_wait_s=0.05, poll_s=0.01) is False
+
+
+def test_tiny_pipe_stage_end_to_end():
+    """--tiny runs the full e2e_swap_pipe stage body on CPU: phase-swap
+    ordering, interpret-mode pallas denoise, per-image decode, the
+    dispatch-then-fetch pipelined measurement, and the one-JSON-line
+    contract. This is the hermetic guard for the stage the driver runs
+    first on hardware."""
+    import json
+
+    proc = subprocess.run(
+        [sys.executable, bench.__file__, "--tiny", "--stage", "e2e_swap_pipe"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["metric"] == "flux_1024px_candidate_images_per_sec_per_chip"
+    d = out["detail"]
+    assert d["pipelined_candidates"] == 2
+    assert d["t_pipelined_total_s"] > 0
+    assert "deferred fetch" in d["config"] and "TINY-CPU" in d["config"]
+    # per-phase numbers stay in the detail alongside the pipelined total
+    assert {"t_encode_s", "t_denoise_s", "t_decode_fetch_s"} <= set(d)
