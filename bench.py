@@ -586,11 +586,15 @@ def run_stage(stage: str, batch: int | None = None) -> None:
     t_img = primary.pop("t_image_s")  # already per-image (batch amortized)
     detail.update(primary)
     imgs_per_sec = 1.0 / t_img
+    vs_baseline = imgs_per_sec / BASELINE_IMGS_PER_SEC_PER_CHIP
+    # perf/$ companion: a v5e lists at ~1/5 the cost of an H100
+    # (docs/BENCH_NOTES.json::floor_arithmetic) — same basis as DEPLOYMENT.md
+    detail["vs_baseline_per_dollar"] = round(vs_baseline * 5.0, 2)
     print(json.dumps({
         "metric": "flux_1024px_candidate_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 5),
         "unit": "images/sec/chip",
-        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC_PER_CHIP, 4),
+        "vs_baseline": round(vs_baseline, 4),
         "detail": dict(detail, t_image_s=round(t_img, 3)),
     }))
 
