@@ -103,6 +103,49 @@ def test_wait_for_service_recovers_and_gives_up(monkeypatch):
     assert bench._wait_for_service(max_wait_s=0.05, poll_s=0.01) is False
 
 
+def test_stale_fallback_emits_last_recorded_measurement(monkeypatch, capsys, tmp_path):
+    """A persistent outage (both sweeps fail, probe-wait exhausted) must
+    still produce the one JSON line: the last hardware-validated record,
+    loudly marked stale. With no record, main fails outright."""
+    import json
+
+    rec = tmp_path / "LAST_BENCH.json"
+    monkeypatch.setattr(bench, "LAST_BENCH_PATH", rec)
+    monkeypatch.setattr(bench, "_try_stages", lambda args: False)
+    monkeypatch.setattr(bench, "_wait_for_service", lambda: False)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+
+    # no record yet -> hard failure, never an invented number
+    try:
+        bench.main()
+        raise AssertionError("main() should have raised SystemExit")
+    except SystemExit as e:
+        assert "all bench stages failed" in str(e)
+
+    bench._record_last(json.dumps(
+        {"metric": "m", "value": 0.1, "unit": "u", "vs_baseline": 1.0,
+         "detail": {"t_image_s": 10.0}}))
+    capsys.readouterr()
+    bench.main()
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["value"] == 0.1
+    assert out["detail"]["stale"] is True
+    assert "unavailable" in out["detail"]["stale_reason"]
+    # the original detail survives alongside the stale marker
+    assert out["detail"]["t_image_s"] == 10.0
+
+
+def test_committed_last_bench_record_is_loadable():
+    """docs/LAST_BENCH.json ships in-repo so the fallback works on a fresh
+    clone; it must parse and carry the same contract fields bench prints."""
+    import json
+
+    rec = json.loads(bench.LAST_BENCH_PATH.read_text())
+    assert rec["metric"] == "flux_1024px_candidate_images_per_sec_per_chip"
+    assert {"value", "unit", "vs_baseline", "detail"} <= set(rec)
+    assert rec["detail"].get("stale") is None  # recorded lines are never pre-marked
+
+
 def test_tiny_pipe_stage_end_to_end():
     """--tiny runs the full e2e_swap_pipe stage body on CPU: phase-swap
     ordering, interpret-mode pallas denoise, per-image decode, the
