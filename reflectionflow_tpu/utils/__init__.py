@@ -1,1 +1,1 @@
-from . import jsonl, prng, timing, tree  # noqa: F401
+from . import jsonl, timing, tree  # noqa: F401
