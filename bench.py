@@ -726,7 +726,12 @@ def _try_stages(args) -> bool:
             # rather than launching a fresh client straight into the wedge
             log(f"# stage {stage} timed out after {e.timeout}s; probing service before next stage")
             if not _probe_service():
-                log("# service probe also timed out; trying the next stage anyway")
+                # Service is wedged (clients hang in device init): every
+                # remaining stage would burn its full timeout and the kill
+                # would wedge the service further. Abort this sweep — the
+                # caller's outage loop probes until recovery, then retries.
+                log("# service probe also hung; aborting this sweep to the outage wait")
+                return False
             continue
         sys.stderr.write(proc.stderr)
         line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""

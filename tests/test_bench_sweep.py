@@ -69,6 +69,24 @@ def test_try_stages_timeout_probes_service_then_continues(monkeypatch, capsys):
     assert capsys.readouterr().out.strip().endswith('{"metric": "m", "value": 2}')
 
 
+def test_try_stages_timeout_with_hung_probe_aborts_sweep(monkeypatch, capsys):
+    """Wedge mode: a stage timeout whose follow-up probe ALSO hangs means
+    every remaining stage would burn its full hour — the sweep must abort
+    to the caller's outage wait instead of marching on."""
+    seq = []
+
+    def fake_run(cmd, **kw):
+        if "--stage" in cmd:
+            seq.append(cmd[cmd.index("--stage") + 1])
+            raise subprocess.TimeoutExpired(cmd, kw.get("timeout"))
+        raise subprocess.TimeoutExpired(cmd, kw.get("timeout"))  # probe hangs too
+
+    monkeypatch.setattr(subprocess, "run", fake_run)
+    assert bench._try_stages(_args()) is False
+    assert seq == ["e2e_swap_pipe"]  # no further stages launched
+    capsys.readouterr()
+
+
 def test_try_stages_all_fail_returns_false(monkeypatch, capsys):
     monkeypatch.setattr(subprocess, "run", lambda cmd, **kw: _Proc(1))
     assert bench._try_stages(_args()) is False
