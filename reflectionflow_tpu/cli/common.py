@@ -110,6 +110,7 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
     attn_impl = args.attn_impl or cfg.pipeline_args.attn_impl or "xla"
     pipe.attn_impl = attn_impl
     pipe.vae_tiling = getattr(cfg.pipeline_args, "vae_tiling", False)
+    pipe.vcache = getattr(cfg.pipeline_args, "vcache", None)
     if cfg.pipeline_args.lora_path and not args.synthetic_weights:
         from safetensors.numpy import load_file
 

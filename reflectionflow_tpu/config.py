@@ -300,6 +300,12 @@ class PipelineArgs:
     # bounds the ~1.5 GB 1024px decode transients to ~1/4, which is what
     # lets a verifier co-reside with the all-resident serving layout
     vae_tiling: bool = False
+    # OPT-IN velocity cache (training-free step skipping, beyond the
+    # reference; sampler/generate.py): {"interval": k[, "warmup", "tail"]}
+    # = static DeepCache-style schedule, or {"threshold": x[, "warmup",
+    # "tail", "poly"]} = TeaCache-style dynamic skipping. Quality is
+    # model/threshold-specific — validate on real weights first.
+    vcache: Optional[dict] = None
 
     @property
     def dtype(self):

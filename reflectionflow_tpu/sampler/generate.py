@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import FluxDiTConfig
-from ..models.flux.dit import flux_dit_apply
+from ..models.flux.dit import flux_dit_apply, flux_mod_signal
 from .scheduler import FlowMatchSchedule
 
 
@@ -39,6 +39,11 @@ from .scheduler import FlowMatchSchedule
         "rope_layout",
         "num_steps",
         "c_factor",  # static so the Pallas path can burn log(c) into the kernel
+        "vcache_threshold",
+        "vcache_warmup",
+        "vcache_tail",
+        "vcache_poly",
+        "return_vcache_stats",
     ),
 )
 def denoise(
@@ -62,8 +67,34 @@ def denoise(
     add_cond_attn: bool = False,
     attn_impl: str = "xla",
     rope_layout: str = "pair",
+    step_mask: jnp.ndarray | None = None,  # (num_steps,) bool: True = full forward
+    vcache_threshold: float = 0.0,  # >0: TeaCache-style dynamic skipping
+    vcache_warmup: int = 1,  # dynamic mode: first W steps always full
+    vcache_tail: int = 1,  # dynamic mode: last T steps always full
+    vcache_poly: tuple[float, ...] | None = None,  # optional model-fit rescale
+    return_vcache_stats: bool = False,  # also return the full-forward count
 ) -> jnp.ndarray:
-    """Run the full Euler loop; returns final packed latents (B, L_img, C)."""
+    """Run the full Euler loop; returns final packed latents (B, L_img, C).
+
+    Velocity cache (OPT-IN; beyond the reference): skipped steps reuse the
+    previous velocity instead of running the DiT — training-free
+    acceleration in the DeepCache/TeaCache family. Two modes:
+
+      * `step_mask`: a static schedule (see `make_step_mask`) — full
+        forwards only where the mask is True (step 0 is always forced).
+      * `vcache_threshold > 0`: data-dependent skipping à la TeaCache
+        (arXiv 2411.19108) — every step computes the cheap modulated-input
+        signal (`flux_mod_signal`, ~0.05% of a forward), accumulates its
+        relative L1 change (optionally rescaled by the `vcache_poly`
+        polynomial, highest-order coefficient first), and runs the full
+        forward only when the accumulator crosses the threshold (then
+        resets). First `vcache_warmup` / last `vcache_tail` steps always
+        run full. Both branches live in one `lax.cond` inside the scan, so
+        the skip decision never leaves the device.
+
+    Defaults leave the feature off and take the exact unmodified path.
+    Quality/threshold trade-offs are model-specific — validate on real
+    weights before production use (docs/DEPLOYMENT.md)."""
     B = latents.shape[0]
     guidance = jnp.broadcast_to(jnp.asarray(guidance_scale, latents.dtype), (B,))
     use_image_cfg = cond_empty is not None
@@ -97,18 +128,80 @@ def denoise(
             rope_layout=rope_layout,
         )
 
-    def euler_step(lat, step_inputs):
-        sigma, sigma_next = step_inputs
-        v = velocity(lat, sigma)
+    def _advance(lat, v, sigma, sigma_next):
         # fp32 state update to avoid bf16 drift over 30 steps
-        lat = (lat.astype(jnp.float32) + (sigma_next - sigma) * v.astype(jnp.float32)).astype(lat.dtype)
-        return lat, None
+        return (lat.astype(jnp.float32) + (sigma_next - sigma) * v.astype(jnp.float32)).astype(lat.dtype)
 
     steps = (sigmas[:num_steps], sigmas[1 : num_steps + 1])
-    latents, _ = jax.lax.scan(euler_step, latents, steps)
-    return latents
+    use_vcache = step_mask is not None or vcache_threshold > 0.0
+    if not use_vcache:  # the exact, unmodified serving path
+        def euler_step(lat, step_inputs):
+            sigma, sigma_next = step_inputs
+            return _advance(lat, velocity(lat, sigma), sigma, sigma_next), None
+
+        latents, _ = jax.lax.scan(euler_step, latents, steps)
+        return (latents, jnp.asarray(num_steps, jnp.int32)) if return_vcache_stats else latents
+
+    dynamic = vcache_threshold > 0.0
+    if step_mask is not None:
+        if dynamic:
+            raise ValueError("step_mask and vcache_threshold are mutually exclusive")
+        assert step_mask.shape[0] == num_steps, (step_mask.shape, num_steps)
+    if dynamic:
+        warmup = max(int(vcache_warmup), 1)  # step 0 must run full (no cached v yet)
+        idx = jnp.arange(num_steps)
+        forced = (idx < warmup) | (idx >= num_steps - max(int(vcache_tail), 0))
+    else:
+        forced = jnp.asarray(step_mask, bool).at[0].set(True)
+    v0 = jnp.zeros_like(latents)
+
+    def cached_step(carry, step_inputs):
+        lat, v_prev, sig_prev, acc, n_full = carry
+        sigma, sigma_next, forced_bit = step_inputs
+        if dynamic:
+            sig = flux_mod_signal(
+                dit_params, cfg, lat, pooled,
+                jnp.broadcast_to(sigma, (B,)).astype(lat.dtype),
+                guidance=guidance if cfg.guidance_embeds else None,
+            ).astype(jnp.float32)
+            rel = jnp.sum(jnp.abs(sig - sig_prev)) / (jnp.sum(jnp.abs(sig_prev)) + 1e-8)
+            est = jnp.polyval(jnp.asarray(vcache_poly, jnp.float32), rel) if vcache_poly else rel
+            acc = acc + est
+            do_full = forced_bit | (acc >= vcache_threshold)
+            acc = jnp.where(do_full, 0.0, acc)
+            sig_prev = sig
+        else:
+            do_full = forced_bit
+        v = jax.lax.cond(do_full, lambda l: velocity(l, sigma), lambda l: v_prev, lat)
+        lat = _advance(lat, v, sigma, sigma_next)
+        return (lat, v, sig_prev, acc, n_full + do_full.astype(jnp.int32)), None
+
+    # static mode never reads the signal — keep its carry slot scalar
+    sig0 = (
+        jnp.zeros(latents.shape[:2] + (cfg.hidden_size,), jnp.float32)
+        if dynamic else jnp.zeros((), jnp.float32)
+    )
+    carry0 = (latents, v0, sig0, jnp.asarray(0.0, jnp.float32), jnp.asarray(0, jnp.int32))
+    (latents, _, _, _, n_full), _ = jax.lax.scan(cached_step, carry0, steps + (forced,))
+    return (latents, n_full) if return_vcache_stats else latents
 
 
 def make_schedule(num_steps: int, image_seq_len: int) -> jnp.ndarray:
     """Dynamic-shifted sigma array (host-precomputed, fp32)."""
     return jnp.asarray(FlowMatchSchedule.create(num_steps, image_seq_len).sigmas)
+
+
+def make_step_mask(num_steps: int, interval: int, warmup: int = 1, tail: int = 1) -> np.ndarray:
+    """Static velocity-cache schedule (DeepCache/FORA-style): full forwards
+    for the first `warmup` and last `tail` steps, and every `interval`-th
+    step in between; the rest reuse the previous velocity. interval=1 means
+    every step runs full (the mask is all-True)."""
+    if num_steps < 1 or interval < 1:
+        raise ValueError(f"num_steps={num_steps}, interval={interval}")
+    warmup = max(int(warmup), 1)  # step 0 has no cached velocity to reuse
+    mask = np.zeros(num_steps, dtype=bool)
+    mask[:warmup] = True
+    if tail > 0:
+        mask[num_steps - tail:] = True
+    mask[warmup::interval] = True
+    return mask

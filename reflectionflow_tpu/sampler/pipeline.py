@@ -28,7 +28,7 @@ from ..models.flux.text import clip_text_encode, clip_text_init, t5_encode, t5_e
 from ..models.flux.vae import vae_decode, vae_init
 from ..utils.tokenizers import load_tokenizer
 from .condition import Condition, encode_conditions
-from .generate import denoise, make_schedule
+from .generate import denoise, make_schedule, make_step_mask
 
 
 @dataclass
@@ -47,6 +47,9 @@ class FluxPipeline:
     mesh: Any = None  # jax.sharding.Mesh: candidates sharded over "data"
     rope_layout: str = "pair"  # "split" after quantize() permutes q/k (ops.fuse)
     vae_tiling: bool = False  # diffusers enable_vae_tiling: 512px-tile encode+decode
+    # opt-in velocity cache (PipelineArgs.vcache): {"interval": k} static
+    # schedule or {"threshold": x} TeaCache-style dynamic skipping
+    vcache: Any = None
 
     # -- construction -------------------------------------------------------
 
@@ -378,6 +381,24 @@ class FluxPipeline:
                 "running unsharded (use parallel.mesh.pad_candidates)",
                 stacklevel=2,
             )
+        vc_kwargs = {}
+        if self.vcache:
+            vc = dict(self.vcache)
+            if "interval" in vc and vc.get("threshold"):
+                raise ValueError("vcache: interval and threshold are mutually exclusive")
+            if "interval" in vc:
+                vc_kwargs["step_mask"] = jnp.asarray(make_step_mask(
+                    num_inference_steps, int(vc["interval"]),
+                    warmup=int(vc.get("warmup", 1)), tail=int(vc.get("tail", 1))))
+            elif vc.get("threshold"):
+                vc_kwargs = {
+                    "vcache_threshold": float(vc["threshold"]),
+                    "vcache_warmup": int(vc.get("warmup", 1)),
+                    "vcache_tail": int(vc.get("tail", 1)),
+                    "vcache_poly": tuple(vc["poly"]) if vc.get("poly") else None,
+                }
+            else:
+                raise ValueError(f"vcache needs 'interval' or 'threshold': {vc}")
         final = denoise(
             self.params["dit"],
             self.dit_cfg,
@@ -399,6 +420,7 @@ class FluxPipeline:
             add_cond_attn=self.model_flags.get("add_cond_attn", False),
             attn_impl=self.attn_impl,
             rope_layout=self.rope_layout,
+            **vc_kwargs,
         )
         if output_type == "latent":
             return final

@@ -1,0 +1,164 @@
+"""Velocity cache (training-free step skipping — DeepCache/TeaCache family,
+beyond the reference): mechanics pinned hermetically.
+
+Covered: the disabled path is bit-identical to the baseline scan; a static
+`step_mask` reuses the previous velocity exactly where the mask says so
+(checked against a hand-rolled Euler loop); TeaCache-style dynamic skipping
+honors warmup/tail forcing, reports full-forward counts, and degenerates to
+the baseline at epsilon threshold; the pipeline/config plumbing rejects
+ambiguous settings. Quality/threshold trade-offs are real-weight questions
+(docs/DEPLOYMENT.md) — these tests pin the control flow, not image quality.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from reflectionflow_tpu.config import FluxDiTConfig
+from reflectionflow_tpu.models.flux.dit import flux_dit_apply, flux_dit_init
+from reflectionflow_tpu.models.flux.rope import make_image_ids, make_text_ids
+from reflectionflow_tpu.sampler.generate import denoise, make_schedule, make_step_mask
+
+CFG = FluxDiTConfig.tiny()
+B, TY, TX, LT = 2, 4, 4, 8
+N_STEPS = 6
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = flux_dit_init(jax.random.PRNGKey(0), CFG, jnp.float32)
+    rng = jax.random.PRNGKey(1)
+    ks = jax.random.split(rng, 3)
+    latents = jax.random.normal(ks[0], (B, TY * TX, CFG.in_channels), jnp.float32)
+    txt = jax.random.normal(ks[1], (B, LT, CFG.text_dim), jnp.float32)
+    pooled = jax.random.normal(ks[2], (B, CFG.pooled_dim), jnp.float32)
+    img_ids = jnp.asarray(make_image_ids(TY, TX))
+    txt_ids = jnp.asarray(make_text_ids(LT))
+    sigmas = make_schedule(N_STEPS, TY * TX)
+    return params, latents, txt, pooled, img_ids, txt_ids, sigmas
+
+
+def _denoise(setup, **kw):
+    params, latents, txt, pooled, img_ids, txt_ids, sigmas = setup
+    return denoise(
+        params, CFG, latents, txt, pooled, img_ids, txt_ids, sigmas,
+        jnp.asarray(3.5, jnp.float32), N_STEPS, **kw,
+    )
+
+
+def test_make_step_mask_properties():
+    m = make_step_mask(10, interval=2, warmup=1, tail=1)
+    assert m.shape == (10,) and m.dtype == bool
+    assert m[0] and m[-1]
+    assert not m[2] and m[1] and m[3]
+    # interval=1 = every step full
+    assert make_step_mask(5, interval=1).all()
+    # warmup is clamped to >=1 (step 0 has no cached velocity)
+    assert make_step_mask(5, interval=3, warmup=0)[0]
+    with pytest.raises(ValueError):
+        make_step_mask(0, interval=1)
+    with pytest.raises(ValueError):
+        make_step_mask(5, interval=0)
+
+
+def test_all_true_mask_is_bit_identical_to_baseline(setup):
+    base = _denoise(setup)
+    full = _denoise(setup, step_mask=jnp.ones(N_STEPS, bool))
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(full))
+
+
+def test_static_mask_matches_manual_velocity_reuse(setup):
+    params, latents, txt, pooled, img_ids, txt_ids, sigmas = setup
+    mask = np.array([True, False, True, False, False, True])
+    out = _denoise(setup, step_mask=jnp.asarray(mask))
+
+    # hand-rolled Euler loop with explicit velocity reuse
+    guidance = jnp.full((B,), 3.5, jnp.float32)
+    lat, v = latents, None
+    for i in range(N_STEPS):
+        if mask[i]:
+            v = flux_dit_apply(
+                params, CFG, lat, txt, pooled,
+                jnp.broadcast_to(sigmas[i], (B,)).astype(lat.dtype),
+                img_ids, txt_ids,
+                guidance=guidance if CFG.guidance_embeds else None,
+            )
+        lat = (lat.astype(jnp.float32)
+               + (sigmas[i + 1] - sigmas[i]) * v.astype(jnp.float32)).astype(lat.dtype)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(lat), rtol=2e-5, atol=2e-5)
+    # and the skipping actually changed the result vs the full run
+    assert not np.allclose(np.asarray(out), np.asarray(_denoise(setup)))
+
+
+def test_dynamic_huge_threshold_runs_only_forced_steps(setup):
+    out, n_full = _denoise(
+        setup, vcache_threshold=1e9, vcache_warmup=2, vcache_tail=1,
+        return_vcache_stats=True,
+    )
+    assert int(n_full) == 3  # warmup 2 + tail 1, nothing in between
+    # identical to the equivalent static schedule (interval larger than the gap)
+    mask = np.zeros(N_STEPS, bool)
+    mask[:2] = True
+    mask[-1] = True
+    static = _denoise(setup, step_mask=jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(static))
+
+
+def test_dynamic_epsilon_threshold_degenerates_to_baseline(setup):
+    out, n_full = _denoise(
+        setup, vcache_threshold=1e-9, return_vcache_stats=True,
+    )
+    assert int(n_full) == N_STEPS  # the signal always crosses epsilon
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(_denoise(setup)), rtol=2e-5, atol=2e-5)
+
+
+def test_stats_flag_on_disabled_path(setup):
+    out, n_full = _denoise(setup, return_vcache_stats=True)
+    assert int(n_full) == N_STEPS
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(_denoise(setup)))
+
+
+def test_mask_and_threshold_are_mutually_exclusive(setup):
+    with pytest.raises(ValueError):
+        _denoise(setup, step_mask=jnp.ones(N_STEPS, bool), vcache_threshold=0.5)
+
+
+def test_pipeline_vcache_plumbing():
+    from reflectionflow_tpu.config import CLIPTextConfig, FluxVAEConfig, T5Config
+    from reflectionflow_tpu.sampler.pipeline import FluxPipeline
+
+    pipe = FluxPipeline.random_init(
+        jax.random.PRNGKey(0),
+        dit_cfg=FluxDiTConfig.tiny(), vae_cfg=FluxVAEConfig.tiny(),
+        t5_cfg=T5Config.tiny(), clip_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    base = pipe.generate(["x"], height=16, width=16, num_inference_steps=4, seed=1)
+    pipe.vcache = {"interval": 3, "warmup": 1, "tail": 1}
+    skipped = pipe.generate(["x"], height=16, width=16, num_inference_steps=4, seed=1)
+    assert skipped.shape == base.shape
+    pipe.vcache = {"threshold": 1e9, "warmup": 1, "tail": 1}
+    dyn = pipe.generate(["x"], height=16, width=16, num_inference_steps=4, seed=1)
+    assert dyn.shape == base.shape
+    pipe.vcache = {"interval": 2, "threshold": 0.5}
+    with pytest.raises(ValueError):
+        pipe.generate(["x"], height=16, width=16, num_inference_steps=4, seed=1)
+    pipe.vcache = {"warmup": 2}
+    with pytest.raises(ValueError):
+        pipe.generate(["x"], height=16, width=16, num_inference_steps=4, seed=1)
+
+
+def test_config_carries_vcache(tmp_path):
+    import json
+
+    from reflectionflow_tpu.config import TTSConfig
+
+    p = tmp_path / "cfg.json"
+    p.write_text(json.dumps({
+        "pipeline_args": {"height": 16, "width": 16,
+                          "vcache": {"interval": 2, "warmup": 2}},
+    }))
+    cfg = TTSConfig.load(str(p), {})
+    assert cfg.pipeline_args.vcache == {"interval": 2, "warmup": 2}
