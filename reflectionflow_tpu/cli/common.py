@@ -53,6 +53,13 @@ def build_parser(description: str) -> argparse.ArgumentParser:
         help="path substrings kept int8 weight-only inside the W8A8 DiT "
         "(quality knob, e.g. '_mod' for the AdaLN modulation projections)",
     )
+    p.add_argument(
+        "--compilation_cache", type=str, default=None,
+        help="persistent XLA compilation cache dir (full-depth TPU compiles "
+        "cost 20-60s per signature; restarts reuse them). Unset -> the "
+        "config's pipeline_args.compilation_cache or "
+        "$REFLECTIONFLOW_COMPILE_CACHE",
+    )
     return p
 
 
@@ -81,7 +88,24 @@ def load_prompts(args) -> list[dict]:
     return slice_rows(rows, args)
 
 
+def setup_compilation_cache(cfg: TTSConfig, args) -> None:
+    """Persistent XLA compile cache: CLI flag > config > env var. Applied
+    before the first compile; only modules worth >=10s of compile time are
+    persisted (the denoise/train-step graphs — per-call jits stay out)."""
+    import os
+
+    cache_dir = (
+        getattr(args, "compilation_cache", None)
+        or getattr(cfg.pipeline_args, "compilation_cache", None)
+        or os.environ.get("REFLECTIONFLOW_COMPILE_CACHE")
+    )
+    if cache_dir:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
 def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
+    setup_compilation_cache(cfg, args)
     if args.synthetic_weights:
         from ..config import CLIPTextConfig, FluxDiTConfig, FluxVAEConfig, T5Config
 

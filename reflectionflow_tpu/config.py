@@ -306,6 +306,11 @@ class PipelineArgs:
     # "tail", "poly"]} = TeaCache-style dynamic skipping. Quality is
     # model/threshold-specific — validate on real weights first.
     vcache: Optional[dict] = None
+    # persistent XLA compilation cache dir (cli/common.py
+    # setup_compilation_cache): serving restarts skip the 20-60s
+    # full-depth compiles. CLI --compilation_cache overrides;
+    # $REFLECTIONFLOW_COMPILE_CACHE is the fallback.
+    compilation_cache: Optional[str] = None
 
     @property
     def dtype(self):

@@ -226,3 +226,29 @@ def test_sample_cli_corrector_standalone(tmp_path):
             "--pipeline_config_path", cfg_bad, "--meta_path", str(tmp_path / "pairs.json"),
             "--output_dir", out, "--root_dir", str(tmp_path), "--synthetic_weights",
         ])
+
+
+def test_compilation_cache_plumbing(tmp_path):
+    """--compilation_cache / pipeline_args.compilation_cache /
+    $REFLECTIONFLOW_COMPILE_CACHE set the persistent XLA cache dir before
+    the first compile (precedence: CLI > config > env)."""
+    import types
+
+    import jax
+
+    from reflectionflow_tpu.cli.common import setup_compilation_cache
+    from reflectionflow_tpu.config import TTSConfig
+
+    cfg = TTSConfig()
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        cfg.pipeline_args.compilation_cache = str(tmp_path / "from_cfg")
+        setup_compilation_cache(cfg, types.SimpleNamespace(compilation_cache=None))
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "from_cfg")
+        # CLI wins over config
+        setup_compilation_cache(
+            cfg, types.SimpleNamespace(compilation_cache=str(tmp_path / "from_cli")))
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path / "from_cli")
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 10.0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
