@@ -88,15 +88,17 @@ def load_prompts(args) -> list[dict]:
     return slice_rows(rows, args)
 
 
-def setup_compilation_cache(cfg: TTSConfig, args) -> None:
+def setup_compilation_cache(cfg: TTSConfig | None = None, args=None) -> None:
     """Persistent XLA compile cache: CLI flag > config > env var. Applied
     before the first compile; only modules worth >=10s of compile time are
-    persisted (the denoise/train-step graphs — per-call jits stay out)."""
+    persisted (the denoise/train-step graphs — per-call jits stay out).
+    Standalone CLIs (train/score/train_reward) call this with no cfg —
+    the $REFLECTIONFLOW_COMPILE_CACHE env var still applies."""
     import os
 
     cache_dir = (
         getattr(args, "compilation_cache", None)
-        or getattr(cfg.pipeline_args, "compilation_cache", None)
+        or (getattr(cfg.pipeline_args, "compilation_cache", None) if cfg else None)
         or os.environ.get("REFLECTIONFLOW_COMPILE_CACHE")
     )
     if cache_dir:

@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=8)
     args = p.parse_args(argv)
 
+    from .common import setup_compilation_cache
+
+    setup_compilation_cache()  # $REFLECTIONFLOW_COMPILE_CACHE
+
     rows = read_jsonl(args.meta_path)
     done: set[str] = set()
     if os.path.exists(args.output_json):

@@ -36,10 +36,20 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     cfg = TrainConfig.load(args.config) if args.config else TrainConfig()
+    if args.synthetic_weights and args.config is None:
+        # the tiny synthetic model with the full-scale 512px data defaults
+        # allocates hundreds of GB of attention — shrink to smoke sizes
+        cfg.data.batch_size = min(cfg.data.batch_size, 2)
+        cfg.data.target_size = min(cfg.data.target_size, 16)
+        cfg.data.condition_size = min(cfg.data.condition_size, 8)
     if args.max_steps is not None:
         cfg.max_steps = args.max_steps
     if args.attn_impl is not None:
         cfg.attn_impl = args.attn_impl
+
+    from .common import setup_compilation_cache
+
+    setup_compilation_cache()  # $REFLECTIONFLOW_COMPILE_CACHE
 
     if os.environ.get("COORDINATOR_ADDRESS"):
         jax.distributed.initialize()

@@ -87,6 +87,10 @@ def pairwise_accuracy(rw_A: np.ndarray, rw_B: np.ndarray, labels: np.ndarray) ->
 def main(argv=None):
     args = build_parser().parse_args(argv)
 
+    from .common import setup_compilation_cache
+
+    setup_compilation_cache()  # $REFLECTIONFLOW_COMPILE_CACHE
+
     import jax
     import jax.numpy as jnp
 
