@@ -125,6 +125,23 @@ def test_mask_and_threshold_are_mutually_exclusive(setup):
         _denoise(setup, step_mask=jnp.ones(N_STEPS, bool), vcache_threshold=0.5)
 
 
+def test_dynamic_signal_works_on_quantized_tree(setup):
+    """The skip signal reuses `linear`, so it must run on the int8 serving
+    tree (W8A8 leaves) exactly like on the float tree."""
+    from reflectionflow_tpu.ops.quant import quantize_dit_params
+
+    params, latents, txt, pooled, img_ids, txt_ids, sigmas = setup
+    qparams = quantize_dit_params(params, min_size=64 * 64, act_quant=True)
+    out, n_full = denoise(
+        qparams, CFG, latents, txt, pooled, img_ids, txt_ids, sigmas,
+        jnp.asarray(3.5, jnp.float32), N_STEPS,
+        vcache_threshold=1e9, vcache_warmup=1, vcache_tail=1,
+        return_vcache_stats=True,
+    )
+    assert int(n_full) == 2
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
 def test_pipeline_vcache_plumbing():
     from reflectionflow_tpu.config import CLIPTextConfig, FluxVAEConfig, T5Config
     from reflectionflow_tpu.sampler.pipeline import FluxPipeline
