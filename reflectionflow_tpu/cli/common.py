@@ -106,6 +106,18 @@ def setup_compilation_cache(cfg: TTSConfig | None = None, args=None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
 
 
+def print_throughput(timer, pipe) -> None:
+    """SURVEY §5 structured metric: candidate images per second per chip
+    (generate-phase wall time; the data mesh axis is the chip count)."""
+    rate = timer.rate("candidates", "generate")
+    if rate == rate:  # skip when no generate spans ran (resume no-op)
+        n_chips = pipe.mesh.shape["data"] if pipe.mesh is not None else 1
+        print(
+            f"candidates/sec/chip: {rate / n_chips:.4f} "
+            f"({timer.counts['candidates']} candidates, {n_chips} chip(s))"
+        )
+
+
 def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
     setup_compilation_cache(cfg, args)
     if args.synthetic_weights:

@@ -20,6 +20,7 @@ from .common import (
     load_config,
     load_pipeline,
     load_prompts,
+    print_throughput,
 )
 
 
@@ -90,6 +91,7 @@ def main(argv=None):
     print(summary)
     if "round" in summary:
         print(f"p50 reflection-round latency: {summary['round']['p50_s']:.3f}s")
+    print_throughput(timer, pipe)
 
 
 if __name__ == "__main__":

@@ -14,6 +14,7 @@ from .common import (
     load_config,
     load_pipeline,
     load_prompts,
+    print_throughput,
 )
 
 
@@ -30,6 +31,7 @@ def main(argv=None):
         start_index=args.start_index, run_seed=args.seed, timer=timer,
     )
     print(timer.summary())
+    print_throughput(timer, pipe)
 
 
 if __name__ == "__main__":

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from ..search.noise_scaling import run_noise_scaling
 from ..utils.timing import PhaseTimer
-from .common import build_parser, load_config, load_pipeline, load_prompts
+from .common import build_parser, load_config, load_pipeline, load_prompts, print_throughput
 
 
 def main(argv=None):
@@ -24,6 +24,7 @@ def main(argv=None):
         run_seed=args.seed, timer=timer,
     )
     print(timer.summary())
+    print_throughput(timer, pipe)
 
 
 if __name__ == "__main__":

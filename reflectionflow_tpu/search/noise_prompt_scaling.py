@@ -128,6 +128,7 @@ def run_noise_prompt_scaling(
                     for m0 in range(0, len(flux_prompts), micro)
                 ]
                 images = np.concatenate([np.asarray(p) for p in pending], axis=0)
+            timer.add_count("candidates", len(flux_prompts))
 
             for bi, s in enumerate(block):
                 s["prev"] = []

@@ -64,6 +64,7 @@ def run_noise_scaling(
             with timer.span("generate"):
                 # the fetch is where the async dispatch's device time lands
                 images = np.asarray(handle)
+            timer.add_count("candidates", images.shape[0])
             for bi, (idx, prompt, dirs) in enumerate(block):
                 for k, seed in enumerate(all_seeds[bi]):
                     save_image(

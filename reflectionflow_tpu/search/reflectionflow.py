@@ -200,6 +200,7 @@ def run_reflectionflow_block(
                 for m0 in range(0, len(flux_prompts), micro)
             ]
             images = np.concatenate([np.asarray(p) for p in pending], axis=0)
+        timer.add_count("candidates", len(flux_prompts))
         for bi, s in enumerate(need):
             paths = []
             for k, seed in enumerate(seed_lists[bi]):
@@ -348,6 +349,7 @@ def run_reflectionflow_block(
                     for m0 in range(0, len(all_prompts), micro)
                 ]
                 images = np.concatenate([np.asarray(p) for p in pending], axis=0)
+            timer.add_count("candidates", len(all_prompts))
 
             # --- batched re-verify of the new candidates ---
             with timer.span("verify"):

@@ -18,6 +18,9 @@ from dataclasses import dataclass, field
 @dataclass
 class PhaseTimer:
     spans: dict[str, list[float]] = field(default_factory=lambda: defaultdict(list))
+    # work counters (e.g. candidate images generated) — `rate(count, span)`
+    # turns them into throughput for the SURVEY §5 candidates/sec metric
+    counts: dict[str, int] = field(default_factory=lambda: defaultdict(int))
     trace: bool = False
     # live=True prints each span as it closes (stderr) — first-call spans
     # include jit compile, which through the dev tunnel can be tens of
@@ -41,6 +44,16 @@ class PhaseTimer:
 
             print(f"[phase {name} #{len(self.spans[name])}] {dt:.2f}s",
                   file=sys.stderr, flush=True)
+
+    def add_count(self, name: str, n: int) -> None:
+        self.counts[name] += int(n)
+
+    def rate(self, count_name: str, span_name: str) -> float:
+        """counts[count_name] per second of spans[span_name] (nan if empty)."""
+        total = sum(self.spans.get(span_name, []))
+        if not total or count_name not in self.counts:
+            return float("nan")
+        return self.counts[count_name] / total
 
     def percentile(self, name: str, q: float) -> float:
         xs = sorted(self.spans.get(name, []))

@@ -63,3 +63,21 @@ def test_recover_json_variants():
         raise AssertionError("should have raised")
     except ValueError:
         pass
+
+
+def test_phase_timer_counts_and_rate():
+    """SURVEY §5 candidates/sec metric plumbing: counters + rate()."""
+    import time as _time
+
+    from reflectionflow_tpu.utils.timing import PhaseTimer
+
+    t = PhaseTimer()
+    with t.span("generate"):
+        _time.sleep(0.01)
+    t.add_count("candidates", 4)
+    t.add_count("candidates", 2)
+    assert t.counts["candidates"] == 6
+    assert t.rate("candidates", "generate") > 0
+    # nan when the span never ran or the counter is absent
+    assert t.rate("candidates", "missing") != t.rate("candidates", "missing")
+    assert t.rate("missing", "generate") != t.rate("missing", "generate")
