@@ -81,10 +81,11 @@ def _enable_tiny() -> None:
     NUM_STEPS = 2
 
 
-def build_runner(cfg: FluxDiTConfig, params, attn_impl: str = "xla"):
+def build_runner(cfg: FluxDiTConfig, params, attn_impl: str = "xla", denoise_kwargs=None):
     """`denoise` is already jitted with params as ARGUMENTS — never close a
     jit over the weight tree (a zero-arg closure constant-folds all 12 GB
-    into the compiled module)."""
+    into the compiled module). `denoise_kwargs` lets companion tools (e.g.
+    tools/vcache_bench_tpu.py) reuse this harness with extra denoise args."""
     img_ids = jnp.asarray(make_image_ids(TY, TX))
     txt_ids = jnp.asarray(make_text_ids(LT))
     sigmas = jnp.asarray(FlowMatchSchedule.create(NUM_STEPS, TY * TX).sigmas)
@@ -97,7 +98,7 @@ def build_runner(cfg: FluxDiTConfig, params, attn_impl: str = "xla"):
         out = denoise(
             params, cfg, latents, txt, pooled, img_ids, txt_ids, sigmas,
             jnp.asarray(3.5, jnp.float32), NUM_STEPS, attn_impl=attn_impl,
-            rope_layout=ROPE_LAYOUT,
+            rope_layout=ROPE_LAYOUT, **(denoise_kwargs or {}),
         )
         return _SUM(out)
 
@@ -566,6 +567,7 @@ def run_stage(stage: str, batch: int | None = None) -> None:
     A stage that OOMs raises and exits nonzero — the parent moves on with a
     clean TPU (a failed allocation can poison later allocations in the same
     client, which burned the first e2e attempt)."""
+    explicit_batch = batch is not None  # --batch N = an experiment, not headline
     rtt = measure_rtt()
     if stage == "e2e":
         primary = bench_e2e(rtt, phase_swap=False, batch=batch or BATCH)
@@ -599,7 +601,11 @@ def run_stage(stage: str, batch: int | None = None) -> None:
         "detail": dict(detail, t_image_s=round(t_img, 3)),
     })
     print(line)
-    if not TINY:
+    # Record ONLY headline-quality measurements: e2e stages at the default
+    # batch. Experiments (--batch N) and the weaker fallbacks (int8
+    # denoise-only, bf16 extrapolation) must not replace the stale-fallback
+    # record with a different measurement basis.
+    if not TINY and not explicit_batch and stage.startswith("e2e"):
         _record_last(line)
 
 
@@ -688,14 +694,19 @@ def main():
     # Stage sweep, with one outage retry: if EVERY stage fails (a hard-down
     # service errors each client in seconds), wait for the service to answer
     # a probe and sweep once more before giving up.
+    service_confirmed_down = False
     for outage_round in range(2):
         if _try_stages(args):
             return
         if outage_round == 0:
             log("# all stages failed; waiting for the TPU service before one retry")
             if not _wait_for_service():
+                service_confirmed_down = True
                 break
-    if not TINY and _emit_stale(
+    # Stale fallback ONLY on a confirmed outage: if the probe answered but
+    # every stage still failed, that's a code/config regression — fail
+    # loudly instead of masking it behind a stale-but-valid-looking line.
+    if service_confirmed_down and not TINY and _emit_stale(
             "TPU service unavailable through the probe-wait and sweep retry; "
             "reporting the last hardware-validated measurement"):
         return

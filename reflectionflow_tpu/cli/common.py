@@ -108,7 +108,10 @@ def setup_compilation_cache(cfg: TTSConfig | None = None, args=None) -> None:
 
 def print_throughput(timer, pipe) -> None:
     """SURVEY §5 structured metric: candidate images per second per chip
-    (generate-phase wall time; the data mesh axis is the chip count)."""
+    (generate-phase wall time; the data mesh axis is the chip count).
+    With --parallel_blocks > 1 generate spans from different block threads
+    overlap, so the span-sum exceeds wall-clock and this reads as a LOWER
+    bound on true throughput."""
     rate = timer.rate("candidates", "generate")
     if rate == rate:  # skip when no generate spans ran (resume no-op)
         n_chips = pipe.mesh.shape["data"] if pipe.mesh is not None else 1

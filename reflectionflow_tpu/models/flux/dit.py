@@ -537,6 +537,19 @@ def _single_block_apply(bp, cfg, hidden, cond, temb, cond_temb, rope_main, rope_
     return hidden, cond
 
 
+def _time_text_embed(params, cfg: FluxDiTConfig, pooled, timestep, guidance, dtype):
+    """The forward's conditioning vector: timestep + pooled-text (+ guidance)
+    MLP embeddings. Shared by `flux_dit_apply` and `flux_mod_signal` so the
+    velocity-cache skip signal can never drift from the real prologue."""
+    t_feat = timestep_embedding(timestep * 1000.0, cfg.time_freq_dim)
+    temb = _mlp_embed(params["time_in"], t_feat.astype(dtype))
+    temb = temb + _mlp_embed(params["vector_in"], pooled.astype(dtype))
+    if cfg.guidance_embeds and guidance is not None:
+        g_feat = timestep_embedding(guidance * 1000.0, cfg.time_freq_dim)
+        temb = temb + _mlp_embed(params["guidance_in"], g_feat.astype(dtype))
+    return temb
+
+
 def flux_mod_signal(params, cfg: FluxDiTConfig, img, pooled, timestep, guidance=None):
     """Velocity-cache skip signal: the first double block's AdaLN-modulated
     image-stream input (TeaCache, arXiv 2411.19108, applied to FLUX). Its
@@ -549,12 +562,7 @@ def flux_mod_signal(params, cfg: FluxDiTConfig, img, pooled, timestep, guidance=
     forward accepts (bf16 / W8A8 / NF4) since it reuses `linear`."""
     dtype = img.dtype
     h = linear(params["img_in"], img)
-    t_feat = timestep_embedding(timestep * 1000.0, cfg.time_freq_dim)
-    temb = _mlp_embed(params["time_in"], t_feat.astype(dtype))
-    temb = temb + _mlp_embed(params["vector_in"], pooled.astype(dtype))
-    if cfg.guidance_embeds and guidance is not None:
-        g_feat = timestep_embedding(guidance * 1000.0, cfg.time_freq_dim)
-        temb = temb + _mlp_embed(params["guidance_in"], g_feat.astype(dtype))
+    temb = _time_text_embed(params, cfg, pooled, timestep, guidance, dtype)
     mod0 = jax.tree.map(lambda a: a[0], params["double_blocks"]["img_mod"])
     sh1, sc1 = _mod(mod0, temb, 6)[:2]
     return _modulate(h, sh1, sc1, fast=False)
@@ -609,24 +617,18 @@ def flux_dit_apply(
     cp = params if cond_params is None else cond_params
     cond_h = linear(cp["img_in"], cond) if use_cond else None
 
-    t_feat = timestep_embedding(timestep * 1000.0, cfg.time_freq_dim)
-    temb = _mlp_embed(params["time_in"], t_feat.astype(dtype))
-    temb = temb + _mlp_embed(params["vector_in"], pooled.astype(dtype))
     if cfg.guidance_embeds:
         assert guidance is not None, "FLUX.1-dev requires a guidance scale"
-        g_feat = timestep_embedding(guidance * 1000.0, cfg.time_freq_dim)
-        temb = temb + _mlp_embed(params["guidance_in"], g_feat.astype(dtype))
+    temb = _time_text_embed(params, cfg, pooled, timestep, guidance, dtype)
 
     cond_temb = None
     if use_cond:
-        ct = jnp.full_like(timestep, c_t)
-        cond_temb = _mlp_embed(params["time_in"], timestep_embedding(ct * 1000.0, cfg.time_freq_dim).astype(dtype))
-        cond_temb = cond_temb + _mlp_embed(params["vector_in"], pooled.astype(dtype))
-        if cfg.guidance_embeds:
-            ones = jnp.ones_like(timestep)
-            cond_temb = cond_temb + _mlp_embed(
-                params["guidance_in"], timestep_embedding(ones * 1000.0, cfg.time_freq_dim).astype(dtype)
-            )
+        # cond stream: t fixed at c_t, guidance forced to 1.0
+        # (/root/reference/train_flux/flux/transformer.py:108-114)
+        cond_temb = _time_text_embed(
+            params, cfg, pooled, jnp.full_like(timestep, c_t),
+            jnp.ones_like(timestep) if cfg.guidance_embeds else None, dtype,
+        )
 
     main_ids = jnp.concatenate([txt_ids, img_ids], axis=0)
     split = rope_layout == "split"

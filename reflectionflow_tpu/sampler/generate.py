@@ -89,8 +89,12 @@ def denoise(
         polynomial, highest-order coefficient first), and runs the full
         forward only when the accumulator crosses the threshold (then
         resets). First `vcache_warmup` / last `vcache_tail` steps always
-        run full. Both branches live in one `lax.cond` inside the scan, so
-        the skip decision never leaves the device.
+        run full. Decisions are PER CANDIDATE (each batch row keeps its own
+        accumulator and cached velocity), so a candidate's output does not
+        depend on its micro-batch composition; the batch forward launches
+        whenever any row crosses (with `return_vcache_stats`, n_full counts
+        those launches). The launch decision lives in one `lax.cond` inside
+        the scan — it never leaves the device.
 
     Defaults leave the feature off and take the exact unmodified path.
     Quality/threshold trade-offs are model-specific — validate on real
@@ -159,29 +163,40 @@ def denoise(
         lat, v_prev, sig_prev, acc, n_full = carry
         sigma, sigma_next, forced_bit = step_inputs
         if dynamic:
+            # PER-CANDIDATE decision state: each candidate's accumulator
+            # sees only its own signal, so its output trajectory does not
+            # depend on which other candidates share the micro-batch (the
+            # pipeline's same-latents -> same-images contract). The batch
+            # forward LAUNCHES when any candidate crosses, but candidates
+            # whose accumulator stayed under threshold keep their cached
+            # velocity (the DiT is per-sample independent).
             sig = flux_mod_signal(
                 dit_params, cfg, lat, pooled,
                 jnp.broadcast_to(sigma, (B,)).astype(lat.dtype),
                 guidance=guidance if cfg.guidance_embeds else None,
             ).astype(jnp.float32)
-            rel = jnp.sum(jnp.abs(sig - sig_prev)) / (jnp.sum(jnp.abs(sig_prev)) + 1e-8)
+            rel = jnp.sum(jnp.abs(sig - sig_prev), axis=(1, 2)) / (
+                jnp.sum(jnp.abs(sig_prev), axis=(1, 2)) + 1e-8)  # (B,)
             est = jnp.polyval(jnp.asarray(vcache_poly, jnp.float32), rel) if vcache_poly else rel
             acc = acc + est
-            do_full = forced_bit | (acc >= vcache_threshold)
+            do_full = forced_bit | (acc >= vcache_threshold)  # (B,)
             acc = jnp.where(do_full, 0.0, acc)
             sig_prev = sig
         else:
-            do_full = forced_bit
-        v = jax.lax.cond(do_full, lambda l: velocity(l, sigma), lambda l: v_prev, lat)
+            do_full = jnp.broadcast_to(forced_bit, (B,))
+        any_full = jnp.any(do_full)
+        v_new = jax.lax.cond(any_full, lambda l: velocity(l, sigma), lambda l: v_prev, lat)
+        v = jnp.where(do_full[:, None, None], v_new, v_prev)
         lat = _advance(lat, v, sigma, sigma_next)
-        return (lat, v, sig_prev, acc, n_full + do_full.astype(jnp.int32)), None
+        return (lat, v, sig_prev, acc, n_full + any_full.astype(jnp.int32)), None
 
     # static mode never reads the signal — keep its carry slot scalar
     sig0 = (
         jnp.zeros(latents.shape[:2] + (cfg.hidden_size,), jnp.float32)
         if dynamic else jnp.zeros((), jnp.float32)
     )
-    carry0 = (latents, v0, sig0, jnp.asarray(0.0, jnp.float32), jnp.asarray(0, jnp.int32))
+    acc0 = jnp.zeros((B,), jnp.float32)
+    carry0 = (latents, v0, sig0, acc0, jnp.asarray(0, jnp.int32))
     (latents, _, _, _, n_full), _ = jax.lax.scan(cached_step, carry0, steps + (forced,))
     return (latents, n_full) if return_vcache_stats else latents
 

@@ -384,13 +384,16 @@ class FluxPipeline:
         vc_kwargs = {}
         if self.vcache:
             vc = dict(self.vcache)
-            if "interval" in vc and vc.get("threshold"):
+            if "interval" in vc and "threshold" in vc:
                 raise ValueError("vcache: interval and threshold are mutually exclusive")
             if "interval" in vc:
                 vc_kwargs["step_mask"] = jnp.asarray(make_step_mask(
                     num_inference_steps, int(vc["interval"]),
                     warmup=int(vc.get("warmup", 1)), tail=int(vc.get("tail", 1))))
-            elif vc.get("threshold"):
+            elif "threshold" in vc:
+                if not float(vc["threshold"]) > 0:
+                    raise ValueError(
+                        "vcache threshold must be > 0 (omit vcache to disable)")
                 vc_kwargs = {
                     "vcache_threshold": float(vc["threshold"]),
                     "vcache_warmup": int(vc.get("warmup", 1)),

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import threading
 import time
 from collections import defaultdict
 from dataclasses import dataclass, field
@@ -26,6 +27,7 @@ class PhaseTimer:
     # include jit compile, which through the dev tunnel can be tens of
     # minutes; live output tells a watchdog which phase ate the budget
     live: bool = False
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
 
     @contextlib.contextmanager
     def span(self, name: str):
@@ -38,7 +40,8 @@ class PhaseTimer:
         with ctx:
             yield
         dt = time.perf_counter() - t0
-        self.spans[name].append(dt)
+        with self._lock:
+            self.spans[name].append(dt)
         if self.live:
             import sys
 
@@ -46,7 +49,10 @@ class PhaseTimer:
                   file=sys.stderr, flush=True)
 
     def add_count(self, name: str, n: int) -> None:
-        self.counts[name] += int(n)
+        # one timer is shared across block threads (--parallel_blocks):
+        # guard the read-modify-write
+        with self._lock:
+            self.counts[name] += int(n)
 
     def rate(self, count_name: str, span_name: str) -> float:
         """counts[count_name] per second of spans[span_name] (nan if empty)."""

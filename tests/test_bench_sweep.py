@@ -153,6 +153,26 @@ def test_stale_fallback_emits_last_recorded_measurement(monkeypatch, capsys, tmp
     assert out["detail"]["t_image_s"] == 10.0
 
 
+def test_stale_fallback_requires_confirmed_outage(monkeypatch, capsys, tmp_path):
+    """If the service probe ANSWERS but every stage still fails, that's a
+    code/config regression — bench must fail loudly, never emit the stale
+    record with a false 'service unavailable' reason."""
+    import json
+
+    rec = tmp_path / "LAST_BENCH.json"
+    monkeypatch.setattr(bench, "LAST_BENCH_PATH", rec)
+    bench._record_last(json.dumps({"metric": "m", "value": 0.1, "detail": {}}))
+    monkeypatch.setattr(bench, "_try_stages", lambda args: False)
+    monkeypatch.setattr(bench, "_wait_for_service", lambda: True)  # healthy!
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    try:
+        bench.main()
+        raise AssertionError("main() should have raised SystemExit")
+    except SystemExit as e:
+        assert "all bench stages failed" in str(e)
+    assert capsys.readouterr().out.strip() == ""
+
+
 def test_committed_last_bench_record_is_loadable():
     """docs/LAST_BENCH.json ships in-repo so the fallback works on a fresh
     clone; it must parse and carry the same contract fields bench prints."""

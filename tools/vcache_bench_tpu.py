@@ -4,6 +4,10 @@ Measures the full-depth W8A8 FLUX denoise (30 steps, 1024px, pallas flash
 attention) with the opt-in velocity cache at static intervals and one
 dynamic-threshold point, against the interval-1 (no-skip) baseline.
 
+Each measurement runs in its OWN subprocess / TPU client: a RESOURCE_EXHAUSTED
+allocation poisons later allocations in the same client (the reason bench.py
+stages are subprocesses too), so one failing config must not skew the rest.
+
 This is a MECHANICAL measurement: with synthetic weights the skip schedule's
 quality impact is meaningless — the number shows what a calibrated real-
 weight schedule would buy in wall-clock (DEPLOYMENT.md "Velocity cache").
@@ -11,71 +15,85 @@ The headline bench (bench.py) never uses the cache.
 
 Usage: python tools/vcache_bench_tpu.py [tiny]
   tiny — CPU control-flow smoke (tiny config, interpret pallas).
+Internal: python tools/vcache_bench_tpu.py [tiny] <substage>
+  substage in {baseline, interval2, interval3, dynamic} — one measurement,
+  one JSON line (spawned by the parent sweep).
 """
 
 import json
+import subprocess
 import sys
 
 sys.path.insert(0, ".")
 
-import jax.numpy as jnp  # noqa: E402
-import numpy as np  # noqa: E402
-
-import bench  # noqa: E402
-from reflectionflow_tpu.config import FluxDiTConfig  # noqa: E402
-from reflectionflow_tpu.models.flux.rope import make_image_ids, make_text_ids  # noqa: E402
-from reflectionflow_tpu.sampler.generate import denoise, make_step_mask  # noqa: E402
-from reflectionflow_tpu.sampler.scheduler import FlowMatchSchedule  # noqa: E402
+SUBSTAGES = ("baseline", "interval2", "interval3", "dynamic")
 
 
-def build_vcache_runner(cfg, params, attn_impl, **vc_kwargs):
-    img_ids = jnp.asarray(make_image_ids(bench.TY, bench.TX))
-    txt_ids = jnp.asarray(make_text_ids(bench.LT))
-    sigmas = jnp.asarray(FlowMatchSchedule.create(bench.NUM_STEPS, bench.TY * bench.TX).sigmas)
-    rng = np.random.default_rng(1)
-    latents = jnp.asarray(rng.standard_normal((1, bench.TY * bench.TX, cfg.in_channels)), jnp.bfloat16)
-    txt = jnp.asarray(rng.standard_normal((1, bench.LT, cfg.text_dim)), jnp.bfloat16)
-    pooled = jnp.asarray(rng.standard_normal((1, cfg.pooled_dim)), jnp.bfloat16)
+def run_substage(name: str, tiny: bool) -> None:
+    import jax.numpy as jnp
 
-    def run_sum():
-        out = denoise(
-            params, cfg, latents, txt, pooled, img_ids, txt_ids, sigmas,
-            jnp.asarray(3.5, jnp.float32), bench.NUM_STEPS,
-            attn_impl=attn_impl, rope_layout=bench.ROPE_LAYOUT, **vc_kwargs,
-        )
-        return bench._SUM(out)
+    import bench
+    from reflectionflow_tpu.config import FluxDiTConfig
+    from reflectionflow_tpu.sampler.generate import make_step_mask
 
-    return run_sum
-
-
-def main():
-    tiny = len(sys.argv) > 1 and sys.argv[1] == "tiny"
     if tiny:
         bench._enable_tiny()
-    attn = bench.ATTN_PALLAS
     cfg = FluxDiTConfig.tiny() if tiny else FluxDiTConfig()
     rtt = bench.measure_rtt()
     params = bench.init_int8_on_device(cfg)
     n = bench.NUM_STEPS
-    out = {"steps": n, "attn": attn, "rtt_ms": round(rtt * 1e3, 1),
-           "note": "mechanical skip-rate speedup, synthetic weights; quality "
-                   "needs real-weight calibration (DEPLOYMENT.md)"}
-    base = bench.time_runner(build_vcache_runner(cfg, params, attn), rtt)
-    out["baseline_s"] = round(base, 3)
-    for interval in (2, 3):
-        mask = make_step_mask(n, interval, warmup=2, tail=1)
-        t = bench.time_runner(
-            build_vcache_runner(cfg, params, attn, step_mask=jnp.asarray(mask)), rtt)
-        key = f"interval{interval}"
-        out[key + "_s"] = round(t, 3)
-        out[key + "_full_fwd"] = int(mask.sum())
-        out[key + "_speedup"] = round(base / t, 3)
-    # dynamic mode overhead probe: epsilon threshold = every step still runs
-    # full, so (t - baseline) isolates the per-step signal + cond cost
-    t_dyn = bench.time_runner(
-        build_vcache_runner(cfg, params, attn, vcache_threshold=1e-9), rtt)
-    out["dynamic_allfull_s"] = round(t_dyn, 3)
-    out["dynamic_signal_overhead_s"] = round(t_dyn - base, 3)
+    kwargs, extra = {}, {}
+    if name.startswith("interval"):
+        mask = make_step_mask(n, int(name[len("interval"):]), warmup=2, tail=1)
+        kwargs = {"step_mask": jnp.asarray(mask)}
+        extra["full_fwd"] = int(mask.sum())
+    elif name == "dynamic":
+        # epsilon threshold = every step still runs full; (t - baseline)
+        # isolates the per-step signal + launch-decision overhead
+        kwargs = {"vcache_threshold": 1e-9}
+    t = bench.time_runner(
+        bench.build_runner(cfg, params, attn_impl=bench.ATTN_PALLAS, denoise_kwargs=kwargs),
+        rtt,
+    )
+    print(json.dumps({"substage": name, "t_s": round(t, 3), **extra}))
+
+
+def main():
+    argv = sys.argv[1:]
+    tiny = bool(argv) and argv[0] == "tiny"
+    rest = argv[1:] if tiny else argv
+    if rest:
+        run_substage(rest[0], tiny)
+        return
+    out = {"steps": None, "note": "mechanical skip-rate speedup, synthetic weights; "
+                                  "quality needs real-weight calibration (DEPLOYMENT.md)"}
+    results = {}
+    for name in SUBSTAGES:
+        cmd = [sys.executable, __file__] + (["tiny"] if tiny else []) + [name]
+        proc = subprocess.run(cmd, capture_output=True, text=True, timeout=5400)
+        sys.stderr.write(proc.stderr)
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        if proc.returncode != 0 or not line.startswith("{"):
+            print(f"# substage {name} failed (rc={proc.returncode})", file=sys.stderr)
+            continue
+        results[name] = json.loads(line)
+    import bench
+
+    if tiny:
+        bench._enable_tiny()
+    out["steps"] = bench.NUM_STEPS
+    out["attn"] = bench.ATTN_PALLAS
+    if "baseline" in results:
+        base = results["baseline"]["t_s"]
+        out["baseline_s"] = base
+        for name in ("interval2", "interval3"):
+            if name in results:
+                out[name + "_s"] = results[name]["t_s"]
+                out[name + "_full_fwd"] = results[name]["full_fwd"]
+                out[name + "_speedup"] = round(base / results[name]["t_s"], 3)
+        if "dynamic" in results:
+            out["dynamic_allfull_s"] = results["dynamic"]["t_s"]
+            out["dynamic_signal_overhead_s"] = round(results["dynamic"]["t_s"] - base, 3)
     print(json.dumps(out))
 
 
