@@ -125,6 +125,29 @@ def test_mask_and_threshold_are_mutually_exclusive(setup):
         _denoise(setup, step_mask=jnp.ones(N_STEPS, bool), vcache_threshold=0.5)
 
 
+def test_vcache_composes_with_conditioned_image_cfg(setup):
+    """The corrector path (cond stream + image CFG's doubled batch) must
+    accept both cache modes — velocity() wraps the whole CFG mix, so the
+    cached velocity IS the mixed velocity."""
+    from reflectionflow_tpu.models.flux.rope import make_image_ids
+
+    params, latents, txt, pooled, img_ids, txt_ids, sigmas = setup
+    Lc = 4
+    cond = jax.random.normal(jax.random.PRNGKey(9), (B, Lc, CFG.in_channels), jnp.float32)
+    cond_ids = jnp.asarray(make_image_ids(2, 2))
+    kw = dict(cond=cond, cond_ids=cond_ids, cond_empty=jnp.zeros_like(cond),
+              image_guidance_scale=1.5)
+    base = _denoise(setup, **kw)
+    mask = np.array([True, True, False, True, False, True])
+    static = _denoise(setup, step_mask=jnp.asarray(mask), **kw)
+    assert static.shape == base.shape
+    assert not np.allclose(np.asarray(static), np.asarray(base))
+    dyn, n_full = _denoise(setup, vcache_threshold=1e9, vcache_warmup=1,
+                           vcache_tail=1, return_vcache_stats=True, **kw)
+    assert int(n_full) == 2
+    assert np.isfinite(np.asarray(dyn, np.float32)).all()
+
+
 def test_dynamic_signal_works_on_quantized_tree(setup):
     """The skip signal reuses `linear`, so it must run on the int8 serving
     tree (W8A8 leaves) exactly like on the float tree."""
