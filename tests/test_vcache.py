@@ -190,6 +190,30 @@ def test_pipeline_vcache_plumbing():
         pipe.generate(["x"], height=16, width=16, num_inference_steps=4, seed=1)
 
 
+def test_vcache_sharded_matches_unsharded():
+    """Per-candidate decisions under the candidate (data) mesh: sharding the
+    batch axis must not change dynamic-mode outputs (the accumulators are
+    per-row; the any-row launch predicate is replicated by construction)."""
+    from reflectionflow_tpu.config import CLIPTextConfig, FluxVAEConfig, T5Config
+    from reflectionflow_tpu.parallel.mesh import make_mesh, replicate_params
+    from reflectionflow_tpu.sampler.pipeline import FluxPipeline
+
+    pipe = FluxPipeline.random_init(
+        jax.random.PRNGKey(0),
+        dit_cfg=FluxDiTConfig.tiny(), vae_cfg=FluxVAEConfig.tiny(),
+        t5_cfg=T5Config.tiny(), clip_cfg=CLIPTextConfig.tiny(),
+        dtype=jnp.float32,
+    )
+    pipe.vcache = {"threshold": 0.35, "warmup": 1, "tail": 1}
+    prompts = [f"prompt {i}" for i in range(8)]
+    base = pipe.generate(prompts, height=16, width=16, num_inference_steps=4, seed=0)
+    mesh = make_mesh()
+    pipe.mesh = mesh
+    pipe.params = replicate_params(pipe.params, mesh)
+    sharded = pipe.generate(prompts, height=16, width=16, num_inference_steps=4, seed=0)
+    np.testing.assert_allclose(base.astype(np.int32), sharded.astype(np.int32), atol=1)
+
+
 def test_config_carries_vcache(tmp_path):
     import json
 
