@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -121,7 +122,10 @@ def print_throughput(timer, pipe) -> None:
         )
 
 
-def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
+def load_pipeline(cfg: TTSConfig, args, rewrites_prompts: bool = False) -> FluxPipeline:
+    """`rewrites_prompts`: the calling loop re-encodes changed prompts every
+    round (prompt refinement and/or reflection suffixes) — used to flag a
+    serving profile whose measured round latency collapses under that."""
     setup_compilation_cache(cfg, args)
     if args.synthetic_weights:
         from ..config import CLIPTextConfig, FluxDiTConfig, FluxVAEConfig, T5Config
@@ -220,6 +224,21 @@ def load_pipeline(cfg: TTSConfig, args) -> FluxPipeline:
         quantize == "int8" and dit_mode != "int8_int4mlp"
     ):
         pipe.enable_phase_swap()
+        if rewrites_prompts:
+            # measured on one v5e (docs/BENCH_NOTES.json
+            # reflection_round_profiles_v5e): refined-prompt rounds under
+            # phase swap p50 141.7 s (per-round T5 re-upload) vs 37.1 s
+            # co-resident — recommend the profile built for this workload
+            print(
+                "WARNING: this loop rewrites prompts every round, and the "
+                "phase-swap profile re-uploads the T5 encoder each time "
+                "(measured p50 141.7 s/round vs 37.1 s co-resident on a "
+                "16 GB v5e). For refinement/reflection workloads set "
+                "pipeline_args.dit_quant='int8_int4mlp' (see "
+                "configs/flux.1_dev_qwenscore_v5e_co.json and "
+                "docs/DEPLOYMENT.md).",
+                file=sys.stderr,
+            )
     elif quantize == "int8":
         # co-resident profile: no swap, but fixed-prompt loops should still
         # encode each prompt once

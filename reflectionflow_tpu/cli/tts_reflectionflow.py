@@ -49,7 +49,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
     cfg = load_config(args)
     prompts = load_prompts(args)
-    pipe = load_pipeline(cfg, args)
+    pipe = load_pipeline(
+        cfg, args,
+        rewrites_prompts=cfg.prompt_refiner_args.run_refinement
+        or cfg.reflection_args.run_reflection,
+    )
     verifier = build_verifier(cfg)
     reflector = build_reflector(cfg)
     refiner = build_refiner(cfg)

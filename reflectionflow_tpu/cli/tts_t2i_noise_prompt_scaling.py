@@ -22,7 +22,9 @@ def main(argv=None):
     args = build_parser(__doc__).parse_args(argv)
     cfg = load_config(args)
     prompts = load_prompts(args)
-    pipe = load_pipeline(cfg, args)
+    pipe = load_pipeline(
+        cfg, args, rewrites_prompts=cfg.prompt_refiner_args.run_refinement
+    )
     verifier = build_verifier(cfg)
     refiner = build_refiner(cfg)
     timer = PhaseTimer()

@@ -252,3 +252,41 @@ def test_compilation_cache_plumbing(tmp_path):
         assert jax.config.jax_persistent_cache_min_compile_time_secs == 10.0
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_phase_swap_refined_prompt_advice(tmp_path, capsys):
+    """A prompt-rewriting loop on the phase-swap profile gets the measured
+    profile recommendation (BENCH_NOTES reflection_round_profiles_v5e);
+    fixed-prompt loops and the co-resident profile stay silent."""
+    import json as _json
+    from argparse import Namespace
+
+    from reflectionflow_tpu.cli.common import load_config, load_pipeline
+
+    def args_for(cfg_path):
+        return Namespace(
+            pipeline_config_path=str(cfg_path), output_dir=None, synthetic_weights=True,
+            attn_impl=None, quantize="int8", phase_swap=False, act_quant_exclude=[],
+        )
+
+    def cfg_with(pipeline_overrides, name):
+        p = tmp_path / f"{name}.json"
+        write_tiny_config(p)
+        raw = _json.loads(p.read_text())
+        raw["pipeline_args"].update(pipeline_overrides)
+        p.write_text(_json.dumps(raw))
+        return p
+
+    # phase-swap W8A8 + per-round prompt rewrites -> loud recommendation
+    load_pipeline(load_config(args_for(cfg_with({}, "swap"))), args_for("x"),
+                  rewrites_prompts=True)
+    assert "int8_int4mlp" in capsys.readouterr().err
+    # same profile, fixed prompts -> silent
+    load_pipeline(load_config(args_for(cfg_with({}, "swap2"))), args_for("x"))
+    assert "int8_int4mlp" not in capsys.readouterr().err
+    # co-resident profile, rewritten prompts -> silent (no swap to warn about)
+    load_pipeline(
+        load_config(args_for(cfg_with({"dit_quant": "int8_int4mlp"}, "co"))),
+        args_for("x"), rewrites_prompts=True,
+    )
+    assert "int8_int4mlp" not in capsys.readouterr().err
