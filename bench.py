@@ -688,6 +688,23 @@ def main():
     args = p.parse_args()
     if args.tiny:
         _enable_tiny()
+    else:
+        # persistent XLA compilation cache: full-depth serving compiles cost
+        # 20-60 s each through the dev tunnel, and the sweep's subprocess
+        # stages would otherwise each pay them again. Same knob as the CLIs
+        # ($REFLECTIONFLOW_COMPILE_CACHE), defaulted on for hardware runs;
+        # stage subprocesses run this same main() so each sets it for itself.
+        import os
+
+        cache_dir = os.environ.get("REFLECTIONFLOW_COMPILE_CACHE") or os.path.expanduser(
+            "~/.cache/rf_xla"
+        )
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+        except OSError as e:
+            log(f"# compilation cache unavailable ({e}); compiling cold")
     if args.stage:
         run_stage(args.stage, batch=args.batch)
         return
