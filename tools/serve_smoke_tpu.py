@@ -107,7 +107,15 @@ def main():
         vae_tiling=profile == "nvila",
     )
     _log("pipeline weights resident")
-    if co:
+    if profile == "nvila":
+        # measured 2026-08-18: ALL FOUR resident (int4MLP DiT 9.7 GB + NF4
+        # T5 2.4 GB + int8 NVILA 2.1 GB + VAE/CLIP ~0.4 GB = ~14.6 GB)
+        # RESOURCE_EXHAUSTs at the first T5 encode on 16 GB — the encode
+        # workspace doesn't fit next to it. Keep the T5 phase-swapped:
+        # DiT + NVILA + VAE stay resident (the single-chip verify+generate
+        # claim), T5 pays the NF4 re-upload only on rewritten prompts.
+        pipe.enable_phase_swap(offload=("t5",))
+    elif co:
         pipe.enable_prompt_cache()
     else:
         pipe.enable_phase_swap(offload=("t5",))
