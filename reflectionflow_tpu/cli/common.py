@@ -230,13 +230,16 @@ def load_pipeline(cfg: TTSConfig, args, rewrites_prompts: bool = False) -> FluxP
             # phase swap p50 141.7 s (per-round T5 re-upload) vs 37.1 s
             # co-resident — recommend the profile built for this workload
             print(
-                "WARNING: this loop rewrites prompts every round, and the "
-                "phase-swap profile re-uploads the T5 encoder each time "
+                "NOTE: this loop rewrites prompts every round, and the "
+                "phase-swap profile re-uploads the T5 encoder each time. "
+                "On a SLOW host link (dev tunnel) that upload dominates "
                 "(measured p50 141.7 s/round vs 37.1 s co-resident on a "
-                "16 GB v5e). For refinement/reflection workloads set "
-                "pipeline_args.dit_quant='int8_int4mlp' (see "
-                "configs/flux.1_dev_qwenscore_v5e_co.json and "
-                "docs/DEPLOYMENT.md).",
+                "16 GB v5e) — there, set pipeline_args.dit_quant="
+                "'int8_int4mlp' (configs/flux.1_dev_qwenscore_v5e_co.json). "
+                "On production PCIe the upload is ~0.1-0.3 s and phase-swap "
+                "remains the faster profile (~27 s/round vs ~37 s "
+                "co-resident; docs/BENCH_NOTES.json "
+                "reflection_round_profiles_v5e.recommendation).",
                 file=sys.stderr,
             )
     elif quantize == "int8":

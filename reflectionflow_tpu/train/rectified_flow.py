@@ -11,11 +11,13 @@ Capability parity with `OminiModel.step`
   * loss = MSE(v_pred, x_1 - x_0).
 
 TPU-native: the train step is ONE jitted pure function — LoRA params are
-the only trainable leaves; the base DiT is a closed-over constant; the LoRA
-is folded inside the step (gradients flow through the fold), reproducing
-the `latent_lora=False` gating exactly (only the condition stream sees the
-adapter). Batch is sharded over the "data" mesh axis; gradient allreduce is
-inserted by XLA from sharding propagation.
+the only trainable leaves; the frozen base DiT is passed as a jit ARGUMENT
+every call (never closed over — a closure would embed the multi-GB tree as
+HLO constants); the LoRA is attached as per-layer low-rank adds (gradients
+flow through the adds), reproducing the `latent_lora=False` gating exactly
+(only the condition stream sees the adapter). Batch is sharded over the
+"data" mesh axis; gradient allreduce is inserted by XLA from sharding
+propagation.
 """
 
 from __future__ import annotations
@@ -96,7 +98,6 @@ def make_train_step(
     r: int = 32,
     latent_lora: bool = False,
     model_flags: dict | None = None,
-    grad_clip: float | None = 0.5,
     mesh=None,
     attn_impl: str = "xla",
 ):
@@ -109,8 +110,8 @@ def make_train_step(
     doubling device memory (the zero-arg-closure pitfall).
 
     NOTE: `optimizer` must be the SAME transformation whose `.init` produced
-    `opt_state` — use `make_optimizer` (which already chains grad clipping).
-    `grad_clip` here is unused and kept for signature stability."""
+    `opt_state` — use `make_optimizer`, which already chains gradient
+    clipping (`TrainConfig.optimizer.grad_clip`)."""
     # int8-QK^T attention is serving-only (no custom_vjp): fail HERE with a
     # clear message rather than deep inside jax.grad's trace of the scan.
     # ring* = sequence-parallel ring attention (ops.ring_attention): needs

@@ -75,7 +75,6 @@ def train(
         alpha=cfg.lora.alpha,
         r=cfg.lora.r,
         latent_lora=False,
-        grad_clip=cfg.optimizer.grad_clip,
         mesh=mesh,
         attn_impl=cfg.attn_impl,
     )

@@ -18,9 +18,11 @@ swap, no upload, slower w4a16 MLP denoise) — the refined-prompt
 mitigation measured for VERDICT round-2 item 4;
 "nvila" = the "co" layout PLUS the real JAX-native NVILA-2B verifier
 (int8, ~2.1 GB) resident on the SAME chip — the whole loop (generate +
-REAL verifier scoring) on one 16 GB v5e, no swap and no second chip
-(~14.6 GB total; the verify phase is real NVILA batched yes/no scoring,
-not the fake)."""
+REAL verifier scoring) on one 16 GB v5e, no second chip. DiT + NVILA +
+VAE stay resident (~12.2 GB); the T5 is phase-swapped (full four-model
+residency at ~14.6 GB measured-OOMs at the first T5 encode — see the
+profile branch below). The verify phase is real NVILA batched yes/no
+scoring, not the fake."""
 
 import json
 import sys
@@ -107,17 +109,16 @@ def main():
         vae_tiling=profile == "nvila",
     )
     _log("pipeline weights resident")
-    if profile == "nvila":
-        # measured 2026-08-18: ALL FOUR resident (int4MLP DiT 9.7 GB + NF4
-        # T5 2.4 GB + int8 NVILA 2.1 GB + VAE/CLIP ~0.4 GB = ~14.6 GB)
-        # RESOURCE_EXHAUSTs at the first T5 encode on 16 GB — the encode
-        # workspace doesn't fit next to it. Keep the T5 phase-swapped:
-        # DiT + NVILA + VAE stay resident (the single-chip verify+generate
-        # claim), T5 pays the NF4 re-upload only on rewritten prompts.
-        pipe.enable_phase_swap(offload=("t5",))
-    elif co:
+    if co and profile != "nvila":
         pipe.enable_prompt_cache()
     else:
+        # nvila: measured 2026-08-18 — ALL FOUR resident (int4MLP DiT
+        # 9.7 GB + NF4 T5 2.4 GB + int8 NVILA 2.1 GB + VAE/CLIP ~0.4 GB =
+        # ~14.6 GB) RESOURCE_EXHAUSTs at the first T5 encode on 16 GB; the
+        # encode workspace doesn't fit next to it. Keep the T5
+        # phase-swapped: DiT + NVILA + VAE stay resident (the single-chip
+        # verify+generate claim), T5 pays the NF4 re-upload only on
+        # rewritten prompts.
         pipe.enable_phase_swap(offload=("t5",))
 
     import tempfile
@@ -137,8 +138,8 @@ def main():
     }
     out = {
         "scale": (
-            "FLUX-dev int8+int4MLP DiT + int4 T5 + int8 NVILA-2B verifier ALL RESIDENT "
-            "on one chip (synthetic weights), 1024px, pallas"
+            "FLUX-dev int8+int4MLP DiT + int8 NVILA-2B verifier + VAE resident on one "
+            "chip (~12.2 GB), int4 T5 phase-swapped (synthetic weights), 1024px, pallas"
             if profile == "nvila" else
             "FLUX-dev int8+int4MLP DiT + int4 T5 CO-RESIDENT (synthetic weights), 1024px, pallas"
             if co else
