@@ -364,6 +364,71 @@ def _stacked_nf4(key, n, d_in, d_out):
     }
 
 
+# --- floor model (VERDICT r3 item 3: the bench line must be self-auditing) ---
+# v5e-measured effective rates behind docs/BENCH_NOTES.json::floor_arithmetic:
+# W8A8 linears sustain ~316 TFLOP/s at K=3072 (tools/matmul_bench.py), the
+# Pallas flash kernel ~186 TFLOP/s of 4*L^2*H attention math at L=4608
+# (1.40 ms/layer), plus ~0.5 s of irreducible per-image glue (scheduler,
+# stream concats, norm+rope traffic). floor_hash fingerprints these inputs
+# so a BENCH_r*.json line can be audited against the derivation it used.
+FLOOR_MODEL = {
+    "w8a8_linear_tflops": 316.0,
+    "attn_effective_tflops": 186.0,
+    "glue_s": 0.5,
+    "flop_convention": "linears 2*(4H^2+2HM) per token-layer over all streams; attention 4*L^2*H per layer",
+    "basis": "docs/BENCH_NOTES.json::floor_arithmetic (v5e)",
+}
+
+
+def denoise_flop_breakdown(cfg: FluxDiTConfig, n_img: int, n_txt: int, steps: int,
+                           n_cond: int = 0) -> dict:
+    """Analytic FLOPs of one image's denoise from the model config.
+
+    Every one of the 57 layers applies the same per-token linear stack to
+    each stream (double blocks: img/cond via the img projections, txt via
+    its own; single blocks: the joint sequence), so linear FLOPs =
+    2*(QKV 3H^2 + out H^2 + MLP 2HM) per token-layer times the full joint
+    length; attention = one softmax(QK^T)V over L per layer (4*L^2*H)."""
+    H, M = cfg.hidden_size, cfg.mlp_hidden
+    L = n_img + n_txt + n_cond
+    layers = cfg.num_double_blocks + cfg.num_single_blocks
+    linear = steps * layers * 2 * (4 * H * H + 2 * H * M) * L
+    attn = steps * layers * 4 * L * L * H
+    return {"linear_flops": linear, "attn_flops": attn}
+
+
+def floor_analysis(cfg: FluxDiTConfig, n_img: int, n_txt: int, steps: int,
+                   t_denoise_per_image_s: float) -> dict:
+    """-> the self-audit fields for one bench line: achieved TFLOP/s over
+    the measured denoise, the v5e floor in seconds, %-of-floor, and a hash
+    of the derivation inputs (model dims + FLOOR_MODEL constants)."""
+    import hashlib
+
+    fl = denoise_flop_breakdown(cfg, n_img, n_txt, steps)
+    total = fl["linear_flops"] + fl["attn_flops"]
+    floor_s = (
+        fl["linear_flops"] / (FLOOR_MODEL["w8a8_linear_tflops"] * 1e12)
+        + fl["attn_flops"] / (FLOOR_MODEL["attn_effective_tflops"] * 1e12)
+        + FLOOR_MODEL["glue_s"]
+    )
+    derivation = dict(
+        FLOOR_MODEL,
+        hidden=cfg.hidden_size, mlp=cfg.mlp_hidden,
+        layers=cfg.num_double_blocks + cfg.num_single_blocks,
+        n_img=n_img, n_txt=n_txt, steps=steps,
+    )
+    floor_hash = hashlib.sha256(
+        json.dumps(derivation, sort_keys=True).encode()
+    ).hexdigest()[:12]
+    return {
+        "flops_per_image_pflop": round(total / 1e15, 4),
+        "achieved_tflops": round(total / t_denoise_per_image_s / 1e12, 1),
+        "floor_s": round(floor_s, 3),
+        "pct_of_floor": round(100.0 * floor_s / t_denoise_per_image_s, 1),
+        "floor_hash": floor_hash,
+    }
+
+
 def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1, pipelined: int = 0) -> dict | None:
     """TRUE end-to-end single-chip image cost: T5-XXL(int4) encode +
     CLIP pooled + 30-step int8 DiT denoise + VAE decode + host image fetch.
@@ -493,6 +558,10 @@ def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1, pipelined: i
         "t_decode_fetch_s": round(t_dec, 3),
         "t_batch_s": round(t_enc + t_den + t_dec, 3),
     }
+    out.update(floor_analysis(dit_cfg, TY * TX, LT, NUM_STEPS, t_den / batch))
+    if TINY:
+        out["pct_of_floor"] = None  # the floor model is v5e-measured; CPU
+        out["achieved_tflops"] = None  # timings would fake an efficiency claim
     if t_pipe is not None:
         out["t_image_s"] = t_enc + t_pipe / pipelined
         out["t_pipelined_total_s"] = round(t_pipe, 3)
@@ -519,10 +588,13 @@ def bench_int8_full(rtt: float) -> dict | None:
                     params = init_fn(cfg)
                 run = build_runner(cfg, params, attn_impl=attn_impl)
                 t = time_runner(run, rtt)
-                return {"t_image_s": t,
-                        "config": f"int8 full {cfg.num_double_blocks}/{cfg.num_single_blocks} "
-                                  f"({attn_impl} attention, {init_name} init)"
-                                  + (", TINY-CPU (control-flow check)" if TINY else "")}
+                res = {"t_image_s": t,
+                       "config": f"int8 full {cfg.num_double_blocks}/{cfg.num_single_blocks} "
+                                 f"({attn_impl} attention, {init_name} init)"
+                                 + (", TINY-CPU (control-flow check)" if TINY else "")}
+                if not TINY:
+                    res.update(floor_analysis(cfg, TY * TX, LT, NUM_STEPS, t / BATCH))
+                return res
             except Exception as e:  # OOM / kernel failure
                 log(f"# int8 bench ({init_name}/{attn_impl}) failed: {type(e).__name__}")
                 gc.collect()

@@ -205,3 +205,32 @@ def test_tiny_pipe_stage_end_to_end():
     assert "deferred fetch" in d["config"] and "TINY-CPU" in d["config"]
     # per-phase numbers stay in the detail alongside the pipelined total
     assert {"t_encode_s", "t_denoise_s", "t_decode_fetch_s"} <= set(d)
+    # the self-audit contract fields ship in every e2e line; tiny-CPU runs
+    # carry the derivation (flops, floor hash) but null the efficiency
+    # claims the v5e floor model can't back on CPU
+    assert {"flops_per_image_pflop", "floor_s", "floor_hash", "achieved_tflops",
+            "pct_of_floor"} <= set(d)
+    assert d["achieved_tflops"] is None and d["pct_of_floor"] is None
+    assert len(d["floor_hash"]) == 12
+
+
+def test_floor_analysis_reproduces_bench_notes_arithmetic():
+    """The emitted floor fields must reproduce the audited derivation in
+    docs/BENCH_NOTES.json::floor_arithmetic at FLUX-dev scale: ~1.78 PFLOP
+    of linears + ~0.45 PFLOP of attention per 30-step 1024px image, an
+    ~8.6 s v5e floor, and 9.268 s measured = ~92% of floor."""
+    from reflectionflow_tpu.config import FluxDiTConfig
+
+    cfg = FluxDiTConfig()
+    fl = bench.denoise_flop_breakdown(cfg, 4096, 512, 30)
+    assert abs(fl["linear_flops"] / 1e15 - 1.78) < 0.03
+    assert abs(fl["attn_flops"] / 1e15 - 0.446) < 0.01
+
+    a = bench.floor_analysis(cfg, 4096, 512, 30, t_denoise_per_image_s=9.268)
+    assert abs(a["floor_s"] - 8.55) < 0.15
+    assert 90.0 < a["pct_of_floor"] < 94.0
+    assert abs(a["achieved_tflops"] - 240.0) < 5.0
+    # the hash fingerprints the derivation: stable across calls, sensitive
+    # to any change in the model dims or the measured rate constants
+    assert a["floor_hash"] == bench.floor_analysis(cfg, 4096, 512, 30, 5.0)["floor_hash"]
+    assert a["floor_hash"] != bench.floor_analysis(cfg, 4096, 513, 30, 9.268)["floor_hash"]
