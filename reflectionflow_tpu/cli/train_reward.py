@@ -43,11 +43,21 @@ def build_parser() -> argparse.ArgumentParser:
     # PEFTLoraConfig
     p.add_argument("--lora_r", type=int, default=16)
     p.add_argument("--lora_alpha", type=float, default=32.0)
+    p.add_argument("--vision_lora", action="store_true",
+                   help="also LoRA the vision tower (reference train_reward.py:43-63; "
+                        "trains on raw patches at one fixed square grid per run)")
     # TrainingConfig
     p.add_argument("--output_dir", type=str, required=True)
     p.add_argument("--learning_rate", type=float, default=1e-5)
     p.add_argument("--special_token_lr", type=float, default=None)
     p.add_argument("--head_lr", type=float, default=None)
+    p.add_argument("--vision_lr", type=float, default=None,
+                   help="LR for the vision-tower adapters (trainer.py:335-336)")
+    p.add_argument("--merger_lr", type=float, default=None,
+                   help="LR for the patch-merger adapters (trainer.py:338-339)")
+    p.add_argument("--fsdp_devices", type=int, default=0,
+                   help=">0: shard the frozen base over an N-device 'data' mesh "
+                        "(FSDP-style) with the pair batch on the same axis")
     p.add_argument("--num_train_epochs", type=float, default=1.0)
     p.add_argument("--per_device_train_batch_size", type=int, default=2)
     p.add_argument("--save_epochs", type=float, default=1.0)
@@ -95,9 +105,10 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..models.qwen_vl.model import QwenVLModel
-    from ..rm_train.data import collate_rm_batch
+    from ..rm_train.data import collate_rm_batch, vision_train_geometry
     from ..rm_train.train import (
-        make_rm_optimizer, make_rm_train_step, rm_lora_init, save_rm_checkpoint,
+        make_rm_optimizer, make_rm_train_step, rm_lora_init, rm_vision_lora_init,
+        save_rm_checkpoint,
     )
     from ..utils.jsonl import append_jsonl
 
@@ -140,8 +151,14 @@ def main(argv=None):
         "rm_head": jax.random.normal(jax.random.fold_in(key, 1), (H, args.output_dim)) * 0.02,
         "special": jax.random.normal(jax.random.fold_in(key, 2), (H,)) * 0.02,
     }
+    if args.vision_lora:
+        trainable["vision_lora"] = rm_vision_lora_init(
+            jax.random.fold_in(key, 3), model.vision_params,
+            r=args.lora_r, alpha=args.lora_alpha,
+        )["adapters"]
     optimizer = make_rm_optimizer(
-        lr=args.learning_rate, head_lr=args.head_lr, special_lr=args.special_token_lr
+        lr=args.learning_rate, head_lr=args.head_lr, special_lr=args.special_token_lr,
+        vision_lr=args.vision_lr, merger_lr=args.merger_lr,
     )
     opt_state = optimizer.init(trainable)
     start_step = 0
@@ -159,10 +176,24 @@ def main(argv=None):
         # into the permutation stream so early batches are not re-trained
         rng = np.random.default_rng(args.seed + start_step)
         print(f"resumed from {args.resume_from} at step {start_step}")
+    mesh = None
+    if args.fsdp_devices > 0:
+        from jax.sharding import Mesh
+
+        devices = jax.devices()
+        if len(devices) < args.fsdp_devices:
+            raise SystemExit(
+                f"--fsdp_devices {args.fsdp_devices} but only {len(devices)} devices visible"
+            )
+        mesh = Mesh(np.asarray(devices[: args.fsdp_devices]), ("data",))
+    grid_thw = vision_train_geometry(model.vis_cfg, args.max_pixels)[1] if args.vision_lora else None
     step_fn = make_rm_train_step(
         model.lm_params, model.lm_cfg, optimizer,
         loss_type=args.loss_type, pooling=pooling,
         special_token_id=special_token_id, alpha=args.lora_alpha, r=args.lora_r,
+        vision_params=model.vision_params if args.vision_lora else None,
+        vis_cfg=model.vis_cfg if args.vision_lora else None,
+        grid_thw=grid_thw, mesh=mesh,
     )
 
     os.makedirs(args.output_dir, exist_ok=True)
@@ -176,6 +207,7 @@ def main(argv=None):
         return collate_rm_batch(
             model, rows_chunk, tokenizer=tokenizer,
             max_pixels=args.max_pixels, special_token_id=special_token_id,
+            train_vision=args.vision_lora,
         )
 
     all_rewards: list[float] = []
@@ -214,15 +246,24 @@ def main(argv=None):
         for b0 in range(0, len(eval_rows), bs):
             chunk = eval_rows[b0 : b0 + bs]
             batch = collate(chunk)
-            from ..rm_train.train import rm_forward_rewards
+            from ..rm_train.train import apply_vision_lora_embeds, rm_forward_rewards
 
             kw = dict(pooling=pooling, special_token_id=special_token_id,
                       alpha=args.lora_alpha, r=args.lora_r)
+            emb = {}
+            for side in ("A", "B"):
+                emb[side] = batch[f"embeds_{side}"]
+                if args.vision_lora:
+                    emb[side] = apply_vision_lora_embeds(
+                        trainable, model.vision_params, model.vis_cfg, emb[side],
+                        batch[f"patches_{side}"], grid_thw,
+                        args.lora_alpha, args.lora_r,
+                    )
             rw_A = rm_forward_rewards(trainable, model.lm_params, model.lm_cfg,
-                                      batch["embeds_A"], batch["pos_A"], batch["mask_A"],
+                                      emb["A"], batch["pos_A"], batch["mask_A"],
                                       batch["ids_A"], **kw)
             rw_B = rm_forward_rewards(trainable, model.lm_params, model.lm_cfg,
-                                      batch["embeds_B"], batch["pos_B"], batch["mask_B"],
+                                      emb["B"], batch["pos_B"], batch["mask_B"],
                                       batch["ids_B"], **kw)
             acc = pairwise_accuracy(
                 np.asarray(rw_A)[:, 0], np.asarray(rw_B)[:, 0], np.asarray(batch["chosen_label"])[:, 0]

@@ -43,6 +43,38 @@ def dit_param_spec(path: str, ndim: int) -> P:
     return P()
 
 
+def fsdp_param_spec(shape: tuple[int, ...], n_shards: int, axis: str = "data") -> P:
+    """FSDP-style spec: shard the LARGEST dimension divisible by the axis
+    size (ties broken toward the trailing dim, which XLA lays out major for
+    stacked (N, in, out) leaves), replicate anything that doesn't divide.
+    XLA's SPMD partitioner inserts the per-layer all-gather on use — the
+    ZeRO-3 pattern the reference gets from DeepSpeed
+    (/root/reference/reward_modeling/utils.py:94-137) expressed as shardings."""
+    if not shape or n_shards <= 1:
+        return P()
+    order = sorted(range(len(shape)), key=lambda d: (shape[d], d), reverse=True)
+    for d in order:
+        if shape[d] >= n_shards and shape[d] % n_shards == 0:
+            spec = [None] * len(shape)
+            spec[d] = axis
+            return P(*spec)
+    return P()
+
+
+def shard_fsdp_params(params, mesh: Mesh, axis: str = "data"):
+    """Place a frozen param tree with every leaf sharded FSDP-style over
+    `axis` (no-op replication when the axis is absent or size 1)."""
+    n = int(mesh.shape.get(axis, 1))
+    if n <= 1:
+        return jax.device_put(params, NamedSharding(mesh, P()))
+    return jax.tree.map(
+        lambda leaf: jax.device_put(
+            leaf, NamedSharding(mesh, fsdp_param_spec(getattr(leaf, "shape", ()), n, axis))
+        ),
+        params,
+    )
+
+
 def shard_dit_params(params, mesh: Mesh):
     """Place DiT weights with TP sharding over "model" (replicated over
     "data"). No-op specs when the mesh has no "model" axis."""

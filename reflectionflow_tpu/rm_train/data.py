@@ -19,6 +19,20 @@ from ..models.qwen_vl.vision import image_to_patches, smart_resize
 from .losses import convert_gsb_labels
 
 
+def vision_train_geometry(vis_cfg, max_pixels: int = 448 * 448) -> tuple[int, tuple[int, int, int]]:
+    """-> (square side in px, grid_thw) for the fixed-resolution vision-
+    training layout: one static grid per batch so raw patches stack into a
+    (B, Lp, pd) jit input (static shapes; the reference's per-image
+    smart_resize gives ragged grids, which on TPU would force a recompile
+    per aspect ratio)."""
+    import math
+
+    factor = vis_cfg.patch_size * vis_cfg.spatial_merge_size
+    side = max(factor, int(math.sqrt(max_pixels)) // factor * factor)
+    g = side // vis_cfg.patch_size
+    return side, (1, g, g)
+
+
 def build_side_sequence(
     model: QwenVLModel,
     image: np.ndarray,
@@ -27,6 +41,7 @@ def build_side_sequence(
     max_pixels: int = 448 * 448,
     special_token_id: int | None = None,
     prompt_template: str = "Rate the quality of this image for the caption: {prompt}",
+    fixed_square: bool = False,
 ):
     """-> dict(ids, resized_image) for one comparison side."""
     from PIL import Image
@@ -34,7 +49,10 @@ def build_side_sequence(
     vis_cfg = model.vis_cfg
     factor = vis_cfg.patch_size * vis_cfg.spatial_merge_size
     H, W = image.shape[:2]
-    nh, nw = smart_resize(H, W, factor=factor, max_pixels=max_pixels)
+    if fixed_square:
+        nh = nw = vision_train_geometry(vis_cfg, max_pixels)[0]
+    else:
+        nh, nw = smart_resize(H, W, factor=factor, max_pixels=max_pixels)
     img = np.asarray(Image.fromarray(image).resize((nw, nh)))
     _, (t, gh, gw) = image_to_patches(img, vis_cfg)
     n_img = t * (gh // vis_cfg.spatial_merge_size) * (gw // vis_cfg.spatial_merge_size)
@@ -60,12 +78,19 @@ def collate_rm_batch(
     max_pixels: int = 448 * 448,
     special_token_id: int | None = None,
     pad_token_id: int = 151643,
+    train_vision: bool = False,
 ):
     """-> the jit-ready batch for `rm_train.train.make_rm_train_step`.
 
-    Precomputes (token + vision) embeds per side with the frozen tower,
-    pads to the max length across the batch; images must share resolution
-    for a uniform vision grid (resize upstream or per-size bucketing)."""
+    Default: precomputes (token + vision) embeds per side with the frozen
+    tower, pads to the max length across the batch; images must share
+    resolution for a uniform vision grid (resize upstream or per-size
+    bucketing).
+
+    `train_vision`: the vision_lora layout — every image is resized to the
+    ONE fixed square grid (`vision_train_geometry`), embeds carry token
+    rows only (image rows are placeholders the in-step tower overwrites),
+    and raw pixel patches ship as `patches_A/B` (B, Lp, pd)."""
     import jax.numpy as jnp
 
     from ..search.artifacts import load_image
@@ -78,7 +103,8 @@ def collate_rm_batch(
             if isinstance(img, str):
                 img = load_image(img)
             sides[side].append(
-                build_side_sequence(model, img, row["prompt"], tokenizer, max_pixels, special_token_id)
+                build_side_sequence(model, img, row["prompt"], tokenizer, max_pixels,
+                                    special_token_id, fixed_square=train_vision)
             )
         if "chosen_label" in row:
             labels.append(int(row["chosen_label"]))
@@ -96,11 +122,21 @@ def collate_rm_batch(
         mask = np.zeros((B, L), np.int32)
         pos = np.zeros((3, B, L), np.int64)
         embeds = []
+        patches = []
         for b, s in enumerate(seqs):
             n = len(s["ids"])
             ids[b, :n] = s["ids"]
             mask[b, :n] = 1
-            emb, p = model.embed_sequence(s["ids"], [s["image"]])
+            if train_vision:
+                pats, grid = image_to_patches(s["image"], model.vis_cfg)
+                patches.append(pats)
+                emb = jnp.asarray(model.lm_params["embed"])[jnp.asarray(s["ids"])][None]
+                p = get_rope_index(
+                    s["ids"], [grid], model.vis_cfg.spatial_merge_size,
+                    model.tokens.image_pad, video_pad_id=model.tokens.video_pad,
+                )[:, None, :]
+            else:
+                emb, p = model.embed_sequence(s["ids"], [s["image"]])
             pad = L - n
             emb = jnp.pad(emb, ((0, 0), (0, pad), (0, 0)))
             embeds.append(emb[0])
@@ -109,6 +145,8 @@ def collate_rm_batch(
         batch[f"ids_{side}"] = jnp.asarray(ids)
         batch[f"mask_{side}"] = jnp.asarray(mask)
         batch[f"pos_{side}"] = jnp.asarray(pos)
+        if train_vision:
+            batch[f"patches_{side}"] = jnp.asarray(np.stack(patches))
     batch["chosen_label"] = jnp.asarray(np.asarray(labels, np.int32)[:, None])
     batch["scores_A"] = jnp.asarray(np.asarray(scores_A, np.float32)[:, None])
     batch["scores_B"] = jnp.asarray(np.asarray(scores_B, np.float32)[:, None])

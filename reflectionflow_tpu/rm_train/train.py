@@ -3,15 +3,22 @@
 Capability parity with `ImageVLMRewardTrainer` + `train_reward.py`
 (`/root/reference/reward_modeling/trainer.py:243-600`,
 `train_reward.py:69-294`): pairwise A/B forward through the VL model,
-BT-family loss, LoRA on the language model (vision tower frozen by
-default), trainable `rm_head` and `<|VQ_reward|>` special-token embedding
-row, and per-group learning rates (optax.multi_transform replaces the
+BT-family loss, LoRA on the language model, optional LoRA on the vision
+tower (`vision_lora`, train_reward.py:43-63,178-204), trainable `rm_head`
+and `<|VQ_reward|>` special-token embedding row, and per-group learning
+rates incl. `vision_lr`/`merger_lr` (optax.multi_transform replaces the
 reference's optimizer param groups at trainer.py:317-417; freezing all
 non-special embedding rows replaces `PartialEmbeddingUpdateCallback`).
 
 The trainable tree is {"lora": adapters, "rm_head": (H, out), "special":
-(H,)}; the frozen base (LM blocks, vision tower, embeddings) is closed
-over. Vision embeds are precomputed host-side per pair.
+(H,)} plus optional {"vision_lora": adapters} over the tower; the frozen
+base (LM blocks, vision tower, embeddings) is passed as jit ARGUMENTS
+every call — never closed over (a closure would embed the 7B tree as HLO
+constants). Without vision training, vision embeds are precomputed
+host-side per pair; with it, the tower runs inside the step on raw
+patches. `mesh=` shards the frozen base FSDP-style over "data" (the
+ZeRO-3 role of the reference's 8-GPU DDP+DeepSpeed setup,
+`reward_modeling/utils.py:94-137`) and the pair batch over the same axis.
 """
 
 from __future__ import annotations
@@ -31,10 +38,51 @@ from .losses import reward_loss
 
 RM_LORA_TARGETS = ("blocks/q/w", "blocks/k/w", "blocks/v/w", "blocks/o/w",
                    "blocks/gate/w", "blocks/up/w", "blocks/down/w")
+# the reference's vision_lora targets every Linear under `visual`
+# (find_target_linear_names with lora_namespan_exclude=[] —
+# train_reward.py:43-63): window-attention qkv/proj, the MLP, and the
+# patch-merger projections
+RM_VISION_LORA_TARGETS = ("blocks/qkv/w", "blocks/proj/w", "blocks/gate/w",
+                          "blocks/up/w", "blocks/down/w",
+                          "merger/fc1/w", "merger/fc2/w")
 
 
 def rm_lora_init(key, lm_params, r: int = 16, alpha: float = 16.0):
     return lora_init(key, lm_params, r=r, alpha=alpha, targets=RM_LORA_TARGETS)
+
+
+def rm_vision_lora_init(key, vision_params, r: int = 16, alpha: float = 16.0):
+    return lora_init(key, vision_params, r=r, alpha=alpha, targets=RM_VISION_LORA_TARGETS)
+
+
+def apply_vision_lora_embeds(
+    trainable: dict,
+    vision_params,
+    vis_cfg,
+    embeds: jnp.ndarray,  # (B, L, H) token embeds (image rows overwritten)
+    patches: jnp.ndarray,  # (B, Lp, pd) raw pixel patches, one grid per batch
+    grid_thw: tuple[int, int, int],
+    alpha: float,
+    r: int,
+    img_token_start: int = 1,
+) -> jnp.ndarray:
+    """Run the vision tower with the trainable adapters folded in and write
+    its embeds over the image-pad rows. The collator lays sequences out as
+    [vision_start, image_pad * n, vision_end, text...] so the image rows
+    are a static slice starting at `img_token_start` — a TPU-friendly
+    static update instead of a masked scatter."""
+    from ..models.qwen_vl.vision import qwen_vision_apply
+
+    folded = fold_lora(
+        vision_params, {"_alpha": alpha, "_r": r, "adapters": trainable["vision_lora"]}
+    )
+    vis = jax.vmap(lambda p: qwen_vision_apply(folded, vis_cfg, p, grid_thw))(
+        patches.astype(embeds.dtype)
+    )  # (B, n_img, H)
+    n_img = vis.shape[1]
+    return embeds.at[:, img_token_start : img_token_start + n_img, :].set(
+        vis.astype(embeds.dtype)
+    )
 
 
 def rm_forward_rewards(
@@ -71,59 +119,122 @@ def make_rm_train_step(
     special_token_id: int | None = None,
     alpha: float = 16.0,
     r: int = 16,
+    vision_params=None,
+    vis_cfg=None,
+    grid_thw: tuple[int, int, int] | None = None,
+    img_token_start: int = 1,
+    mesh=None,
 ):
     """jitted step(trainable, opt_state, batch, ...) over pairwise batches.
 
     batch: {embeds_A, pos_A, mask_A, ids_A, embeds_B, pos_B, mask_B, ids_B,
-            scores_A (B,N), scores_B, chosen_label (B,N)}."""
+            scores_A (B,N), scores_B, chosen_label (B,N)}; with vision
+    training also {patches_A, patches_B} (B, Lp, pd) on one shared
+    `grid_thw` (the collator's `train_vision` layout).
 
-    def loss_fn(trainable, batch, base_lm):
-        rw_A = rm_forward_rewards(
-            trainable, base_lm, lm_cfg, batch["embeds_A"], batch["pos_A"],
-            batch["mask_A"], batch["ids_A"], pooling, special_token_id, alpha, r,
+    `vision_params`/`vis_cfg`/`grid_thw` enable the vision_lora path: the
+    tower runs inside the step with `trainable["vision_lora"]` folded in.
+    `mesh` shards the frozen base FSDP-style over "data" and constrains the
+    pair batch to the same axis; trainable/optimizer state replicate and
+    the gradient allreduce comes from sharding propagation."""
+    train_vision = vision_params is not None
+    if train_vision and (vis_cfg is None or grid_thw is None):
+        raise ValueError("vision training needs vis_cfg and grid_thw (one grid per batch)")
+
+    if mesh is not None:
+        from ..parallel.specs import shard_fsdp_params
+
+        lm_params = shard_fsdp_params(lm_params, mesh)
+        if train_vision:
+            vision_params = shard_fsdp_params(vision_params, mesh)
+
+    def side_rewards(trainable, batch, base_lm, base_vis, side: str):
+        embeds = batch[f"embeds_{side}"]
+        if train_vision:
+            embeds = apply_vision_lora_embeds(
+                trainable, base_vis, vis_cfg, embeds, batch[f"patches_{side}"],
+                grid_thw, alpha, r, img_token_start,
+            )
+        return rm_forward_rewards(
+            trainable, base_lm, lm_cfg, embeds, batch[f"pos_{side}"],
+            batch[f"mask_{side}"], batch[f"ids_{side}"], pooling, special_token_id,
+            alpha, r,
         )
-        rw_B = rm_forward_rewards(
-            trainable, base_lm, lm_cfg, batch["embeds_B"], batch["pos_B"],
-            batch["mask_B"], batch["ids_B"], pooling, special_token_id, alpha, r,
-        )
+
+    def loss_fn(trainable, batch, base_lm, base_vis):
+        rw_A = side_rewards(trainable, batch, base_lm, base_vis, "A")
+        rw_B = side_rewards(trainable, batch, base_lm, base_vis, "B")
         loss = reward_loss(rw_A, rw_B, batch["scores_A"], batch["scores_B"],
                            batch["chosen_label"], loss_type)
         return loss, {"loss": loss, "rewards_A": rw_A, "rewards_B": rw_B}
 
+    def _constrain_batch(batch):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        data = NamedSharding(mesh, P("data"))
+        pos = NamedSharding(mesh, P(None, "data"))
+        return {
+            k: jax.lax.with_sharding_constraint(v, pos if k.startswith("pos_") else data)
+            for k, v in batch.items()
+        }
+
     # the frozen 7B LM is a jit ARGUMENT, not a closure — a closure would
     # embed it as HLO constants (trace/compile blowup + doubled HBM)
     @jax.jit
-    def jitted(trainable, opt_state, batch, base_lm):
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(trainable, batch, base_lm)
+    def jitted(trainable, opt_state, batch, base_lm, base_vis):
+        if mesh is not None:
+            batch = _constrain_batch(batch)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, batch, base_lm, base_vis
+        )
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         trainable = optax.apply_updates(trainable, updates)
         return trainable, opt_state, aux
 
     def step(trainable, opt_state, batch):
-        return jitted(trainable, opt_state, batch, lm_params)
+        return jitted(trainable, opt_state, batch, lm_params, vision_params)
 
     return step
 
 
 def make_rm_optimizer(lr: float = 1e-5, vision_lr: float | None = None,
                       head_lr: float | None = None, special_lr: float | None = None,
+                      merger_lr: float | None = None,
                       weight_decay: float = 0.0) -> optax.GradientTransformation:
-    """Per-group learning rates (trainer.py:317-417 semantics)."""
+    """Per-group learning rates (trainer.py:317-417 semantics): `vision_lr`
+    drives the vision_lora adapters (lr_mapper["visual"], trainer.py:335-336)
+    and `merger_lr` the patch-merger adapters within them (trainer.py:338-339);
+    both default to `lr` like the reference's base group."""
     head_lr = head_lr if head_lr is not None else lr
     special_lr = special_lr if special_lr is not None else lr
+    vision_lr = vision_lr if vision_lr is not None else lr
+    merger_lr = merger_lr if merger_lr is not None else vision_lr
 
     def label_fn(tree):
-        return {
-            "lora": jax.tree.map(lambda _: "lora", tree["lora"]),
-            "rm_head": "head",
-            "special": "special",
-        }
+        labels = {}
+        for k, v in tree.items():
+            if k == "rm_head":
+                labels[k] = "head"
+            elif k == "special":
+                labels[k] = "special"
+            elif k == "vision_lora":
+                labels[k] = {
+                    path: jax.tree.map(
+                        lambda _, p=path: "merger" if p.startswith("merger/") else "vision", ab
+                    )
+                    for path, ab in v.items()
+                }
+            else:
+                labels[k] = jax.tree.map(lambda _: "lora", v)
+        return labels
 
     return optax.multi_transform(
         {
             "lora": optax.adamw(lr, weight_decay=weight_decay),
             "head": optax.adamw(head_lr, weight_decay=weight_decay),
             "special": optax.adamw(special_lr, weight_decay=0.0),
+            "vision": optax.adamw(vision_lr, weight_decay=weight_decay),
+            "merger": optax.adamw(merger_lr, weight_decay=weight_decay),
         },
         label_fn,
     )
@@ -152,6 +263,10 @@ def save_rm_checkpoint(path: str, trainable: dict, pooling: str, special_token_i
         safe = p.replace("/", "__")
         flat[f"{safe}.A"] = np.asarray(ab["A"], np.float32)
         flat[f"{safe}.B"] = np.asarray(ab["B"], np.float32)
+    for p, ab in trainable.get("vision_lora", {}).items():
+        safe = p.replace("/", "__")
+        flat[f"vision.{safe}.A"] = np.asarray(ab["A"], np.float32)
+        flat[f"vision.{safe}.B"] = np.asarray(ab["B"], np.float32)
     if "special" in trainable:
         flat["special_token_embedding"] = np.asarray(trainable["special"], np.float32)
     save_file(flat, os.path.join(path, "rm_lora.safetensors"))
@@ -209,14 +324,21 @@ def load_rm_checkpoint(path: str) -> tuple[dict, dict]:
     head = load_file(os.path.join(path, "rm_head.safetensors"))["rm_head.weight"].T
     flat = load_file(os.path.join(path, "rm_lora.safetensors"))
     lora: dict = {}
+    vision_lora: dict = {}
     special = None
     for k, v in flat.items():
         if k == "special_token_embedding":
             special = v
             continue
+        dest = lora
+        if k.startswith("vision."):
+            dest = vision_lora
+            k = k[len("vision."):]
         p, which = k.rsplit(".", 1)
-        lora.setdefault(p.replace("__", "/"), {})[which] = v
+        dest.setdefault(p.replace("__", "/"), {})[which] = v
     trainable = {"lora": lora, "rm_head": head}
+    if vision_lora:
+        trainable["vision_lora"] = vision_lora
     if special is not None:
         trainable["special"] = special
     return trainable, cfg

@@ -94,6 +94,149 @@ def test_rm_train_step_learns():
     assert float(aux["rewards_A"].mean()) > float(aux["rewards_B"].mean())
 
 
+def _tiny_vl_rows_and_batch(train_vision=True, B=2, special_token_id=9):
+    """tiny QwenVLModel + a collated pairwise batch over real images."""
+    from reflectionflow_tpu.models.qwen_vl.model import QwenVLModel
+    from reflectionflow_tpu.rm_train.data import collate_rm_batch
+
+    model = QwenVLModel.random_init(jax.random.PRNGKey(0), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    rows = [
+        {"image_A": rng.integers(0, 255, (24, 24, 3), dtype=np.uint8),
+         "image_B": rng.integers(0, 255, (24, 24, 3), dtype=np.uint8),
+         "prompt": f"p{i}", "gsb": "G", "score_A": 4.0, "score_B": 2.0}
+        for i in range(B)
+    ]
+    batch = collate_rm_batch(model, rows, max_pixels=256,
+                             special_token_id=special_token_id,
+                             train_vision=train_vision)
+    return model, batch
+
+
+def test_rm_vision_lora_trains_tower_adapters():
+    """vision_lora=true (reference train_reward.py:43-63,178-204): the
+    tower runs inside the step on raw patches, its adapters update under
+    vision_lr, and vision_lr=0 freezes exactly the vision group while the
+    LM LoRA keeps training."""
+    from reflectionflow_tpu.rm_train.data import vision_train_geometry
+    from reflectionflow_tpu.rm_train.train import rm_vision_lora_init
+
+    model, batch = _tiny_vl_rows_and_batch(train_vision=True)
+    assert "patches_A" in batch and batch["patches_A"].ndim == 3
+    H = model.lm_cfg.hidden_size
+    grid = vision_train_geometry(model.vis_cfg, 256)[1]
+
+    def build(vision_lr):
+        trainable = {
+            "lora": rm_lora_init(jax.random.PRNGKey(1), model.lm_params, r=2, alpha=2)["adapters"],
+            "rm_head": jax.random.normal(jax.random.PRNGKey(2), (H, 1)) * 0.1,
+            "special": jax.random.normal(jax.random.PRNGKey(3), (H,)) * 0.02,
+            "vision_lora": rm_vision_lora_init(
+                jax.random.PRNGKey(4), model.vision_params, r=2, alpha=2)["adapters"],
+        }
+        opt = make_rm_optimizer(lr=1e-2, vision_lr=vision_lr)
+        step = make_rm_train_step(
+            model.lm_params, model.lm_cfg, opt, loss_type="bt", pooling="special",
+            special_token_id=9, r=2, alpha=2,
+            vision_params=model.vision_params, vis_cfg=model.vis_cfg, grid_thw=grid,
+        )
+        return trainable, opt.init(trainable), step
+
+    # the vision adapters cover the reference target set
+    trainable, opt_state, step = build(vision_lr=1e-2)
+    paths = set(trainable["vision_lora"])
+    assert any(p.startswith("merger/") for p in paths)
+    assert any(p.startswith("blocks/qkv") for p in paths)
+
+    before = jax.tree.map(np.asarray, trainable["vision_lora"])
+    losses = []
+    for _ in range(4):
+        trainable, opt_state, aux = step(trainable, opt_state, batch)
+        losses.append(float(aux["loss"]))
+    assert losses[-1] < losses[0], losses
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()), trainable["vision_lora"], before
+    )
+    assert max(jax.tree.leaves(moved)) > 0, "vision adapters never updated"
+
+    # vision_lr=0 -> the vision group is frozen, the LM LoRA still moves
+    trainable, opt_state, step = build(vision_lr=0.0)
+    v_before = jax.tree.map(np.asarray, trainable["vision_lora"])
+    l_before = jax.tree.map(np.asarray, trainable["lora"])
+    trainable, opt_state, _ = step(trainable, opt_state, batch)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        trainable["vision_lora"], v_before,
+    )
+    l_moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()), trainable["lora"], l_before
+    )
+    assert max(jax.tree.leaves(l_moved)) > 0
+
+
+def test_rm_train_step_fsdp_mesh_matches_single_device():
+    """mesh= shards the frozen base FSDP-style over "data" and the pair
+    batch over the same axis; one step must match the unsharded step."""
+    from jax.sharding import Mesh
+    from reflectionflow_tpu.rm_train.data import vision_train_geometry
+    from reflectionflow_tpu.rm_train.train import rm_vision_lora_init
+
+    model, batch = _tiny_vl_rows_and_batch(train_vision=True, B=8)
+    H = model.lm_cfg.hidden_size
+    grid = vision_train_geometry(model.vis_cfg, 256)[1]
+    trainable = {
+        "lora": rm_lora_init(jax.random.PRNGKey(1), model.lm_params, r=2, alpha=2)["adapters"],
+        "rm_head": jax.random.normal(jax.random.PRNGKey(2), (H, 1)) * 0.1,
+        "special": jax.random.normal(jax.random.PRNGKey(3), (H,)) * 0.02,
+        "vision_lora": rm_vision_lora_init(
+            jax.random.PRNGKey(4), model.vision_params, r=2, alpha=2)["adapters"],
+    }
+    opt = make_rm_optimizer(lr=1e-2)
+    results = {}
+    for name, mesh in (
+        ("single", None),
+        ("mesh", Mesh(np.asarray(jax.devices()[:8]), ("data",))),
+    ):
+        step = make_rm_train_step(
+            model.lm_params, model.lm_cfg, opt, loss_type="bt", pooling="special",
+            special_token_id=9, r=2, alpha=2,
+            vision_params=model.vision_params, vis_cfg=model.vis_cfg, grid_thw=grid,
+            mesh=mesh,
+        )
+        results[name] = step(trainable, opt.init(trainable), batch)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5),
+        results["single"][:2], results["mesh"][:2],
+    )
+    np.testing.assert_allclose(
+        float(results["single"][2]["loss"]), float(results["mesh"][2]["loss"]), atol=1e-5
+    )
+
+
+def test_rm_checkpoint_vision_lora_roundtrip(tmp_path):
+    from reflectionflow_tpu.models.qwen_vl.vision import qwen_vision_init
+    from reflectionflow_tpu.config import QwenVLVisionConfig
+    from reflectionflow_tpu.rm_train.train import (
+        load_rm_checkpoint, rm_vision_lora_init, save_rm_checkpoint,
+    )
+
+    lm = qwen_lm_init(jax.random.PRNGKey(0), CFG)
+    vis = qwen_vision_init(jax.random.PRNGKey(1), QwenVLVisionConfig.tiny())
+    trainable = {
+        "lora": rm_lora_init(jax.random.PRNGKey(2), lm, r=2, alpha=2)["adapters"],
+        "rm_head": jnp.ones((CFG.hidden_size, 1)),
+        "special": jnp.ones((CFG.hidden_size,)),
+        "vision_lora": rm_vision_lora_init(jax.random.PRNGKey(3), vis, r=2, alpha=2)["adapters"],
+    }
+    save_rm_checkpoint(str(tmp_path), trainable, "special", 9)
+    restored, cfg = load_rm_checkpoint(str(tmp_path))
+    assert set(restored["vision_lora"]) == set(trainable["vision_lora"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6),
+        restored["vision_lora"], jax.tree.map(np.asarray, trainable["vision_lora"]),
+    )
+
+
 def test_train_reward_cli_end_to_end(tmp_path):
     """The CLI driver (reference train_reward.py:162-294 surface): GSB rows
     -> train loop -> final_model checkpoint that scores images through
@@ -142,6 +285,42 @@ def test_train_reward_cli_end_to_end(tmp_path):
     img = rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
     scored = verifier.reward([img], ["a test prompt"])
     assert np.isfinite(scored[0]["VQ"])
+
+
+def test_train_reward_cli_vision_lora(tmp_path):
+    """--vision_lora trains tower adapters end-to-end: the final checkpoint
+    carries vision.* entries and reloads into a vision_lora tree."""
+    import json
+    import os
+
+    from PIL import Image
+
+    from reflectionflow_tpu.cli.train_reward import main as train_reward_main
+    from reflectionflow_tpu.rm_train.train import load_rm_checkpoint
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(4):
+        pa, pb = tmp_path / f"a{i}.png", tmp_path / f"b{i}.png"
+        Image.fromarray(rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)).save(pa)
+        Image.fromarray(rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)).save(pb)
+        rows.append({"image_A": str(pa), "image_B": str(pb), "prompt": f"p{i}",
+                     "gsb": "G", "score_A": 4.0, "score_B": 3.0})
+    meta = tmp_path / "meta.jsonl"
+    meta.write_text("".join(json.dumps(r) + "\n" for r in rows))
+    out = str(tmp_path / "rm_vis_out")
+    final = train_reward_main(
+        ["--meta_data", str(meta), "--output_dir", out, "--synthetic_weights",
+         "--per_device_train_batch_size", "2", "--num_train_epochs", "1",
+         "--eval_fraction", "0.25", "--max_pixels", "256", "--lora_r", "2",
+         "--loss_type", "bt", "--vision_lora", "--vision_lr", "1e-3"]
+    )
+    assert os.path.exists(os.path.join(final, "rm_lora.safetensors"))
+    restored, _ = load_rm_checkpoint(final)
+    assert restored.get("vision_lora"), "vision adapters missing from the checkpoint"
+    # B factors must have moved off their zero init (the adapters trained)
+    bmax = max(float(np.abs(np.asarray(ab["B"])).max()) for ab in restored["vision_lora"].values())
+    assert bmax > 0.0
 
 
 def test_rm_opt_state_roundtrip(tmp_path):
