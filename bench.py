@@ -429,7 +429,8 @@ def floor_analysis(cfg: FluxDiTConfig, n_img: int, n_txt: int, steps: int,
     }
 
 
-def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1, pipelined: int = 0) -> dict | None:
+def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1, pipelined: int = 0,
+              denoise_kwargs: dict | None = None, config_suffix: str = "") -> dict | None:
     """TRUE end-to-end single-chip image cost: T5-XXL(int4) encode +
     CLIP pooled + 30-step int8 DiT denoise + VAE decode + host image fetch.
     Co-resident by default; with `phase_swap` the T5 tree lives on host and
@@ -494,11 +495,11 @@ def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1, pipelined: i
     dit = init_int8_on_device(dit_cfg, int4_mlp=not phase_swap and not TINY)
     vae_dec = vae_decoder_init(jax.random.PRNGKey(4), vae_cfg, jnp.bfloat16)
 
-    def run_denoise(txt, pooled):
+    def run_denoise(txt, pooled, **extra):
         return denoise(
             dit, dit_cfg, latents, txt, pooled, img_ids, txt_ids, sigmas,
             jnp.asarray(3.5, jnp.float32), NUM_STEPS, attn_impl=ATTN_PALLAS,
-            rope_layout=ROPE_LAYOUT,
+            rope_layout=ROPE_LAYOUT, **(denoise_kwargs or {}), **extra,
         )
 
     def decode_one(final_b1):
@@ -558,7 +559,16 @@ def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1, pipelined: i
         "t_decode_fetch_s": round(t_dec, 3),
         "t_batch_s": round(t_enc + t_den + t_dec, 3),
     }
-    out.update(floor_analysis(dit_cfg, TY * TX, LT, NUM_STEPS, t_den / batch))
+    n_full = NUM_STEPS
+    if denoise_kwargs:
+        # skip schedules run fewer full forwards — audit the floor against
+        # the forwards actually launched, not the dense step count
+        _, nf = run_denoise(txt, pooled, return_vcache_stats=True)
+        n_full = int(np.asarray(nf))
+        out["n_full_forwards"] = n_full
+    out.update(floor_analysis(dit_cfg, TY * TX, LT, n_full, t_den / batch))
+    if config_suffix:
+        out["config"] += config_suffix
     if TINY:
         out["pct_of_floor"] = None  # the floor model is v5e-measured; CPU
         out["achieved_tflops"] = None  # timings would fake an efficiency claim
@@ -631,7 +641,69 @@ def bench_bf16_extrapolated(rtt: float) -> dict:
 # (dit_quant="int8_int4mlp") — fits with no swap, slower w4a16 MLPs.
 # e2e_swap_pipe first: phase-swap W8A8 measured in the search loop's
 # dispatch-then-fetch order (branch-2 steady state) — the serving metric.
+# e2e_swap_vcache: the calibrated velocity-cache schedule (the tools/
+# vcache_calibrate.py artifact) — it LEADS the sweep only when the
+# calibration is real-weight-validated (see _vcache_headline_eligible);
+# a synthetic calibration keeps it manual-only (quality-blind speedups
+# don't get to be the headline).
 STAGES = ("e2e_swap_pipe", "e2e_swap_batch", "e2e_swap", "e2e", "int8", "bf16")
+
+VCACHE_CALIBRATION_PATH = Path(__file__).resolve().parent / "docs" / "VCACHE_CALIBRATION.json"
+
+
+def _load_vcache_calibration() -> dict | None:
+    import os
+
+    path = os.environ.get("REFLECTIONFLOW_VCACHE_CALIBRATION") or VCACHE_CALIBRATION_PATH
+    try:
+        cal = json.loads(Path(path).read_text())
+    except (OSError, ValueError):
+        return None
+    return cal if cal.get("selected_vcache") else None
+
+
+def _vcache_headline_eligible(cal: dict | None) -> bool:
+    """Only a REAL-weight calibration whose selected schedule passed the
+    quality gates may promote the vcache stage to the headline sweep."""
+    return bool(cal) and cal.get("weights_kind") == "real"
+
+
+def _sweep_stages() -> tuple[str, ...]:
+    if _vcache_headline_eligible(_load_vcache_calibration()):
+        return ("e2e_swap_vcache",) + STAGES
+    return STAGES
+
+
+def bench_e2e_vcache(rtt: float, batch: int = 1) -> dict | None:
+    """The calibrated skip schedule measured in the same phase-swap e2e
+    harness; detail carries the full selection evidence so the line is
+    self-contained (schedule, gates, score drop, weights_kind)."""
+    from reflectionflow_tpu.sampler.generate import vcache_kwargs
+
+    cal = _load_vcache_calibration()
+    if cal is None:
+        log("# e2e_swap_vcache: no calibration with a selected schedule "
+            f"({VCACHE_CALIBRATION_PATH}); run tools/vcache_calibrate.py first")
+        return None
+    steps = 2 if TINY else cal["settings"].get("num_steps", NUM_STEPS)
+    if steps != NUM_STEPS:
+        log(f"# e2e_swap_vcache: calibration ran {steps} steps, bench runs {NUM_STEPS}; "
+            "applying the schedule at the bench step count")
+    selected = next(r for r in cal["results"] if r["name"] == cal["selected"])
+    out = bench_e2e(
+        rtt, phase_swap=True, batch=batch,
+        denoise_kwargs=vcache_kwargs(cal["selected_vcache"], NUM_STEPS),
+        config_suffix=f", vcache(calibrated:{cal['selected']},{cal['weights_kind']}-weights)",
+    )
+    if out is not None:
+        out["vcache_evidence"] = {
+            "selected": selected, "gates": cal.get("gates"),
+            "dense_score": (cal.get("dense") or {}).get("score"),
+            "weights_kind": cal.get("weights_kind"),
+            "verifier": cal.get("verifier"),
+            "n_prompts": (cal.get("settings") or {}).get("n_prompts"),
+        }
+    return out
 
 
 def run_stage(stage: str, batch: int | None = None) -> None:
@@ -643,6 +715,8 @@ def run_stage(stage: str, batch: int | None = None) -> None:
     rtt = measure_rtt()
     if stage == "e2e":
         primary = bench_e2e(rtt, phase_swap=False, batch=batch or BATCH)
+    elif stage == "e2e_swap_vcache":
+        primary = bench_e2e_vcache(rtt, batch=batch or BATCH)
     elif stage == "e2e_swap_pipe":
         primary = bench_e2e(rtt, phase_swap=True, batch=batch or BATCH, pipelined=2)
     elif stage == "e2e_swap":
@@ -674,10 +748,14 @@ def run_stage(stage: str, batch: int | None = None) -> None:
     })
     print(line)
     # Record ONLY headline-quality measurements: e2e stages at the default
-    # batch. Experiments (--batch N) and the weaker fallbacks (int8
-    # denoise-only, bf16 extrapolation) must not replace the stale-fallback
+    # batch. Experiments (--batch N), the weaker fallbacks (int8
+    # denoise-only, bf16 extrapolation), and a vcache run whose calibration
+    # is not real-weight-validated must not replace the stale-fallback
     # record with a different measurement basis.
-    if not TINY and not explicit_batch and stage.startswith("e2e"):
+    headline_quality = stage.startswith("e2e") and (
+        stage != "e2e_swap_vcache" or _vcache_headline_eligible(_load_vcache_calibration())
+    )
+    if not TINY and not explicit_batch and headline_quality:
         _record_last(line)
 
 
@@ -753,7 +831,7 @@ def main():
     import argparse
 
     p = argparse.ArgumentParser()
-    p.add_argument("--stage", choices=STAGES, default=None)
+    p.add_argument("--stage", choices=("e2e_swap_vcache",) + STAGES, default=None)
     p.add_argument("--batch", type=int, default=None, help="candidate batch for the e2e stages")
     p.add_argument("--tiny", action="store_true",
                    help="hermetic CPU control-flow check (tiny configs, not a measurement)")
@@ -805,8 +883,9 @@ def main():
 def _try_stages(args) -> bool:
     import subprocess
 
-    # try stages best-first, each in its own TPU client process
-    for stage in STAGES:
+    # try stages best-first, each in its own TPU client process (the
+    # calibrated-vcache stage leads ONLY when real-weight-validated)
+    for stage in _sweep_stages():
         if stage == "e2e_swap_batch" and (args.batch is not None or BEST_BATCH == 1):
             # skip when redundant: an explicit --batch flows into e2e_swap
             # anyway, and BEST_BATCH=1 (batching measured negative) makes

@@ -206,6 +206,32 @@ def make_schedule(num_steps: int, image_seq_len: int) -> jnp.ndarray:
     return jnp.asarray(FlowMatchSchedule.create(num_steps, image_seq_len).sigmas)
 
 
+def vcache_kwargs(vcache: dict | None, num_steps: int) -> dict:
+    """`pipeline_args.vcache` payload -> `denoise(...)` kwargs (the one
+    schedule grammar, shared by FluxPipeline and the calibration harness):
+    {"interval": k[, warmup, tail]} static or {"threshold": x[, warmup,
+    tail, poly]} dynamic."""
+    if not vcache:
+        return {}
+    vc = dict(vcache)
+    if "interval" in vc and "threshold" in vc:
+        raise ValueError("vcache: interval and threshold are mutually exclusive")
+    if "interval" in vc:
+        return {"step_mask": jnp.asarray(make_step_mask(
+            num_steps, int(vc["interval"]),
+            warmup=int(vc.get("warmup", 1)), tail=int(vc.get("tail", 1))))}
+    if "threshold" in vc:
+        if not float(vc["threshold"]) > 0:
+            raise ValueError("vcache threshold must be > 0 (omit vcache to disable)")
+        return {
+            "vcache_threshold": float(vc["threshold"]),
+            "vcache_warmup": int(vc.get("warmup", 1)),
+            "vcache_tail": int(vc.get("tail", 1)),
+            "vcache_poly": tuple(vc["poly"]) if vc.get("poly") else None,
+        }
+    raise ValueError(f"vcache needs 'interval' or 'threshold': {vc}")
+
+
 def make_step_mask(num_steps: int, interval: int, warmup: int = 1, tail: int = 1) -> np.ndarray:
     """Static velocity-cache schedule (DeepCache/FORA-style): full forwards
     for the first `warmup` and last `tail` steps, and every `interval`-th

@@ -28,7 +28,7 @@ from ..models.flux.text import clip_text_encode, clip_text_init, t5_encode, t5_e
 from ..models.flux.vae import vae_decode, vae_init
 from ..utils.tokenizers import load_tokenizer
 from .condition import Condition, encode_conditions
-from .generate import denoise, make_schedule, make_step_mask
+from .generate import denoise, make_schedule, vcache_kwargs
 
 
 @dataclass
@@ -381,27 +381,7 @@ class FluxPipeline:
                 "running unsharded (use parallel.mesh.pad_candidates)",
                 stacklevel=2,
             )
-        vc_kwargs = {}
-        if self.vcache:
-            vc = dict(self.vcache)
-            if "interval" in vc and "threshold" in vc:
-                raise ValueError("vcache: interval and threshold are mutually exclusive")
-            if "interval" in vc:
-                vc_kwargs["step_mask"] = jnp.asarray(make_step_mask(
-                    num_inference_steps, int(vc["interval"]),
-                    warmup=int(vc.get("warmup", 1)), tail=int(vc.get("tail", 1))))
-            elif "threshold" in vc:
-                if not float(vc["threshold"]) > 0:
-                    raise ValueError(
-                        "vcache threshold must be > 0 (omit vcache to disable)")
-                vc_kwargs = {
-                    "vcache_threshold": float(vc["threshold"]),
-                    "vcache_warmup": int(vc.get("warmup", 1)),
-                    "vcache_tail": int(vc.get("tail", 1)),
-                    "vcache_poly": tuple(vc["poly"]) if vc.get("poly") else None,
-                }
-            else:
-                raise ValueError(f"vcache needs 'interval' or 'threshold': {vc}")
+        vc_kwargs = vcache_kwargs(self.vcache, num_inference_steps)
         final = denoise(
             self.params["dit"],
             self.dit_cfg,

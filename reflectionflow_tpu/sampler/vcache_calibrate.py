@@ -1,0 +1,201 @@
+"""Velocity-cache quality calibration — makes the 2.5x denoise lever
+headline-eligible by bounding what a skip schedule costs.
+
+The velocity cache (`sampler.generate` step skipping, DeepCache/TeaCache
+family) is training-free but lossy; with no quality bound it can never
+graduate past opt-in. This harness sweeps candidate schedules against the
+DENSE trajectory on the SAME injected latents and prompts, measuring per
+schedule:
+
+  * `latent_rel_err` — mean relative L1 distance of the final packed
+    latents from the dense trajectory (a verifier-free error bound);
+  * `score` / `score_drop` — mean verifier score using the framework's own
+    verifiers (NVILA-JAX / Qwen Image-Verifier on real weights; the fake
+    verifier hermetically), vs the dense score on identical latents;
+  * `n_full` / `speedup_est` — full DiT forwards launched (denoise time is
+    ~linear in full forwards: hardware-measured interval-3 = 10/30
+    forwards = 2.50x, docs/BENCH_NOTES.json::vcache_hardware_v5e).
+
+`select_schedule` picks the fastest candidate whose score drop and latent
+error stay under the gates; `save_calibration` persists the selection +
+full evidence table (consumed by serving configs via
+`pipeline_args.vcache` and by `bench.py --stage e2e_swap_vcache`).
+
+Reference anchor this accelerates: the 30-step Euler loop at
+`/root/reference/train_flux/flux/generate.py:216-296`.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.flux.latents import latent_tokens, unpack_latents
+from ..models.flux.rope import make_image_ids, make_text_ids
+from ..models.flux.vae import vae_decode
+from .generate import denoise, make_schedule, vcache_kwargs
+
+
+def default_candidates() -> list[dict]:
+    """The sweep grid: static intervals (hardware-measured speedups) plus
+    TeaCache-style dynamic thresholds (adaptive; can beat a fixed interval
+    on easy prompts)."""
+    cands = [
+        {"name": f"interval{k}", "vcache": {"interval": k, "warmup": 2, "tail": 1}}
+        for k in (2, 3, 4)
+    ]
+    cands += [
+        {"name": f"threshold{t:g}", "vcache": {"threshold": t, "warmup": 2, "tail": 1}}
+        for t in (0.10, 0.20, 0.35)
+    ]
+    return cands
+
+
+def _mean_score(verifier, images: np.ndarray, prompts: Sequence[str],
+                metric: str = "overall_score") -> float:
+    outs = verifier.score([np.asarray(im) for im in images], list(prompts))
+    vals = []
+    for o in outs:
+        v = o.get(metric)
+        if v is None:  # fall back to the verifier's first axis (e.g. VQ)
+            v = next(iter(o.values()))
+        vals.append(float(v["score"]) if isinstance(v, dict) else float(v))
+    return float(np.mean(vals))
+
+
+def run_schedule(pipe, vcache: dict | None, latents, txt, pooled, img_ids, txt_ids,
+                 sigmas, num_steps: int, guidance_scale: float):
+    """-> (final packed latents, n_full forwards launched) for one schedule
+    (vcache=None = the dense reference trajectory)."""
+    kw = vcache_kwargs(vcache, num_steps)
+    final, n_full = denoise(
+        pipe.params["dit"], pipe.dit_cfg, latents, txt, pooled, img_ids, txt_ids,
+        sigmas, jnp.asarray(guidance_scale, jnp.float32), num_steps,
+        attn_impl=pipe.attn_impl, rope_layout=pipe.rope_layout,
+        return_vcache_stats=True, **kw,
+    )
+    return final, int(np.asarray(n_full))
+
+
+def _decode(pipe, final, ty: int, tx: int) -> np.ndarray:
+    # per-image decode: at 1024px a batched VAE decode's transients next to
+    # a resident full-scale DiT OOM a 16 GB chip (the bench/serving rule)
+    out = []
+    for i in range(final.shape[0]):
+        grid = unpack_latents(final[i : i + 1], ty, tx)
+        imgs = vae_decode(pipe.params["vae"]["decoder"], pipe.vae_cfg, grid)
+        out.append(np.asarray(
+            jnp.clip((imgs.astype(jnp.float32) + 1.0) * 127.5, 0, 255).astype(jnp.uint8)
+        ))
+    return np.concatenate(out)
+
+
+def calibrate(
+    pipe,
+    prompts: Sequence[str],
+    verifier=None,
+    height: int = 1024,
+    width: int = 1024,
+    num_steps: int = 30,
+    guidance_scale: float = 3.5,
+    max_sequence_length: int = 512,
+    seed: int = 0,
+    candidates: list[dict] | None = None,
+    eps_score: float = 0.25,
+    max_latent_rel_err: float = 0.35,
+    metric: str = "overall_score",
+) -> dict:
+    """Sweep schedules on shared latents/embeds; returns the evidence dict
+    {dense: {...}, results: [...], selected: name|None, selected_vcache}.
+
+    `eps_score` is an ABSOLUTE allowed drop of the mean verifier score (the
+    verifier's own scale: 0-10 grading axes, z-normed VQ for qwen_rm);
+    `max_latent_rel_err` bounds the verifier-free latent error."""
+    B = len(prompts)
+    down = pipe.vae_cfg.downscale
+    ty, tx = latent_tokens(height, width, down)
+    key = jax.random.PRNGKey(seed)
+    latents = jax.random.normal(key, (B, ty * tx, pipe.dit_cfg.in_channels)).astype(pipe.dtype)
+    txt, pooled = pipe.encode_prompts(list(prompts), max_sequence_length)
+    img_ids = jnp.asarray(make_image_ids(ty, tx))
+    txt_ids = jnp.asarray(make_text_ids(txt.shape[1]))
+    sigmas = make_schedule(num_steps, ty * tx)
+
+    args = (latents, txt, pooled, img_ids, txt_ids, sigmas, num_steps, guidance_scale)
+    dense_final, _ = run_schedule(pipe, None, *args)
+    dense_f32 = np.asarray(dense_final, np.float32)
+    dense_norm = np.sum(np.abs(dense_f32), axis=(1, 2)) + 1e-8
+    dense_imgs = _decode(pipe, dense_final, ty, tx)
+    dense_score = _mean_score(verifier, dense_imgs, prompts, metric) if verifier else None
+
+    results = []
+    for cand in candidates if candidates is not None else default_candidates():
+        final, n_full = run_schedule(pipe, cand["vcache"], *args)
+        f32 = np.asarray(final, np.float32)
+        rel = np.sum(np.abs(f32 - dense_f32), axis=(1, 2)) / dense_norm
+        row = {
+            "name": cand["name"],
+            "vcache": cand["vcache"],
+            "n_full": n_full,
+            "speedup_est": round(num_steps / max(n_full, 1), 3),
+            "latent_rel_err": round(float(np.mean(rel)), 5),
+            "latent_rel_err_max": round(float(np.max(rel)), 5),
+        }
+        if verifier is not None:
+            imgs = _decode(pipe, final, ty, tx)
+            row["score"] = round(_mean_score(verifier, imgs, prompts, metric), 5)
+            row["score_drop"] = round(dense_score - row["score"], 5)
+        results.append(row)
+
+    selected = select_schedule(results, eps_score=eps_score,
+                               max_latent_rel_err=max_latent_rel_err)
+    return {
+        "dense": {"n_full": num_steps, "score": dense_score},
+        "results": results,
+        "gates": {"eps_score": eps_score, "max_latent_rel_err": max_latent_rel_err,
+                  "metric": metric},
+        "settings": {"height": height, "width": width, "num_steps": num_steps,
+                     "guidance_scale": guidance_scale, "n_prompts": B, "seed": seed},
+        "selected": selected["name"] if selected else None,
+        "selected_vcache": selected["vcache"] if selected else None,
+    }
+
+
+def select_schedule(results: list[dict], eps_score: float = 0.25,
+                    max_latent_rel_err: float = 0.35) -> dict | None:
+    """Fastest schedule passing both gates; ties break toward lower latent
+    error. A result without a score field gates on latent error alone
+    (verifier-free calibration), and a failed sweep selects nothing."""
+    ok = [
+        r for r in results
+        if r["latent_rel_err"] <= max_latent_rel_err
+        and (("score_drop" not in r) or r["score_drop"] <= eps_score)
+    ]
+    if not ok:
+        return None
+    return max(ok, key=lambda r: (r["speedup_est"], -r["latent_rel_err"]))
+
+
+def save_calibration(path: str, result: dict, weights_kind: str,
+                     verifier_name: str | None) -> None:
+    """Persist the selection + evidence. `weights_kind` is the honesty tag:
+    "real" calibrations may promote the schedule into headline serving;
+    "synthetic" ones only validate the harness mechanics (random weights
+    say nothing about FLUX quality)."""
+    if weights_kind not in ("real", "synthetic"):
+        raise ValueError(f"weights_kind must be real|synthetic, got {weights_kind!r}")
+    payload = dict(result, weights_kind=weights_kind, verifier=verifier_name)
+    with open(path, "w") as f:
+        json.dump(payload, f, indent=1)
+
+
+def load_calibration(path: str) -> dict | None:
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None

@@ -1,0 +1,166 @@
+"""Velocity-cache calibration harness: selection logic, the hermetic
+end-to-end sweep, and bench.py's headline-eligibility gating.
+
+The harness is the quality bound that lets the measured 2.5x skip-schedule
+speedup (BENCH_NOTES vcache_hardware_v5e) graduate past opt-in: headline
+promotion requires a REAL-weight calibration whose selected schedule
+passed the score/latent gates.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from reflectionflow_tpu.sampler.vcache_calibrate import (
+    calibrate,
+    default_candidates,
+    load_calibration,
+    save_calibration,
+    select_schedule,
+)
+
+
+def _row(name, speedup, err, drop=None):
+    r = {"name": name, "vcache": {"interval": 2}, "n_full": 10,
+         "speedup_est": speedup, "latent_rel_err": err, "latent_rel_err_max": err}
+    if drop is not None:
+        r["score_drop"] = drop
+    return r
+
+
+def test_select_schedule_gates_and_tiebreaks():
+    rows = [
+        _row("fast_bad_quality", 3.0, 0.1, drop=1.0),   # fails score gate
+        _row("fast_bad_latent", 3.0, 0.9, drop=0.0),    # fails latent gate
+        _row("ok_slow", 1.5, 0.05, drop=0.1),
+        _row("ok_fast", 2.5, 0.2, drop=0.2),
+    ]
+    sel = select_schedule(rows, eps_score=0.25, max_latent_rel_err=0.35)
+    assert sel["name"] == "ok_fast"
+    # equal speedup -> lower latent error wins
+    rows = [_row("a", 2.0, 0.3, drop=0.0), _row("b", 2.0, 0.1, drop=0.0)]
+    assert select_schedule(rows)["name"] == "b"
+    # no score field -> latent gate alone
+    rows = [_row("nv", 2.0, 0.1)]
+    assert select_schedule(rows)["name"] == "nv"
+    # nothing passes -> None (never promote a failed sweep)
+    assert select_schedule([_row("x", 9.0, 0.99, drop=9.0)]) is None
+
+
+def test_calibrate_hermetic_dense_is_exact(tmp_path):
+    """The library end-to-end on a tiny pipeline: an interval-1 'schedule'
+    (every step full) must match the dense trajectory exactly, skipping
+    schedules report fewer full forwards + a positive error, and the
+    artifact round-trips with the honesty tag."""
+    from reflectionflow_tpu.config import (
+        CLIPTextConfig, FluxDiTConfig, FluxVAEConfig, T5Config,
+    )
+    from reflectionflow_tpu.sampler.pipeline import FluxPipeline
+    from reflectionflow_tpu.verifiers import FakeVerifier
+
+    pipe = FluxPipeline.random_init(
+        jax.random.PRNGKey(0), dit_cfg=FluxDiTConfig.tiny(), vae_cfg=FluxVAEConfig.tiny(),
+        t5_cfg=T5Config.tiny(), clip_cfg=CLIPTextConfig.tiny(), dtype=jnp.float32,
+    )
+    cands = [
+        {"name": "interval1", "vcache": {"interval": 1}},
+        {"name": "interval3", "vcache": {"interval": 3, "warmup": 2, "tail": 1}},
+    ]
+    res = calibrate(
+        pipe, ["a cat", "a dog"], verifier=FakeVerifier(), height=16, width=16,
+        num_steps=6, candidates=cands, eps_score=10.0, max_latent_rel_err=1.0,
+    )
+    by_name = {r["name"]: r for r in res["results"]}
+    assert by_name["interval1"]["n_full"] == 6
+    assert by_name["interval1"]["latent_rel_err"] == 0.0
+    assert by_name["interval1"]["score_drop"] == 0.0
+    assert by_name["interval3"]["n_full"] < 6
+    assert by_name["interval3"]["latent_rel_err"] > 0.0
+    # wide-open gates -> the faster schedule wins
+    assert res["selected"] == "interval3"
+
+    save_calibration(str(tmp_path / "cal.json"), res, "synthetic", "fake")
+    loaded = load_calibration(str(tmp_path / "cal.json"))
+    assert loaded["weights_kind"] == "synthetic"
+    assert loaded["selected_vcache"] == by_name["interval3"]["vcache"]
+    # the honesty tag is mandatory and validated
+    try:
+        save_calibration(str(tmp_path / "bad.json"), res, "maybe", None)
+        raise AssertionError("weights_kind 'maybe' should be rejected")
+    except ValueError:
+        pass
+
+
+def test_default_candidates_cover_both_modes():
+    names = [c["name"] for c in default_candidates()]
+    assert any(n.startswith("interval") for n in names)
+    assert any(n.startswith("threshold") for n in names)
+
+
+def test_bench_vcache_headline_gating(tmp_path, monkeypatch):
+    """bench promotes e2e_swap_vcache to lead the sweep ONLY for a
+    real-weight calibration; synthetic or missing calibrations keep the
+    dense headline order."""
+    import bench
+
+    monkeypatch.delenv("REFLECTIONFLOW_VCACHE_CALIBRATION", raising=False)
+    monkeypatch.setattr(bench, "VCACHE_CALIBRATION_PATH", tmp_path / "none.json")
+    assert bench._sweep_stages() == bench.STAGES
+
+    cal = {"selected": "interval3", "selected_vcache": {"interval": 3},
+           "results": [{"name": "interval3", "vcache": {"interval": 3},
+                        "n_full": 10, "speedup_est": 3.0, "latent_rel_err": 0.1}],
+           "settings": {"num_steps": 30}, "weights_kind": "synthetic"}
+    p = tmp_path / "cal.json"
+    p.write_text(json.dumps(cal))
+    monkeypatch.setattr(bench, "VCACHE_CALIBRATION_PATH", p)
+    assert bench._sweep_stages() == bench.STAGES  # synthetic: never headline
+
+    cal["weights_kind"] = "real"
+    p.write_text(json.dumps(cal))
+    assert bench._sweep_stages()[0] == "e2e_swap_vcache"
+
+    # a calibration whose sweep selected nothing never promotes
+    cal["selected_vcache"] = None
+    p.write_text(json.dumps(cal))
+    assert bench._sweep_stages() == bench.STAGES
+
+
+def test_vcache_calibrate_tool_and_tiny_bench_stage(tmp_path):
+    """Turn-key chain, hermetically: the calibration tool writes an
+    artifact, then `bench.py --tiny --stage e2e_swap_vcache` consumes it
+    and emits a one-line measurement whose config names the calibrated
+    schedule and whose detail carries the selection evidence."""
+    import bench
+
+    out = tmp_path / "cal.json"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, os.path.join(root, "tools", "vcache_calibrate.py"),
+         "--synthetic_weights", "--prompts", "2", "--steps", "4", "--out", str(out)],
+        capture_output=True, text=True, timeout=600, cwd=root,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    cal = json.loads(out.read_text())
+    assert cal["weights_kind"] == "synthetic"
+    assert cal["results"] and {"n_full", "speedup_est", "latent_rel_err"} <= set(cal["results"][0])
+
+    if cal["selected_vcache"] is None:  # tiny-synthetic sweep may gate everything out
+        return
+    env = dict(os.environ, REFLECTIONFLOW_VCACHE_CALIBRATION=str(out))
+    proc = subprocess.run(
+        [sys.executable, bench.__file__, "--tiny", "--stage", "e2e_swap_vcache"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=root,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = json.loads(proc.stdout.strip().splitlines()[-1])
+    d = line["detail"]
+    assert "vcache(calibrated:" in d["config"] and "synthetic-weights" in d["config"]
+    assert d["vcache_evidence"]["weights_kind"] == "synthetic"
+    assert d["vcache_evidence"]["selected"]["name"] == cal["selected"]
+    assert d["n_full_forwards"] >= 1
