@@ -76,9 +76,11 @@ def load_flux_pipeline(cls, model_dir: str, dtype=jnp.bfloat16, components: tupl
     dit_cfg = flux_dit_config_from_json(dit_json)
     vae_json = _read_json(os.path.join(model_dir, "vae", "config.json"))
     vae_cfg = FluxVAEConfig(
+        in_channels=vae_json.get("in_channels", 3),
         latent_channels=vae_json.get("latent_channels", 16),
         block_out_channels=tuple(vae_json.get("block_out_channels", (128, 256, 512, 512))),
         layers_per_block=vae_json.get("layers_per_block", 2),
+        norm_num_groups=vae_json.get("norm_num_groups", 32),
         scaling_factor=vae_json.get("scaling_factor", 0.3611),
         shift_factor=vae_json.get("shift_factor", 0.1159),
     )

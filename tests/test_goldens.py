@@ -4,6 +4,11 @@ These run only when `tests/goldens/*.npz` exist (produced by
 `tools/dump_goldens.py` in a diffusers-equipped environment with the real
 FLUX snapshot). Hermetic CI covers the same code paths with tiny random
 weights; this file is the real-weight gate.
+
+Turn-key: `FLUX_MODEL_DIR=... python tools/parity_real_weights.py` chains
+convert -> golden dumps -> these tests -> a seeded 512px image hash -> the
+GenEval run plan in one command (hermetically exercised end-to-end on a
+tiny HF-layout snapshot by tests/test_real_weight_gate.py).
 """
 
 import os
