@@ -61,19 +61,25 @@ def _unrolled_fori(n, body, init, limit=16):
 
 
 def _flash_fwd_kernel(
-    q_ref,  # (BQ, D)
-    k_ref,  # (L, D)
-    v_ref,  # (L, D)
-    out_ref,  # (BQ, D)
-    lse_ref,  # (BQ, 1)
-    *,
+    *refs,
     scale: float,
     block_k: int,
     seq_len: int,
     main_len: int,
     cross_bias: float,
     q_block: int,
+    dyn_offsets: bool = False,
 ):
+    # dyn_offsets (ring chunks): two leading SMEM scalars carry this
+    # chunk's RING-GLOBAL start positions — `main_len` stays static, the
+    # cross-segment predicate compares global positions (local + offset).
+    # Padding masks stay LOCAL (padding is a property of the local chunk).
+    if dyn_offsets:
+        qoff_ref, koff_ref, q_ref, k_ref, v_ref, out_ref, lse_ref = refs
+        q_off, k_off = qoff_ref[0, 0], koff_ref[0, 0]
+    else:
+        q_ref, k_ref, v_ref, out_ref, lse_ref = refs
+        q_off = k_off = 0
     qb = pl.program_id(1)
     # inputs stay in their storage dtype (bf16 in serving) — the MXU does
     # bf16 x bf16 with fp32 accumulation via preferred_element_type; an
@@ -94,7 +100,7 @@ def _flash_fwd_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale  # (BQ, BK) fp32
         k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)  # (1, BK)
-        logits = _cross_mask_bias(logits, q_pos, k_pos, main_len, cross_bias)
+        logits = _cross_mask_bias(logits, q_pos + q_off, k_pos + k_off, main_len, cross_bias)
         logits = jnp.where(k_pos < seq_len, logits, NEG_INF)  # mask padding tail
 
         m_cur = jnp.max(logits, axis=1, keepdims=True)  # (BQ, 1)
@@ -118,21 +124,21 @@ def _flash_fwd_kernel(
 
 
 def _flash_dq_kernel(
-    q_ref,  # (BQ, D)
-    k_ref,  # (L, D)
-    v_ref,  # (L, D)
-    do_ref,  # (BQ, D)
-    lse_ref,  # (BQ, 1)
-    delta_ref,  # (BQ, 1)  rowsum(dO * O)
-    dq_ref,  # (BQ, D)
-    *,
+    *refs,
     scale: float,
     block_k: int,
     seq_len: int,
     main_len: int,
     cross_bias: float,
     q_block: int,
+    dyn_offsets: bool = False,
 ):
+    if dyn_offsets:
+        qoff_ref, koff_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
+        q_off, k_off = qoff_ref[0, 0], koff_ref[0, 0]
+    else:
+        q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref = refs
+        q_off = k_off = 0
     qb = pl.program_id(1)
     q = q_ref[:]  # native dtype; MXU accumulates fp32
     do = do_ref[:]
@@ -151,7 +157,7 @@ def _flash_dq_kernel(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
-        logits = _cross_mask_bias(logits, q_pos, k_pos, main_len, cross_bias)
+        logits = _cross_mask_bias(logits, q_pos + q_off, k_pos + k_off, main_len, cross_bias)
         logits = jnp.where(k_pos < seq_len, logits, NEG_INF)
         p = jnp.exp(logits - lse)  # (BQ, BK) fp32
         dp = jax.lax.dot_general(
@@ -167,22 +173,22 @@ def _flash_dq_kernel(
 
 
 def _flash_dkv_kernel(
-    k_ref,  # (BK, D)
-    v_ref,  # (BK, D)
-    q_ref,  # (L, D)
-    do_ref,  # (L, D)
-    lse_ref,  # (1, L) transposed view
-    delta_ref,  # (1, L)
-    dk_ref,  # (BK, D)
-    dv_ref,  # (BK, D)
-    *,
+    *refs,
     scale: float,
     block_q: int,
     seq_len: int,
     main_len: int,
     cross_bias: float,
     k_block: int,
+    dyn_offsets: bool = False,
 ):
+    if dyn_offsets:
+        (qoff_ref, koff_ref, k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref,
+         dk_ref, dv_ref) = refs
+        q_off, k_off = qoff_ref[0, 0], koff_ref[0, 0]
+    else:
+        k_ref, v_ref, q_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref = refs
+        q_off = k_off = 0
     kb = pl.program_id(1)
     k = k_ref[:]  # native dtype; MXU accumulates fp32
     v = v_ref[:]
@@ -203,7 +209,7 @@ def _flash_dkv_kernel(
             k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
         q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_q), 1)  # (1, BQ)
-        logits_t = _cross_mask_bias(logits_t, k_pos, q_pos, main_len, cross_bias)
+        logits_t = _cross_mask_bias(logits_t, k_pos + k_off, q_pos + q_off, main_len, cross_bias)
         p_t = jnp.exp(logits_t - lse)  # (BK, BQ) fp32
         p_t = jnp.where(q_pos < seq_len, p_t, 0.0)  # mask padded q rows
         dv = dv + jax.lax.dot_general(
@@ -379,23 +385,37 @@ def _pad_len(q, k, v, L, Lp):
     return q, k, v
 
 
-def _fwd_impl(q, k, v, main_len, cross_bias, block_q, block_k, interpret):
+def _offset_ops_specs(offsets):
+    """-> (extra operands, extra SMEM in_specs) for dynamic ring-global
+    offsets (None -> static path, no extras)."""
+    if offsets is None:
+        return [], []
+    from jax.experimental.pallas import tpu as pltpu
+
+    ops = [jnp.reshape(jnp.asarray(o, jnp.int32), (1, 1)) for o in offsets]
+    specs = [pl.BlockSpec((1, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM)] * 2
+    return ops, specs
+
+
+def _fwd_impl(q, k, v, main_len, cross_bias, block_q, block_k, interpret, offsets=None):
     B, L, H, D = q.shape
     scale = 1.0 / math.sqrt(D)
     Lp = _round_up(L, max(block_q, block_k))
     q, k, v = _pad_len(q, k, v, L, Lp)
     qb, kb, vb = (_to_bh(x, B, H, Lp, D) for x in (q, k, v))
 
+    off_ops, off_specs = _offset_ops_specs(offsets)
     kernel = functools.partial(
         _flash_fwd_kernel,
         scale=scale, block_k=block_k, seq_len=L, main_len=main_len,
         cross_bias=float(cross_bias), q_block=block_q,
+        dyn_offsets=offsets is not None,
     )
     grid = (B * H, Lp // block_q)
     out, lse = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
+        in_specs=off_specs + [
             pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
             pl.BlockSpec((None, Lp, D), lambda bh, qi: (bh, 0, 0)),
             pl.BlockSpec((None, Lp, D), lambda bh, qi: (bh, 0, 0)),
@@ -409,7 +429,7 @@ def _fwd_impl(q, k, v, main_len, cross_bias, block_q, block_k, interpret):
             jax.ShapeDtypeStruct((B * H, Lp, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(qb, kb, vb)
+    )(*off_ops, qb, kb, vb)
     return out, lse  # both padded, (B*H, ...)
 
 
@@ -444,14 +464,16 @@ def _flash_bwd_rule(main_len, cross_bias, block_q, block_k, interpret, res, g):
     )
 
 
-def _bwd_impl(q, k, v, g, delta, lse, main_len, cross_bias, block_q, block_k, interpret, dob=None):
+def _bwd_impl(q, k, v, g, delta, lse, main_len, cross_bias, block_q, block_k, interpret,
+              dob=None, offsets=None):
     """Flash backward from precomputed (global) lse + delta.
 
     q/k/v/g are user layout (B, L, H, D); delta/lse are bh layout
     (B*H, Lp, 1); `dob` is the optional already-padded bh cotangent (the
     custom-VJP rule built it for delta — don't rebuild). Factored out of
     `_flash_bwd_rule` so ring attention can run the SAME kernels per K/V
-    chunk with the ring-global lse."""
+    chunk with the ring-global lse (and, with `offsets`, ring-global
+    positions for the structural cross bias)."""
     B, L, H, D = q.shape
     scale = 1.0 / math.sqrt(D)
     Lp = _round_up(L, max(block_q, block_k))
@@ -463,15 +485,17 @@ def _bwd_impl(q, k, v, g, delta, lse, main_len, cross_bias, block_q, block_k, in
     lse_t = jnp.swapaxes(lse, 1, 2)  # (B*H, 1, Lp) for the k-major kernel
     delta_t = jnp.swapaxes(delta, 1, 2)
 
+    off_ops, off_specs = _offset_ops_specs(offsets)
+    dyn = offsets is not None
     grid_q = (B * H, Lp // block_q)
     dq = pl.pallas_call(
         functools.partial(
             _flash_dq_kernel,
             scale=scale, block_k=block_k, seq_len=L, main_len=main_len,
-            cross_bias=float(cross_bias), q_block=block_q,
+            cross_bias=float(cross_bias), q_block=block_q, dyn_offsets=dyn,
         ),
         grid=grid_q,
-        in_specs=[
+        in_specs=off_specs + [
             pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
             pl.BlockSpec((None, Lp, D), lambda bh, qi: (bh, 0, 0)),
             pl.BlockSpec((None, Lp, D), lambda bh, qi: (bh, 0, 0)),
@@ -482,17 +506,17 @@ def _bwd_impl(q, k, v, g, delta, lse, main_len, cross_bias, block_q, block_k, in
         out_specs=pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
         out_shape=jax.ShapeDtypeStruct((B * H, Lp, D), q.dtype),
         interpret=interpret,
-    )(qb, kb, vb, dob, lse, delta)
+    )(*off_ops, qb, kb, vb, dob, lse, delta)
 
     grid_k = (B * H, Lp // block_k)
     dk, dv = pl.pallas_call(
         functools.partial(
             _flash_dkv_kernel,
             scale=scale, block_q=block_q, seq_len=L, main_len=main_len,
-            cross_bias=float(cross_bias), k_block=block_k,
+            cross_bias=float(cross_bias), k_block=block_k, dyn_offsets=dyn,
         ),
         grid=grid_k,
-        in_specs=[
+        in_specs=off_specs + [
             pl.BlockSpec((None, block_k, D), lambda bh, ki: (bh, ki, 0)),
             pl.BlockSpec((None, block_k, D), lambda bh, ki: (bh, ki, 0)),
             pl.BlockSpec((None, Lp, D), lambda bh, ki: (bh, 0, 0)),
@@ -509,7 +533,7 @@ def _bwd_impl(q, k, v, g, delta, lse, main_len, cross_bias, block_q, block_k, in
             jax.ShapeDtypeStruct((B * H, Lp, D), v.dtype),
         ],
         interpret=interpret,
-    )(kb, vb, qb, dob, lse_t, delta_t)
+    )(*off_ops, kb, vb, qb, dob, lse_t, delta_t)
 
     dq = _from_bh(dq, B, H, Lp, D)[:, :L]
     dk = _from_bh(dk, B, H, Lp, D)[:, :L]
@@ -591,32 +615,49 @@ def _lse_to_bh(lse, B, H, L, Lp):
     return lse.transpose(0, 2, 1, 3).reshape(B * H, Lp, 1)
 
 
-def flash_chunk_fwd(q, k, v, interpret: bool = False):
+def flash_chunk_fwd(q, k, v, interpret: bool = False, main_len: int | None = None,
+                    cross_bias: float = 0.0, q_offset=None, k_offset=None):
     """Normalized flash attention over one chunk + its logsumexp rows.
 
     q/k/v (B, L, H, D) with equal local lengths; returns
-    (out (B, L, H, D) fp32, lse (B, L, H, 1) fp32). No cond-stream
-    modifiers: this kernel only sees local positions, so ring configs with
-    modifiers run the XLA chunk math instead (ops.ring_attention)."""
+    (out (B, L, H, D) fp32, lse (B, L, H, 1) fp32).
+
+    Cond-stream modifiers under SP: `main_len`/`cross_bias` are the GLOBAL
+    segment boundary and bias; `q_offset`/`k_offset` (traced int32 scalars,
+    the ring-global start positions of this Q chunk and the currently-held
+    K/V shard) enter the kernel as SMEM scalars so the cross-segment
+    predicate compares global positions while everything else stays the
+    static serving kernel."""
     B, L, H, D = q.shape
     bq, bk = _block_policy(L)
     Lp = _round_up(L, max(bq, bk))
-    out_bh, lse_bh = _fwd_impl(q, k, v, L, 0.0, bq, bk, interpret)
+    modifiers = main_len is not None and cross_bias != 0.0
+    out_bh, lse_bh = _fwd_impl(
+        q, k, v, main_len if modifiers else L, cross_bias if modifiers else 0.0,
+        bq, bk, interpret,
+        offsets=(q_offset, k_offset) if modifiers else None,
+    )
     out = _from_bh(out_bh, B, H, Lp, D)[:, :L].astype(jnp.float32)
     return out, _lse_to_user(lse_bh, B, H, Lp, L)
 
 
-def flash_chunk_bwd(q, k, v, g, lse, delta, interpret: bool = False):
+def flash_chunk_bwd(q, k, v, g, lse, delta, interpret: bool = False,
+                    main_len: int | None = None, cross_bias: float = 0.0,
+                    q_offset=None, k_offset=None):
     """Flash backward over one chunk using ring-GLOBAL lse/delta.
 
     lse/delta are (B, L, H, 1) fp32 rows of the FULL (all-shards) softmax;
     the per-chunk dq/dk/dv returned here sum across chunks to the exact
-    full-attention gradients. Shapes as `flash_chunk_fwd`."""
+    full-attention gradients. Shapes + modifier/offset semantics as
+    `flash_chunk_fwd`."""
     B, L, H, D = q.shape
     bq, bk = _block_policy(L)
     Lp = _round_up(L, max(bq, bk))
+    modifiers = main_len is not None and cross_bias != 0.0
     return _bwd_impl(
         q, k, v, g,
         _lse_to_bh(delta, B, H, L, Lp), _lse_to_bh(lse, B, H, L, Lp),
-        L, 0.0, bq, bk, interpret,
+        main_len if modifiers else L, cross_bias if modifiers else 0.0,
+        bq, bk, interpret,
+        offsets=(q_offset, k_offset) if modifiers else None,
     )

@@ -120,10 +120,10 @@ def ring_attention(
     positions are reconstructed per chunk from the ring topology: shard_map
     shards the sequence contiguously, so the Q chunk of device i starts at
     i*L/p and the K shard held after r rotations started at ((i-r) mod p)*L/p.
-    Modifier chunks run the XLA chunk math (the Pallas chunk kernel takes
-    only local positions); at SP chunk sizes (L/p, a few k tokens) the dense
-    chunk is within the XLA-fusion comfort zone, so `impl="pallas"` +
-    modifiers silently uses XLA chunks rather than failing."""
+    With `impl="pallas"` the chunk offsets enter the flash kernels as SMEM
+    scalars (the cross-segment predicate compares global positions), so
+    modifier configs run the SAME Pallas kernels as plain ones; `impl="xla"`
+    materializes the (Lq, Lk) bias instead."""
     B, L, H, D = q.shape
     p_devices = mesh.shape[axis]
     if L % p_devices:
@@ -133,26 +133,35 @@ def ring_attention(
         )
     scale = float(D) ** -0.5
     modifiers = main_len is not None and cross_bias != 0.0
-    if modifiers:
-        chunk_fwd, chunk_bwd = _chunk_fns("xla", interpret, scale)
-    else:
-        chunk_fwd, chunk_bwd = _chunk_fns(impl, interpret, scale)
+    chunk_fwd, chunk_bwd = _chunk_fns(impl, interpret, scale)
     perm = [(i, (i + 1) % p_devices) for i in range(p_devices)]
     L_chunk = L // p_devices
 
     def rotate(*xs):
         return [jax.lax.ppermute(x, axis, perm) for x in xs]
 
+    def _offsets_for(r):
+        """Ring-global (q_start, k_start) of rotation step r."""
+        i = jax.lax.axis_index(axis)
+        return i * L_chunk, ((i - r) % p_devices) * L_chunk
+
     def _bias_for(r):
         """(Lq, Lk) fp32 cross-segment bias for rotation step r, from
-        ring-global positions (None when modifiers are off)."""
-        if not modifiers:
-            return None
-        i = jax.lax.axis_index(axis)
-        is_cond = lambda off: (off * L_chunk + jnp.arange(L_chunk)) >= main_len  # noqa: E731
-        q_seg = is_cond(i)
-        k_seg = is_cond((i - r) % p_devices)
+        ring-global positions (the XLA chunk path)."""
+        q_off, k_off = _offsets_for(r)
+        is_cond = lambda off: (off + jnp.arange(L_chunk)) >= main_len  # noqa: E731
+        q_seg = is_cond(q_off)
+        k_seg = is_cond(k_off)
         return jnp.where(q_seg[:, None] != k_seg[None, :], jnp.float32(cross_bias), 0.0)
+
+    def _mod_kwargs(r):
+        if not modifiers:
+            return {}
+        if impl == "pallas":
+            q_off, k_off = _offsets_for(r)
+            return {"main_len": main_len, "cross_bias": cross_bias,
+                    "q_offset": q_off, "k_offset": k_off}
+        return {"bias": _bias_for(r)}
 
     @jax.custom_vjp
     def ring(q_loc, k_loc, v_loc):
@@ -160,14 +169,11 @@ def ring_attention(
         return out
 
     def _fwd(q_loc, k_loc, v_loc):
-        out, lse = chunk_fwd(q_loc, k_loc, v_loc, bias=_bias_for(0)) if modifiers else chunk_fwd(q_loc, k_loc, v_loc)
+        out, lse = chunk_fwd(q_loc, k_loc, v_loc, **_mod_kwargs(0))
         k_rot, v_rot = k_loc, v_loc
         for r in range(1, p_devices):
             k_rot, v_rot = rotate(k_rot, v_rot)
-            out2, lse2 = (
-                chunk_fwd(q_loc, k_rot, v_rot, bias=_bias_for(r)) if modifiers
-                else chunk_fwd(q_loc, k_rot, v_rot)
-            )
+            out2, lse2 = chunk_fwd(q_loc, k_rot, v_rot, **_mod_kwargs(r))
             out, lse = _merge(out, lse, out2, lse2)
         return out.astype(q_loc.dtype), lse
 
@@ -185,10 +191,7 @@ def ring_attention(
         dv_rot = jnp.zeros(v_loc.shape, jnp.float32)
         k_rot, v_rot = k_loc, v_loc
         for r in range(p_devices):
-            dq_c, dk_c, dv_c = (
-                chunk_bwd(q_loc, k_rot, v_rot, g, lse, delta, bias=_bias_for(r)) if modifiers
-                else chunk_bwd(q_loc, k_rot, v_rot, g, lse, delta)
-            )
+            dq_c, dk_c, dv_c = chunk_bwd(q_loc, k_rot, v_rot, g, lse, delta, **_mod_kwargs(r))
             dq = dq + dq_c.astype(jnp.float32)
             dk_rot = dk_rot + dk_c.astype(jnp.float32)
             dv_rot = dv_rot + dv_c.astype(jnp.float32)

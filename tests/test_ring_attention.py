@@ -110,8 +110,8 @@ def test_ring_cond_modifiers_match_dense(impl, modifier):
     """Structural cond modifiers under SP: union_cond_attn=False (-1e30
     cross mask) and c_factor (log bias on cross blocks) equal the dense
     biased reference — global segment membership is reconstructed from the
-    ring topology. (impl="pallas" + modifiers runs the XLA chunk math,
-    exercised here for the dispatch.)"""
+    ring topology. impl="pallas" runs the flash chunk kernels with the
+    ring-global offsets as SMEM scalars (no XLA fallback)."""
     from reflectionflow_tpu.ops.attention import cond_attention_bias
 
     L, cond_len = 64, 16
@@ -132,9 +132,11 @@ def test_ring_cond_modifiers_match_dense(impl, modifier):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
 
 
-def test_ring_cond_modifier_gradients_match_dense():
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_ring_cond_modifier_gradients_match_dense(impl):
     """Gradients through the masked (union_cond_attn=False) ring equal
-    autodiff through the dense biased reference."""
+    autodiff through the dense biased reference — including the Pallas
+    chunk backward with ring-global offsets."""
     from reflectionflow_tpu.ops.attention import cond_attention_bias
 
     L, cond_len = 32, 8
@@ -150,7 +152,8 @@ def test_ring_cond_modifier_gradients_match_dense():
 
     def ring_loss(q, k, v):
         return jnp.sum(
-            (ring_attention(q, k, v, mesh, main_len=L - cond_len, cross_bias=-1e30) - tgt) ** 2
+            (ring_attention(q, k, v, mesh, impl=impl, interpret=impl == "pallas",
+                            main_len=L - cond_len, cross_bias=-1e30) - tgt) ** 2
         )
 
     qs, ks, vs = _shard(mesh, q, k, v)
