@@ -310,6 +310,167 @@ def _flash_fwd_int8_kernel(
     out_ref[:] = (acc / jnp.maximum(l, 1e-20)).astype(out_ref.dtype)
 
 
+def _flash_fwd_nr_kernel(
+    scq_ref,  # (2, D) q-norm scales [txt, img] (split-permuted)
+    sck_ref,  # (2, D) k-norm scales
+    cos_ref,  # (Lp, D) bf16 split tables for the FULL joint sequence
+    sin_ref,  # (Lp, D)
+    q_ref,  # (BQ, D) RAW q projection (pre-norm, pre-rope)
+    k_ref,  # (Lp, D) RAW k
+    v_ref,  # (Lp, D)
+    out_ref,  # (BQ, D)
+    kn_ref,  # (Lp, D) VMEM scratch: normed+rotated K, built once per head
+    *,
+    scale: float,
+    block_k: int,
+    seq_len: int,
+    main_len: int,
+    cross_bias: float,
+    q_block: int,
+    txt_len: int,
+    eps: float,
+):
+    """Serving forward with QK-norm + split-layout RoPE fused IN-KERNEL.
+
+    Eliminates the separate `ops.pallas_quant.norm_rope` pass (one full
+    read+write of the q and k panels per layer, ~112 MB at FLUX scale —
+    the denoise-glue item in BENCH_NOTES). The K stripe is normed+rotated
+    ONCE per head into VMEM scratch (`pl.when(qb == 0)` — the grid runs a
+    head's q tiles sequentially, so the scratch persists, the int8
+    kernel's trick); q tiles transform on the fly. Tables/scales have
+    constant block indices, so Pallas DMAs them once per call.
+
+    Per-row norm-scale selection handles the double-block stream concat:
+    rows < `txt_len` use scale row 0 (txt projections' norms), the rest
+    row 1 (img projections' norms — the cond stream shares them). Single
+    blocks pass txt_len=0 with their one scale in row 1."""
+    qb = pl.program_id(1)
+    D = q_ref.shape[1]
+    half = D // 2
+
+    def norm_rot(x, cos, sin, pos, sc_ref):
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        sel = pos < txt_len  # (rows, 1)
+        sc = jnp.where(sel, sc_ref[0:1, :], sc_ref[1:2, :]).astype(jnp.float32)
+        xn = (xf * jax.lax.rsqrt(var + eps) * sc).astype(x.dtype)
+        x1, x2 = xn[:, :half], xn[:, half:]
+        c1, s1 = cos[:, :half], sin[:, :half]
+        c2, s2 = cos[:, half:], sin[:, half:]
+        return jnp.concatenate([x1 * c1 - x2 * s1, x2 * c2 + x1 * s2], axis=1)
+
+    @pl.when(qb == 0)
+    def _prep_k():
+        Lp = k_ref.shape[0]
+        k_pos_all = jax.lax.broadcasted_iota(jnp.int32, (Lp, 1), 0)
+        kn_ref[:] = norm_rot(k_ref[:], cos_ref[:], sin_ref[:], k_pos_all, sck_ref).astype(kn_ref.dtype)
+
+    BQ = q_ref.shape[0]
+    q_pos = qb * q_block + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)  # (BQ, 1)
+    q = norm_rot(
+        q_ref[:],
+        cos_ref[pl.ds(qb * q_block, q_block), :],
+        sin_ref[pl.ds(qb * q_block, q_block), :],
+        q_pos, scq_ref,
+    ).astype(v_ref.dtype)
+
+    num_k_blocks = pl.cdiv(seq_len, block_k)
+
+    def body(kb, carry):
+        m_prev, l_prev, acc = carry
+        k_start = kb * block_k
+        k = kn_ref[pl.ds(k_start, block_k), :]
+        v = v_ref[pl.ds(k_start, block_k), :]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        k_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1)
+        logits = _cross_mask_bias(logits, q_pos, k_pos, main_len, cross_bias)
+        logits = jnp.where(k_pos < seq_len, logits, NEG_INF)
+        m_cur = jnp.max(logits, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        correction = jnp.exp(m_prev - m_new)
+        p = jnp.exp(logits - m_new)
+        l_new = l_prev * correction + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * correction + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((BQ, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((BQ, 1), jnp.float32)
+    acc0 = jnp.zeros((BQ, D), jnp.float32)
+    m, l, acc = _unrolled_fori(num_k_blocks, body, (m0, l0, acc0))
+    out_ref[:] = (acc / jnp.maximum(l, 1e-20)).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("txt_len", "main_len", "cross_bias", "block_q", "block_k",
+                     "interpret", "eps"),
+)
+def flash_attention_nr(
+    q: jnp.ndarray,  # (B, L, H, D) RAW q projections (heads split, no norm/rope)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    cos: jnp.ndarray,  # (L, D) split-layout tables (bf16 serving)
+    sin: jnp.ndarray,
+    scale_q: jnp.ndarray,  # (2, D) norm scales [txt-row, img-row]
+    scale_k: jnp.ndarray,
+    txt_len: int = 0,
+    main_len: int | None = None,
+    cross_bias: float = 0.0,
+    block_q: int = 512,
+    block_k: int = 512,
+    interpret: bool = False,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """Flash attention with the serving QK-norm + split-RoPE fused in
+    (serving only — no backward). See `_flash_fwd_nr_kernel`."""
+    B, L, H, D = q.shape
+    main_len = L if main_len is None else main_len
+    scale = 1.0 / math.sqrt(D)
+    hi, lo = max(block_q, block_k), min(block_q, block_k)
+    if hi % lo:
+        raise ValueError(f"block_q={block_q} and block_k={block_k} must divide one another")
+    Lp = _round_up(L, hi)
+    q, k, v = _pad_len(q, k, v, L, Lp)
+    if Lp != L:
+        cos = jnp.pad(cos, [(0, Lp - L), (0, 0)])
+        sin = jnp.pad(sin, [(0, Lp - L), (0, 0)])
+    qb_, kb_, vb_ = (_to_bh(x, B, H, Lp, D) for x in (q, k, v))
+
+    kernel = functools.partial(
+        _flash_fwd_nr_kernel,
+        scale=scale, block_k=block_k, seq_len=L, main_len=main_len,
+        cross_bias=float(cross_bias), q_block=block_q, txt_len=txt_len, eps=eps,
+    )
+    from jax.experimental.pallas import tpu as pltpu
+
+    grid = (B * H, Lp // block_q)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((2, D), lambda bh, qi: (0, 0)),
+            pl.BlockSpec((2, D), lambda bh, qi: (0, 0)),
+            pl.BlockSpec((Lp, D), lambda bh, qi: (0, 0)),
+            pl.BlockSpec((Lp, D), lambda bh, qi: (0, 0)),
+            pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
+            pl.BlockSpec((None, Lp, D), lambda bh, qi: (bh, 0, 0)),
+            pl.BlockSpec((None, Lp, D), lambda bh, qi: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, D), lambda bh, qi: (bh, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, Lp, D), v.dtype),
+        scratch_shapes=[pltpu.VMEM((Lp, D), v.dtype)],
+        interpret=interpret,
+    )(
+        scale_q.astype(jnp.float32), scale_k.astype(jnp.float32),
+        cos, sin, qb_, kb_, vb_,
+    )
+    return _from_bh(out, B, H, Lp, D)[:, :L]
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("main_len", "cross_bias", "block_q", "block_k", "interpret"),

@@ -261,3 +261,66 @@ def test_flash_fori_fallback_long_sequence(key):
     r = ref.ravel()
     cos = float(r @ out8 / (np.linalg.norm(r) * np.linalg.norm(out8)))
     assert cos > 0.999, cos
+
+
+def test_flash_attention_nr_fused_matches_separate_passes():
+    """In-kernel QK-norm + split-RoPE (flash_attention_nr, the denoise-glue
+    fusion) == the separate passes: per-segment _rms_fast (txt scales for
+    rows < txt_len, img scales after — the double-block concat layout) ->
+    apply_rope_split -> structural-bias flash attention."""
+    from reflectionflow_tpu.models.flux.rope import apply_rope_split
+    from reflectionflow_tpu.ops.pallas_attention import (
+        flash_attention_nr,
+        flash_attention_structured,
+    )
+
+    B, L, H, D = 1, 48, 2, 16
+    txt_len, main_len = 16, 40  # [txt 16 | img 24 | cond 8]
+    cross = float(np.log(2.0))
+    key = jax.random.PRNGKey(0)
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (B, L, H, D), jnp.float32)
+               for i in range(3))
+    scq = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(key, 3), (2, D))
+    sck = 1.0 + 0.1 * jax.random.normal(jax.random.fold_in(key, 4), (2, D))
+    ang = jax.random.uniform(jax.random.fold_in(key, 5), (L, D // 2), maxval=6.28)
+    cos = jnp.concatenate([jnp.cos(ang), jnp.cos(ang)], axis=-1)
+    sin = jnp.concatenate([jnp.sin(ang), jnp.sin(ang)], axis=-1)
+
+    def ref_transform(x, sc):
+        var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+        row_sc = jnp.where((jnp.arange(L) < txt_len)[:, None], sc[0], sc[1])  # (L, D)
+        xn = x * jax.lax.rsqrt(var + 1e-6) * row_sc[None, :, None, :]
+        return apply_rope_split(xn, cos, sin)
+
+    ref = flash_attention_structured(
+        ref_transform(q, scq), ref_transform(k, sck), v,
+        main_len=main_len, cross_bias=cross, block_q=16, block_k=16, interpret=True,
+    )
+    out = flash_attention_nr(
+        q, k, v, cos, sin, scq, sck, txt_len=txt_len,
+        main_len=main_len, cross_bias=cross, block_q=16, block_k=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+    # single-block layout: one norm pair in scale row 1 via txt_len=0
+    out1 = flash_attention_nr(
+        q, k, v, cos, sin, scq[1:].repeat(2, 0), sck[1:].repeat(2, 0), txt_len=0,
+        block_q=16, block_k=16, interpret=True,
+    )
+    ref1 = flash_attention_structured(
+        apply_rope_split(q * jax.lax.rsqrt(jnp.mean(jnp.square(q), -1, keepdims=True) + 1e-6) * scq[1], cos, sin),
+        apply_rope_split(k * jax.lax.rsqrt(jnp.mean(jnp.square(k), -1, keepdims=True) + 1e-6) * sck[1], cos, sin),
+        v, block_q=16, block_k=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1), atol=3e-5)
+
+    # padding path: L not a multiple of the blocks
+    out_pad = flash_attention_nr(
+        q[:, :40], k[:, :40], v[:, :40], cos[:40], sin[:40], scq, sck, txt_len=txt_len,
+        block_q=16, block_k=16, interpret=True,
+    )
+    ref_pad = flash_attention_structured(
+        ref_transform(q, scq)[:, :40], ref_transform(k, sck)[:, :40], v[:, :40],
+        block_q=16, block_k=16, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out_pad), np.asarray(ref_pad), atol=3e-5)

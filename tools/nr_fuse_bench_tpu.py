@@ -1,0 +1,121 @@
+"""Denoise-glue experiment: in-kernel QK-norm+RoPE flash vs separate passes.
+
+Measures, at the FLUX joint-attention shape (B1 L4608 H24 D128 bf16):
+  A. today's serving path: ops.pallas_quant.norm_rope on the q and k
+     panels (one read+write of each, ~112 MB/layer) + flash_attention;
+  B. flash_attention_nr: norm+rope fused into the flash kernel (K stripe
+     transformed once per head into VMEM scratch, q tiles on the fly).
+
+Tries the winning 512x512 blocks first (the round-2 fused variant was
+rejected by the 16 MB scoped-VMEM cap — this one carries 2 bf16 tables +
+1 bf16 scratch instead of 4 fp32 tables), then 512x256 / 256x256
+fallbacks. Prints one JSON line of per-call ms per variant; parity error
+vs path A included so a silently-wrong kernel can't win.
+
+Usage: python tools/nr_fuse_bench_tpu.py [L] [tiny]
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_SUM = jax.jit(lambda v: jnp.sum(v.astype(jnp.float32)))
+
+
+def fetch(x):
+    return float(np.asarray(_SUM(x)))
+
+
+def main():
+    args = sys.argv[1:]
+    tiny = "tiny" in args
+    L = int(args[0]) if args and args[0] != "tiny" else (64 if tiny else 4608)
+    if tiny:
+        jax.config.update("jax_platforms", "cpu")
+    from reflectionflow_tpu.ops.pallas_attention import (
+        flash_attention_nr, flash_attention_structured,
+    )
+    from reflectionflow_tpu.ops.pallas_quant import norm_rope
+
+    B, H, D = (1, 2, 16) if tiny else (1, 24, 128)
+    interp = tiny
+    inner = 1 if tiny else 8
+    txt_len = 16 if tiny else 512
+    rng = np.random.default_rng(0)
+    dt = jnp.float32 if tiny else jnp.bfloat16
+    q_pan, k_pan = (jnp.asarray(rng.standard_normal((B, L, H * D)), dt) for _ in range(2))
+    v = jnp.asarray(rng.standard_normal((B, L, H, D)), dt)
+    scq = jnp.asarray(1.0 + 0.1 * rng.standard_normal((2, D)), jnp.float32)
+    sck = jnp.asarray(1.0 + 0.1 * rng.standard_normal((2, D)), jnp.float32)
+    ang = rng.uniform(0, 6.28, (L, D // 2))
+    cos = jnp.asarray(np.concatenate([np.cos(ang), np.cos(ang)], -1), dt)
+    sin = jnp.asarray(np.concatenate([np.sin(ang), np.sin(ang)], -1), dt)
+    q_raw = q_pan.reshape(B, L, H, D)
+    k_raw = k_pan.reshape(B, L, H, D)
+
+    bq0 = 16 if tiny else 512
+
+    # Path A: separate norm_rope passes (per segment scale: approximate with
+    # one scale row — the traffic, not the select, is what's being timed)
+    def path_a():
+        qn = norm_rope(q_pan, scq[1], cos, sin, D, block_rows=bq0 // 2, interpret=interp)
+        kn = norm_rope(k_pan, sck[1], cos, sin, D, block_rows=bq0 // 2, interpret=interp)
+        return flash_attention_structured(
+            qn.reshape(B, L, H, D), kn.reshape(B, L, H, D), v,
+            block_q=bq0, block_k=bq0, interpret=interp,
+        )
+
+    def loop(fn):
+        def run():
+            out = fn()
+            for _ in range(inner - 1):
+                out = fn()
+            return out
+        return jax.jit(run)
+
+    def timed(jfn, reps=3):
+        fetch(jfn())
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fetch(jfn())
+            ts.append(time.perf_counter() - t0)
+        return (min(ts) - rtt) * 1e3 / inner
+
+    small = jnp.ones((8, 8), dt)
+    fetch(small)
+    t0 = time.perf_counter()
+    fetch(small)
+    rtt = time.perf_counter() - t0
+
+    out = {"shape": f"B{B} L{L} H{H} D{D}", "rtt_ms": round(rtt * 1e3, 1), "inner": inner}
+    a_jit = loop(path_a)
+    out["separate_ms"] = round(timed(a_jit), 3)
+    ref = np.asarray(path_a(), np.float32)
+
+    for bq, bk in ((bq0, bq0), (512, 256), (256, 256)) if not tiny else ((16, 16),):
+        name = f"fused_{bq}x{bk}"
+        try:
+            def path_b(bq=bq, bk=bk):
+                return flash_attention_nr(
+                    q_raw, k_raw, v, cos, sin, scq, sck, txt_len=0,
+                    block_q=bq, block_k=bk, interpret=interp,
+                )
+            # txt_len=0 + scale row 1 == path A's single-scale transform
+            got = np.asarray(path_b(), np.float32)
+            err = float(np.max(np.abs(got - ref)))
+            out[name + "_ms"] = round(timed(loop(path_b)), 3)
+            out[name + "_maxerr"] = round(err, 5)
+        except Exception as e:
+            out[name + "_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -111,6 +111,9 @@ def main(argv=None):
                 None, "clip", clip_cfg.vocab_size, clip_cfg.eos_token_id),
             dtype=jnp.bfloat16, attn_impl="pallas", rope_layout="split",
         )
+        # the one encode happens up front; offload the 2.4 GB NF4 T5 after
+        # it so the sweep's denoises + per-image decodes have headroom
+        pipe.enable_phase_swap(offload=("t5",))
         height = args.height or 1024
         width = args.width or 1024
         steps = args.steps or 30
