@@ -34,7 +34,8 @@ def build_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--synthetic_weights", action="store_true", help="random tiny weights (smoke runs, no model files)")
     p.add_argument(
         "--attn_impl", type=str, default=None,
-        choices=["xla", "pallas", "pallas_interpret", "pallas_int8", "pallas_int8_interpret"],
+        choices=["xla", "pallas", "pallas_interpret", "pallas_nr", "pallas_nr_interpret",
+                 "pallas_int8", "pallas_int8_interpret"],
         help="unset -> the config's pipeline_args.attn_impl (default xla); "
         "an explicit value always overrides the config",
     )

@@ -281,7 +281,7 @@ class PipelineArgs:
     image_guidance_scale: float = 1.0
     # serving profile (config-driven; CLI flags override)
     quantize: Optional[str] = None  # "int8": W8A8 DiT + quantized T5, implies phase swap
-    attn_impl: Optional[str] = None  # "pallas" | "pallas_int8" (serving only) | "xla"
+    attn_impl: Optional[str] = None  # "pallas" | "pallas_nr" | "pallas_int8" (serving only) | "xla"
     # T5 quantization under quantize="int8": "int8" = w8a16 (fast encode; the
     # 4.8 GB tree lives host-side between encode phases under phase swap) or
     # "int4" = packed NF4 (2.4 GB — the co-residency / small-host profile).

@@ -293,6 +293,50 @@ def _nr_gate(flags, attn_impl, tables, L, width):
     )
 
 
+def _nr_attn_gate(flags, attn_impl, *tables):
+    """Fully-fused serving attention: QK-norm + split-RoPE run INSIDE the
+    flash kernel (`ops.pallas_attention.flash_attention_nr`) instead of as
+    a separate `norm_rope` pass — one read+write of the q and k panels per
+    layer (~112 MB at FLUX scale) never hits HBM. Selected with
+    attn_impl="pallas_nr[_interpret]"; needs the serving fast layout and
+    split tables for every present stream."""
+    return (
+        attn_impl.startswith("pallas_nr")
+        and flags.get("fast_qk", False)
+        and all(t is not None and t[2] for t in tables)
+    )
+
+
+def _nr_attention(streams_q, streams_k, streams_v, scq, sck, rope_main,
+                  rope_cond, txt_len, cond_len, cross_bias, interp):
+    """Concatenate RAW (pre-norm, pre-rope) per-stream q/k/v and run the
+    norm+rope-fused flash kernel; returns per-stream outputs like
+    `ops.attention.joint_attention`.
+
+    Norm-scale rows: row 0 = txt-stream scales (joint positions < txt_len),
+    row 1 = img-stream scales — shared by the cond stream, whose projections
+    reuse the img-side norm params (LoRA folding only touches linears, never
+    norm scales)."""
+    from ...ops.pallas_attention import flash_attention_nr
+
+    lens = [s.shape[1] for s in streams_q]
+    cat = lambda xs: jnp.concatenate(xs, axis=1) if len(xs) > 1 else xs[0]
+    q, k, v = cat(streams_q), cat(streams_k), cat(streams_v)
+    cos, sin = rope_main[0], rope_main[1]
+    if cond_len:
+        cos = jnp.concatenate([cos, rope_cond[0]], axis=0)
+        sin = jnp.concatenate([sin, rope_cond[1]], axis=0)
+    out = flash_attention_nr(
+        q, k, v, cos, sin, scq, sck, txt_len=txt_len,
+        main_len=q.shape[1] - cond_len, cross_bias=cross_bias, interpret=interp,
+    )
+    outs, off = [], 0
+    for L in lens:
+        outs.append(out[:, off : off + L])
+        off += L
+    return outs
+
+
 def _qkv_split(attn_p, cfg, qkv, prefix="", fast=False, rope=None):
     """Split a packed (..., 3H[+extra]) projection into normed per-head q/k/v.
 
@@ -301,6 +345,8 @@ def _qkv_split(attn_p, cfg, qkv, prefix="", fast=False, rope=None):
     — the caller must then skip its `_rope_qk`."""
     H = cfg.num_heads * cfg.head_dim
     q_r, k_r, v_r = qkv[..., :H], qkv[..., H : 2 * H], qkv[..., 2 * H : 3 * H]
+    if rope == "raw":  # fully-fused attention: norm+rope happen IN-KERNEL
+        return _heads(cfg, q_r), _heads(cfg, k_r), _heads(cfg, v_r)
     if rope is not None:
         from ...ops.pallas_quant import norm_rope
 
@@ -365,13 +411,20 @@ def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rop
     H = cfg.num_heads * cfg.head_dim
     Lt = txt.shape[1]
     interp = attn_impl.endswith("interpret")
+    # fully-fused attention (pallas_nr): raw q/k straight into the kernel
+    nr_fuse = _nr_attn_gate(
+        flags, attn_impl, rope_main, *((rope_cond,) if use_cond else ())
+    )
     # fused norm+rope (serving): both main streams must be row-tileable so
     # the post-concat _rope_qk can be skipped for main as a whole
-    nr_main = _nr_gate(flags, attn_impl, rope_main, Lt, H) and _nr_gate(
+    nr_main = not nr_fuse and _nr_gate(flags, attn_impl, rope_main, Lt, H) and _nr_gate(
         flags, attn_impl, rope_main, img.shape[1], H
     )
-    rope_txt = (rope_main[0][:Lt], rope_main[1][:Lt], interp) if nr_main else None
-    rope_img = (rope_main[0][Lt:], rope_main[1][Lt:], interp) if nr_main else None
+    if nr_fuse:
+        rope_txt = rope_img = "raw"
+    else:
+        rope_txt = (rope_main[0][:Lt], rope_main[1][:Lt], interp) if nr_main else None
+        rope_img = (rope_main[0][Lt:], rope_main[1][Lt:], interp) if nr_main else None
 
     def stream_qkv(a, x, sh, sc, prefix="", rope=None):
         # serving: modulate+act-quant as ONE Pallas pass feeding the panel matmul
@@ -387,24 +440,34 @@ def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rop
     # RoPE covers [txt|img] jointly; cond has its own tables
     q = jnp.concatenate([txt_q, img_q], axis=1)
     k = jnp.concatenate([txt_k, img_k], axis=1)
-    if not nr_main:
+    if not (nr_main or nr_fuse):
         q, k = _rope_qk(q, k, rope_main)
     v = jnp.concatenate([txt_v, img_v], axis=1)
 
     streams_q, streams_k, streams_v = [q], [k], [v]
     if use_cond:
         # cond stream reads the (possibly LoRA-folded) bp_c weights
-        nr_cond = _nr_gate(flags, attn_impl, rope_cond, cond.shape[1], H)
-        rope_c = (rope_cond[0], rope_cond[1], interp) if nr_cond else None
+        nr_cond = not nr_fuse and _nr_gate(flags, attn_impl, rope_cond, cond.shape[1], H)
+        rope_c = "raw" if nr_fuse else (
+            (rope_cond[0], rope_cond[1], interp) if nr_cond else None
+        )
         c_sh1, c_sc1, c_g1, c_sh2, c_sc2, c_g2 = _mod(bp_c["img_mod"], cond_temb, 6)
         cond_q, cond_k, cond_v = stream_qkv(bp_c["attn"], cond, c_sh1, c_sc1, rope=rope_c)
-        if not nr_cond:
+        if not (nr_cond or nr_fuse):
             cond_q, cond_k = _rope_qk(cond_q, cond_k, rope_cond)
         streams_q.append(cond_q)
         streams_k.append(cond_k)
         streams_v.append(cond_v)
 
-    outs = joint_attention(streams_q, streams_k, streams_v, impl=attn_impl, **bias)
+    if nr_fuse:
+        outs = _nr_attention(
+            streams_q, streams_k, streams_v,
+            jnp.stack([ap["txt_q_norm"]["scale"], ap["q_norm"]["scale"]]),
+            jnp.stack([ap["txt_k_norm"]["scale"], ap["k_norm"]["scale"]]),
+            rope_main, rope_cond, Lt, bias["cond_len"], bias["cross_bias"], interp,
+        )
+    else:
+        outs = joint_attention(streams_q, streams_k, streams_v, impl=attn_impl, **bias)
     joint = outs[0]
     txt_len = txt.shape[1]
     txt_attn, img_attn = joint[:, :txt_len], joint[:, txt_len:]
@@ -510,25 +573,42 @@ def _single_block_apply(bp, cfg, hidden, cond, temb, cond_temb, rope_main, rope_
     sh, sc, gate = _mod(bp["mod"], temb, 3)
     H = cfg.num_heads * cfg.head_dim
     interp = attn_impl.endswith("interpret")
-    nr_main = _nr_gate(flags, attn_impl, rope_main, hidden.shape[1], H)
-    rope_m = (rope_main[0], rope_main[1], interp) if nr_main else None
+    nr_fuse = _nr_attn_gate(
+        flags, attn_impl, rope_main, *((rope_cond,) if use_cond else ())
+    )
+    nr_main = not nr_fuse and _nr_gate(flags, attn_impl, rope_main, hidden.shape[1], H)
+    rope_m = "raw" if nr_fuse else (
+        (rope_main[0], rope_main[1], interp) if nr_main else None
+    )
     q, k, v, mctx = _single_stream_in(bp, cfg, hidden, sh, sc, flags, attn_impl, rope=rope_m)
-    if not nr_main:
+    if not (nr_main or nr_fuse):
         q, k = _rope_qk(q, k, rope_main)
     streams_q, streams_k, streams_v = [q], [k], [v]
     if use_cond:
-        nr_cond = _nr_gate(flags, attn_impl, rope_cond, cond.shape[1], H)
-        rope_c = (rope_cond[0], rope_cond[1], interp) if nr_cond else None
+        nr_cond = not nr_fuse and _nr_gate(flags, attn_impl, rope_cond, cond.shape[1], H)
+        rope_c = "raw" if nr_fuse else (
+            (rope_cond[0], rope_cond[1], interp) if nr_cond else None
+        )
         c_sh, c_sc, c_gate = _mod(bp_c["mod"], cond_temb, 3)
         cq, ck, cv, c_mctx = _single_stream_in(
             bp_c, cfg, cond, c_sh, c_sc, flags, attn_impl, rope=rope_c
         )
-        if not nr_cond:
+        if not (nr_cond or nr_fuse):
             cq, ck = _rope_qk(cq, ck, rope_cond)
         streams_q.append(cq)
         streams_k.append(ck)
         streams_v.append(cv)
-    outs = joint_attention(streams_q, streams_k, streams_v, impl=attn_impl, **bias)
+    if nr_fuse:
+        # one projection per single block -> one scale per row; txt_len=0
+        # sends every joint position to row 1 (row 0 is a harmless twin)
+        scq = jnp.stack([bp["attn"]["q_norm"]["scale"]] * 2)
+        sck = jnp.stack([bp["attn"]["k_norm"]["scale"]] * 2)
+        outs = _nr_attention(
+            streams_q, streams_k, streams_v, scq, sck, rope_main, rope_cond,
+            0, bias["cond_len"], bias["cross_bias"], interp,
+        )
+    else:
+        outs = joint_attention(streams_q, streams_k, streams_v, impl=attn_impl, **bias)
     hidden = hidden + gate[:, None, :] * _single_stream_out(bp, flags, attn_impl, _unheads(outs[0]), mctx)
     if use_cond:
         cond = cond + c_gate[:, None, :] * _single_stream_out(

@@ -361,9 +361,19 @@ def _flash_fwd_nr_kernel(
 
     @pl.when(qb == 0)
     def _prep_k():
+        # transform the stripe in block_k chunks: a whole-stripe norm_rot
+        # would allocate (Lp, D) fp32 temporaries (~2.4 MB at FLUX scale),
+        # which pushed the 512x512 config 1.4 MB past the 16 MB scoped-VMEM
+        # cap (measured); chunked, the temporaries are (block_k, D)
         Lp = k_ref.shape[0]
-        k_pos_all = jax.lax.broadcasted_iota(jnp.int32, (Lp, 1), 0)
-        kn_ref[:] = norm_rot(k_ref[:], cos_ref[:], sin_ref[:], k_pos_all, sck_ref).astype(kn_ref.dtype)
+        for c0 in range(0, Lp, block_k):
+            pos = c0 + jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0)
+            kn_ref[c0 : c0 + block_k, :] = norm_rot(
+                k_ref[c0 : c0 + block_k, :],
+                cos_ref[c0 : c0 + block_k, :],
+                sin_ref[c0 : c0 + block_k, :],
+                pos, sck_ref,
+            ).astype(kn_ref.dtype)
 
     BQ = q_ref.shape[0]
     q_pos = qb * q_block + jax.lax.broadcasted_iota(jnp.int32, (BQ, 1), 0)  # (BQ, 1)

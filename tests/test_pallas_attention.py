@@ -324,3 +324,42 @@ def test_flash_attention_nr_fused_matches_separate_passes():
         block_q=16, block_k=16, interpret=True,
     )
     np.testing.assert_allclose(np.asarray(out_pad), np.asarray(ref_pad), atol=3e-5)
+
+
+def test_dit_with_pallas_nr_interpret():
+    """Full tiny DiT via attn_impl='pallas_nr_interpret' (QK-norm + RoPE
+    fused INTO the flash kernel — no separate norm_rope pass) == the split
+    XLA path, in every structural-bias mode (plain / c_factor / union
+    mask), and falls back to the plain flash path when the layout is not
+    split (no silent garbage on rope_layout='interleaved')."""
+    from reflectionflow_tpu.config import FluxDiTConfig
+    from reflectionflow_tpu.models.flux.dit import flux_dit_apply, flux_dit_init
+    from reflectionflow_tpu.models.flux.rope import make_image_ids, make_text_ids
+
+    cfg = FluxDiTConfig.tiny()
+    params = flux_dit_init(jax.random.PRNGKey(0), cfg)
+    inputs = dict(
+        img=jax.random.normal(jax.random.PRNGKey(1), (1, 16, cfg.in_channels)),
+        txt=jax.random.normal(jax.random.PRNGKey(2), (1, 8, cfg.text_dim)),
+        pooled=jax.random.normal(jax.random.PRNGKey(3), (1, cfg.pooled_dim)),
+        timestep=jnp.array([0.5]),
+        img_ids=jnp.asarray(make_image_ids(4, 4)),
+        txt_ids=jnp.asarray(make_text_ids(8)),
+        guidance=jnp.array([3.5]),
+    )
+    cond = jax.random.normal(jax.random.PRNGKey(4), (1, 4, cfg.in_channels))
+    cond_ids = jnp.asarray(make_image_ids(2, 2, position_delta=(0, -2)))
+    for inp in (
+        inputs,
+        dict(inputs, cond=cond, cond_ids=cond_ids, c_factor=2.0),
+        dict(inputs, cond=cond, cond_ids=cond_ids, union_cond_attn=False),
+    ):
+        ref = np.asarray(flux_dit_apply(params, cfg, **inp, rope_layout="split"))
+        out = np.asarray(flux_dit_apply(
+            params, cfg, **inp, rope_layout="split", attn_impl="pallas_nr_interpret"
+        ))
+        np.testing.assert_allclose(out, ref, atol=5e-5)
+    # non-split layout: the nr gate must fall back to plain pallas flash
+    ref_i = np.asarray(flux_dit_apply(params, cfg, **inputs))
+    out_i = np.asarray(flux_dit_apply(params, cfg, **inputs, attn_impl="pallas_nr_interpret"))
+    np.testing.assert_allclose(out_i, ref_i, atol=5e-5)

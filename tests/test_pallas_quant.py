@@ -80,17 +80,20 @@ def test_dit_fused_quant_serving_path(key):
         cond_ids=jnp.asarray(make_image_ids(2, 2)),
         c_factor=2.0,
     )
-    for inp in (inputs, cond_inputs):
-        ref = np.asarray(flux_dit_apply(q, cfg, **inp, rope_layout="split")).ravel()
-        out = np.asarray(
-            flux_dit_apply(q, cfg, **inp, rope_layout="split", attn_impl="pallas_interpret")
-        ).ravel()
-        cos = float(ref @ out / (np.linalg.norm(ref) * np.linalg.norm(out)))
-        assert cos > 0.999, cos
-        # and against the unquantized model the usual int8 tolerance holds
-        exact = np.asarray(flux_dit_apply(params, cfg, **inp)).ravel()
-        rel = float(np.abs(out - exact).mean() / np.abs(exact).mean())
-        assert rel < 0.06, rel
+    # pallas_nr_interpret: same serving tree with QK-norm+RoPE fused INTO
+    # the flash kernel (the W8A8 panel matmuls feed it raw projections)
+    for impl in ("pallas_interpret", "pallas_nr_interpret"):
+        for inp in (inputs, cond_inputs):
+            ref = np.asarray(flux_dit_apply(q, cfg, **inp, rope_layout="split")).ravel()
+            out = np.asarray(
+                flux_dit_apply(q, cfg, **inp, rope_layout="split", attn_impl=impl)
+            ).ravel()
+            cos = float(ref @ out / (np.linalg.norm(ref) * np.linalg.norm(out)))
+            assert cos > 0.999, (impl, cos)
+            # and against the unquantized model the usual int8 tolerance holds
+            exact = np.asarray(flux_dit_apply(params, cfg, **inp)).ravel()
+            rel = float(np.abs(out - exact).mean() / np.abs(exact).mean())
+            assert rel < 0.06, (impl, rel)
 
 
 def test_norm_rope_matches_xla_fast_path(key):

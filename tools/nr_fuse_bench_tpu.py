@@ -45,7 +45,7 @@ def main():
 
     B, H, D = (1, 2, 16) if tiny else (1, 24, 128)
     interp = tiny
-    inner = 1 if tiny else 8
+    inner = 1 if tiny else 64
     txt_len = 16 if tiny else 512
     rng = np.random.default_rng(0)
     dt = jnp.float32 if tiny else jnp.bfloat16
@@ -62,29 +62,31 @@ def main():
     bq0 = 16 if tiny else 512
 
     # Path A: separate norm_rope passes (per segment scale: approximate with
-    # one scale row — the traffic, not the select, is what's being timed)
-    def path_a():
-        qn = norm_rope(q_pan, scq[1], cos, sin, D, block_rows=bq0 // 2, interpret=interp)
-        kn = norm_rope(k_pan, sck[1], cos, sin, D, block_rows=bq0 // 2, interpret=interp)
+    # one scale row — the traffic, not the select, is what's being timed).
+    # q/k panels are jit ARGUMENTS: as closure constants XLA constant-folds
+    # the norm_rope passes at compile time (first run measured exactly that).
+    @jax.jit
+    def path_a(q_p, k_p, v_in):
+        qn = norm_rope(q_p, scq[1].astype(dt), cos, sin, D, block_rows=bq0 // 2, interpret=interp)
+        kn = norm_rope(k_p, sck[1].astype(dt), cos, sin, D, block_rows=bq0 // 2, interpret=interp)
         return flash_attention_structured(
-            qn.reshape(B, L, H, D), kn.reshape(B, L, H, D), v,
+            qn.reshape(B, L, H, D), kn.reshape(B, L, H, D), v_in,
             block_q=bq0, block_k=bq0, interpret=interp,
         )
 
-    def loop(fn):
-        def run():
-            out = fn()
-            for _ in range(inner - 1):
-                out = fn()
-            return out
-        return jax.jit(run)
-
-    def timed(jfn, reps=3):
-        fetch(jfn())
+    def timed(fn1, reps=3):
+        # dispatch `inner` chained single calls back-to-back (the device
+        # queue is serial; each dispatch is a distinct execution so nothing
+        # is CSE'd away), fetch ONCE — compute must dwarf the tunnel RTT,
+        # which at 43 ms hides ~10 ms of device time entirely (measured)
+        fetch(fn1(v))  # compile + warm
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            fetch(jfn())
+            out = fn1(v)
+            for _ in range(inner - 1):
+                out = fn1(out.astype(dt))
+            fetch(out)
             ts.append(time.perf_counter() - t0)
         return (min(ts) - rtt) * 1e3 / inner
 
@@ -95,22 +97,22 @@ def main():
     rtt = time.perf_counter() - t0
 
     out = {"shape": f"B{B} L{L} H{H} D{D}", "rtt_ms": round(rtt * 1e3, 1), "inner": inner}
-    a_jit = loop(path_a)
-    out["separate_ms"] = round(timed(a_jit), 3)
-    ref = np.asarray(path_a(), np.float32)
+    a_fn = lambda v_in: path_a(q_pan, k_pan, v_in)
+    out["separate_ms"] = round(timed(a_fn), 3)
+    ref = np.asarray(a_fn(v), np.float32)
 
     for bq, bk in ((bq0, bq0), (512, 256), (256, 256)) if not tiny else ((16, 16),):
         name = f"fused_{bq}x{bk}"
         try:
-            def path_b(bq=bq, bk=bk):
+            def path_b(v_in, bq=bq, bk=bk):
                 return flash_attention_nr(
-                    q_raw, k_raw, v, cos, sin, scq, sck, txt_len=0,
+                    q_raw, k_raw, v_in, cos, sin, scq, sck, txt_len=0,
                     block_q=bq, block_k=bk, interpret=interp,
                 )
             # txt_len=0 + scale row 1 == path A's single-scale transform
-            got = np.asarray(path_b(), np.float32)
+            got = np.asarray(path_b(v), np.float32)
             err = float(np.max(np.abs(got - ref)))
-            out[name + "_ms"] = round(timed(loop(path_b)), 3)
+            out[name + "_ms"] = round(timed(path_b), 3)
             out[name + "_maxerr"] = round(err, 5)
         except Exception as e:
             out[name + "_error"] = f"{type(e).__name__}: {str(e)[:200]}"
