@@ -553,7 +553,7 @@ def bench_e2e(rtt: float, phase_swap: bool = False, batch: int = 1, pipelined: i
         "t_image_s": (t_enc + t_den + t_dec) / batch,
         "config": f"e2e {t5_kind} encode + {dit_kind} "
                   f"{dit_cfg.num_double_blocks}/{dit_cfg.num_single_blocks} "
-                  f"(pallas flash attn, split rope) + VAE decode, {mode}, B={batch}",
+                  f"({ATTN_PALLAS} flash attn, split rope) + VAE decode, {mode}, B={batch}",
         "t_encode_s": round(t_enc, 3),
         "t_denoise_s": round(t_den, 3),
         "t_decode_fetch_s": round(t_dec, 3),
@@ -835,9 +835,14 @@ def main():
     p.add_argument("--batch", type=int, default=None, help="candidate batch for the e2e stages")
     p.add_argument("--tiny", action="store_true",
                    help="hermetic CPU control-flow check (tiny configs, not a measurement)")
+    p.add_argument("--attn", choices=("pallas", "pallas_nr"), default=None,
+                   help="flash impl for the e2e stages (pallas_nr = QK-norm+RoPE fused in-kernel)")
     args = p.parse_args()
     if args.tiny:
         _enable_tiny()
+    if args.attn:
+        global ATTN_PALLAS
+        ATTN_PALLAS = args.attn + ("_interpret" if TINY else "")
     else:
         # persistent XLA compilation cache: full-depth serving compiles cost
         # 20-60 s each through the dev tunnel, and the sweep's subprocess
@@ -895,6 +900,7 @@ def _try_stages(args) -> bool:
             proc = subprocess.run(
                 [sys.executable, __file__, "--stage", stage]
                 + (["--batch", str(args.batch)] if args.batch else [])
+                + (["--attn", args.attn] if args.attn else [])
                 + (["--tiny"] if TINY else []),
                 capture_output=True, text=True, timeout=3600,
             )
