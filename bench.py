@@ -739,6 +739,26 @@ def run_stage(stage: str, batch: int | None = None) -> None:
     # perf/$ companion: a v5e lists at ~1/5 the cost of an H100
     # (docs/BENCH_NOTES.json::floor_arithmetic) — same basis as DEPLOYMENT.md
     detail["vs_baseline_per_dollar"] = round(vs_baseline * 5.0, 2)
+    if stage.startswith("e2e") and stage != "e2e_swap_vcache":
+        # carry the opt-in velocity-cache lever in the headline line so the
+        # record is self-auditing: what the calibrated schedule would buy,
+        # and exactly why it is not the number above
+        cal = _load_vcache_calibration()
+        if cal:
+            sel = next((r for r in cal["results"] if r["name"] == cal["selected"]), {})
+            detail["opt_in_vcache"] = {
+                "selected": cal.get("selected"),
+                "speedup_est": sel.get("speedup_est"),
+                "score_drop": sel.get("score_drop"),
+                "weights_kind": cal.get("weights_kind"),
+                "hw_measured": "2.50x denoise at interval 3 (BENCH_NOTES.vcache_hardware_v5e)",
+                "headline_excluded_because": (
+                    None if _vcache_headline_eligible(cal) else
+                    "calibration is not real-weight-validated (weights_kind != 'real'); "
+                    "quality-blind speedups stay opt-in — run tools/vcache_calibrate.py "
+                    "with FLUX_MODEL_DIR to promote the e2e_swap_vcache stage"
+                ),
+            }
     line = json.dumps({
         "metric": "flux_1024px_candidate_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 5),
@@ -900,7 +920,7 @@ def _try_stages(args) -> bool:
             proc = subprocess.run(
                 [sys.executable, __file__, "--stage", stage]
                 + (["--batch", str(args.batch)] if args.batch else [])
-                + (["--attn", args.attn] if args.attn else [])
+                + (["--attn", attn] if (attn := getattr(args, "attn", None)) else [])
                 + (["--tiny"] if TINY else []),
                 capture_output=True, text=True, timeout=3600,
             )

@@ -212,6 +212,13 @@ def test_tiny_pipe_stage_end_to_end():
             "pct_of_floor"} <= set(d)
     assert d["achieved_tflops"] is None and d["pct_of_floor"] is None
     assert len(d["floor_hash"]) == 12
+    # headline lines carry the opt-in velocity-cache lever so BENCH_r*.json
+    # is self-auditing: what the calibrated schedule buys and exactly why it
+    # is not the headline (synthetic calibration -> excluded with a reason)
+    ov = d["opt_in_vcache"]
+    assert ov["selected"] and ov["speedup_est"] is not None
+    assert ov["weights_kind"] == "synthetic"
+    assert "not real-weight-validated" in ov["headline_excluded_because"]
 
 
 def test_floor_analysis_reproduces_bench_notes_arithmetic():
