@@ -43,6 +43,7 @@ from .scheduler import FlowMatchSchedule
         "vcache_warmup",
         "vcache_tail",
         "vcache_poly",
+        "vcache_order",
         "return_vcache_stats",
     ),
 )
@@ -72,6 +73,7 @@ def denoise(
     vcache_warmup: int = 1,  # dynamic mode: first W steps always full
     vcache_tail: int = 1,  # dynamic mode: last T steps always full
     vcache_poly: tuple[float, ...] | None = None,  # optional model-fit rescale
+    vcache_order: int = 0,  # 0=reuse cached v; 1/2=Taylor-predict skipped v
     return_vcache_stats: bool = False,  # also return the full-forward count
 ) -> jnp.ndarray:
     """Run the full Euler loop; returns final packed latents (B, L_img, C).
@@ -95,6 +97,22 @@ def denoise(
         whenever any row crosses (with `return_vcache_stats`, n_full counts
         those launches). The launch decision lives in one `lax.cond` inside
         the scan — it never leaves the device.
+
+    `vcache_order` upgrades what a SKIPPED step uses (either mode):
+      * 0 (default) — reuse the last computed velocity unchanged;
+      * 1 / 2 — TaylorSeer-style prediction (arXiv 2503.06923): keep the
+        last `order+1` full-forward velocities with the sigmas they were
+        computed at, and evaluate the Newton divided-difference polynomial
+        at the current sigma. Where the velocity field is smooth along the
+        flow trajectory (trained flow models — the cited paper's finding
+        on FLUX.1-dev; NOT random test weights), extrapolation tracks its
+        drift while order-0 reuse freezes it, so deeper skip schedules
+        hold quality (`vcache_calibrate.LITERATURE_ANCHORS`; exactness on
+        polynomial fields pinned in test_vcache.py). Costs `order` extra
+        latent-sized fp32 buffers and a few elementwise ops per skipped
+        step — no extra DiT launches. History and the divided differences
+        are PER CANDIDATE (degenerate histories fall back: 2 points =
+        linear, 1 point = reuse).
 
     Defaults leave the feature off and take the exact unmodified path.
     Quality/threshold trade-offs are model-specific — validate on real
@@ -158,37 +176,81 @@ def denoise(
     else:
         forced = jnp.asarray(step_mask, bool).at[0].set(True)
     v0 = jnp.zeros_like(latents)
+    order = int(vcache_order)
+    if order not in (0, 1, 2):
+        raise ValueError(f"vcache_order must be 0, 1, or 2 (got {vcache_order})")
+
+    def decide(lat, sigma, forced_bit, sig_prev, acc):
+        """-> (do_full (B,), sig_prev', acc'). PER-CANDIDATE decision state:
+        each candidate's accumulator sees only its own signal, so its output
+        trajectory does not depend on which other candidates share the
+        micro-batch (the pipeline's same-latents -> same-images contract).
+        The batch forward LAUNCHES when any candidate crosses, but
+        candidates whose accumulator stayed under threshold keep their
+        cached velocity (the DiT is per-sample independent)."""
+        if not dynamic:
+            return jnp.broadcast_to(forced_bit, (B,)), sig_prev, acc
+        sig = flux_mod_signal(
+            dit_params, cfg, lat, pooled,
+            jnp.broadcast_to(sigma, (B,)).astype(lat.dtype),
+            guidance=guidance if cfg.guidance_embeds else None,
+        ).astype(jnp.float32)
+        rel = jnp.sum(jnp.abs(sig - sig_prev), axis=(1, 2)) / (
+            jnp.sum(jnp.abs(sig_prev), axis=(1, 2)) + 1e-8)  # (B,)
+        est = jnp.polyval(jnp.asarray(vcache_poly, jnp.float32), rel) if vcache_poly else rel
+        acc = acc + est
+        do_full = forced_bit | (acc >= vcache_threshold)  # (B,)
+        acc = jnp.where(do_full, 0.0, acc)
+        return do_full, sig, acc
 
     def cached_step(carry, step_inputs):
         lat, v_prev, sig_prev, acc, n_full = carry
         sigma, sigma_next, forced_bit = step_inputs
-        if dynamic:
-            # PER-CANDIDATE decision state: each candidate's accumulator
-            # sees only its own signal, so its output trajectory does not
-            # depend on which other candidates share the micro-batch (the
-            # pipeline's same-latents -> same-images contract). The batch
-            # forward LAUNCHES when any candidate crosses, but candidates
-            # whose accumulator stayed under threshold keep their cached
-            # velocity (the DiT is per-sample independent).
-            sig = flux_mod_signal(
-                dit_params, cfg, lat, pooled,
-                jnp.broadcast_to(sigma, (B,)).astype(lat.dtype),
-                guidance=guidance if cfg.guidance_embeds else None,
-            ).astype(jnp.float32)
-            rel = jnp.sum(jnp.abs(sig - sig_prev), axis=(1, 2)) / (
-                jnp.sum(jnp.abs(sig_prev), axis=(1, 2)) + 1e-8)  # (B,)
-            est = jnp.polyval(jnp.asarray(vcache_poly, jnp.float32), rel) if vcache_poly else rel
-            acc = acc + est
-            do_full = forced_bit | (acc >= vcache_threshold)  # (B,)
-            acc = jnp.where(do_full, 0.0, acc)
-            sig_prev = sig
-        else:
-            do_full = jnp.broadcast_to(forced_bit, (B,))
+        do_full, sig_prev, acc = decide(lat, sigma, forced_bit, sig_prev, acc)
         any_full = jnp.any(do_full)
         v_new = jax.lax.cond(any_full, lambda l: velocity(l, sigma), lambda l: v_prev, lat)
         v = jnp.where(do_full[:, None, None], v_new, v_prev)
         lat = _advance(lat, v, sigma, sigma_next)
         return (lat, v, sig_prev, acc, n_full + any_full.astype(jnp.int32)), None
+
+    def predictive_step(carry, step_inputs):
+        """order >= 1: `hist`/`sigs` hold the last order+1 full-forward
+        velocities (fp32 — bf16 divided differences would cancel) and the
+        sigmas they were computed at; `k` counts full forwards so degenerate
+        histories fall back gracefully (1 point = reuse, 2 = linear)."""
+        lat, hist, sigs, k, sig_prev, acc, n_full = carry
+        sigma, sigma_next, forced_bit = step_inputs
+        do_full, sig_prev, acc = decide(lat, sigma, forced_bit, sig_prev, acc)
+        any_full = jnp.any(do_full)
+        v_new = jax.lax.cond(
+            any_full, lambda l: velocity(l, sigma),
+            lambda l: hist[0].astype(lat.dtype), lat,
+        )
+        # Newton divided-difference extrapolation at the current sigma,
+        # from the PRE-step history (per candidate)
+        col = lambda x: x[:, None, None]  # (B,) -> broadcastable  # noqa: E731
+        have2, have3 = k >= 2, k >= 3
+        den1 = jnp.where(have2, sigs[0] - sigs[1], 1.0)
+        d1 = jnp.where(col(have2), (hist[0] - hist[1]) / col(den1), 0.0)
+        vhat = hist[0] + d1 * (sigma - col(sigs[0]))
+        if order >= 2:
+            den1b = jnp.where(have3, sigs[1] - sigs[2], 1.0)
+            d1b = jnp.where(col(have3), (hist[1] - hist[2]) / col(den1b), 0.0)
+            den2 = jnp.where(have3, sigs[0] - sigs[2], 1.0)
+            d2 = jnp.where(col(have3), (d1 - d1b) / col(den2), 0.0)
+            vhat = vhat + d2 * (sigma - col(sigs[0])) * (sigma - col(sigs[1]))
+        full = col(do_full)
+        v = jnp.where(full, v_new.astype(jnp.float32), vhat)
+        lat = _advance(lat, v, sigma, sigma_next)
+        # shift the per-candidate history where this step ran full
+        hist = (jnp.where(full, v_new.astype(jnp.float32), hist[0]),) + tuple(
+            jnp.where(full, hist[i - 1], hist[i]) for i in range(1, order + 1)
+        )
+        sigs = (jnp.where(do_full, sigma, sigs[0]),) + tuple(
+            jnp.where(do_full, sigs[i - 1], sigs[i]) for i in range(1, order + 1)
+        )
+        k = k + do_full.astype(jnp.int32)
+        return (lat, hist, sigs, k, sig_prev, acc, n_full + any_full.astype(jnp.int32)), None
 
     # static mode never reads the signal — keep its carry slot scalar
     sig0 = (
@@ -196,8 +258,16 @@ def denoise(
         if dynamic else jnp.zeros((), jnp.float32)
     )
     acc0 = jnp.zeros((B,), jnp.float32)
-    carry0 = (latents, v0, sig0, acc0, jnp.asarray(0, jnp.int32))
-    (latents, _, _, _, n_full), _ = jax.lax.scan(cached_step, carry0, steps + (forced,))
+    n0 = jnp.asarray(0, jnp.int32)
+    if order == 0:
+        carry0 = (latents, v0, sig0, acc0, n0)
+        (latents, _, _, _, n_full), _ = jax.lax.scan(cached_step, carry0, steps + (forced,))
+    else:
+        hist0 = tuple(jnp.zeros(latents.shape, jnp.float32) for _ in range(order + 1))
+        sigs0 = tuple(jnp.full((B,), -1.0, jnp.float32) for _ in range(order + 1))
+        carry0 = (latents, hist0, sigs0, jnp.zeros((B,), jnp.int32), sig0, acc0, n0)
+        (latents, _, _, _, _, _, n_full), _ = jax.lax.scan(
+            predictive_step, carry0, steps + (forced,))
     return (latents, n_full) if return_vcache_stats else latents
 
 
@@ -209,17 +279,19 @@ def make_schedule(num_steps: int, image_seq_len: int) -> jnp.ndarray:
 def vcache_kwargs(vcache: dict | None, num_steps: int) -> dict:
     """`pipeline_args.vcache` payload -> `denoise(...)` kwargs (the one
     schedule grammar, shared by FluxPipeline and the calibration harness):
-    {"interval": k[, warmup, tail]} static or {"threshold": x[, warmup,
-    tail, poly]} dynamic."""
+    {"interval": k[, warmup, tail, order]} static or {"threshold": x[,
+    warmup, tail, poly, order]} dynamic; "order" (0/1/2, default 0) turns
+    skipped-step reuse into Taylor prediction."""
     if not vcache:
         return {}
     vc = dict(vcache)
     if "interval" in vc and "threshold" in vc:
         raise ValueError("vcache: interval and threshold are mutually exclusive")
+    order = {"vcache_order": int(vc["order"])} if vc.get("order") else {}
     if "interval" in vc:
         return {"step_mask": jnp.asarray(make_step_mask(
             num_steps, int(vc["interval"]),
-            warmup=int(vc.get("warmup", 1)), tail=int(vc.get("tail", 1))))}
+            warmup=int(vc.get("warmup", 1)), tail=int(vc.get("tail", 1)))), **order}
     if "threshold" in vc:
         if not float(vc["threshold"]) > 0:
             raise ValueError("vcache threshold must be > 0 (omit vcache to disable)")
@@ -228,6 +300,7 @@ def vcache_kwargs(vcache: dict | None, num_steps: int) -> dict:
             "vcache_warmup": int(vc.get("warmup", 1)),
             "vcache_tail": int(vc.get("tail", 1)),
             "vcache_poly": tuple(vc["poly"]) if vc.get("poly") else None,
+            **order,
         }
     raise ValueError(f"vcache needs 'interval' or 'threshold': {vc}")
 

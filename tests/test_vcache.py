@@ -165,6 +165,141 @@ def test_dynamic_signal_works_on_quantized_tree(setup):
     assert np.isfinite(np.asarray(out, np.float32)).all()
 
 
+def _manual_predictive(setup, mask, order):
+    """Hand-rolled Euler loop with Newton divided-difference prediction on
+    skipped steps — the reference for `vcache_order` (mirrors the kernel's
+    per-candidate history and degenerate fallbacks)."""
+    params, latents, txt, pooled, img_ids, txt_ids, sigmas = setup
+    guidance = jnp.full((B,), 3.5, jnp.float32)
+    lat = np.asarray(latents, np.float32)
+    hist, sigs = [], []  # most recent first
+    for i in range(N_STEPS):
+        s = float(sigmas[i])
+        if mask[i]:
+            v = np.asarray(flux_dit_apply(
+                params, CFG, jnp.asarray(lat), txt, pooled,
+                jnp.broadcast_to(sigmas[i], (B,)).astype(jnp.float32),
+                img_ids, txt_ids,
+                guidance=guidance if CFG.guidance_embeds else None,
+            ), np.float32)
+            hist = [v] + hist[:order]
+            sigs = [s] + sigs[:order]
+        else:
+            v = hist[0].copy()
+            if len(hist) >= 2:
+                d1 = (hist[0] - hist[1]) / (sigs[0] - sigs[1])
+                v = v + d1 * (s - sigs[0])
+                if order >= 2 and len(hist) >= 3:
+                    d1b = (hist[1] - hist[2]) / (sigs[1] - sigs[2])
+                    d2 = (d1 - d1b) / (sigs[0] - sigs[2])
+                    v = v + d2 * (s - sigs[0]) * (s - sigs[1])
+        lat = lat + (float(sigmas[i + 1]) - s) * v
+    return lat
+
+
+@pytest.mark.parametrize("order", [1, 2])
+def test_predictive_static_matches_manual(setup, order):
+    mask = np.array([True, True, False, False, True, False])
+    out = _denoise(setup, step_mask=jnp.asarray(mask), vcache_order=order)
+    ref = _manual_predictive(setup, mask, order)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=3e-5, atol=3e-5)
+    # prediction differs from order-0 reuse once two history points exist
+    reuse = _denoise(setup, step_mask=jnp.asarray(mask))
+    assert not np.allclose(np.asarray(out), np.asarray(reuse))
+
+
+def test_predictive_single_point_falls_back_to_reuse(setup):
+    # only one full forward before the skips -> no divided difference to
+    # take; order 1 must be exactly order-0 reuse
+    mask = np.array([True, False, False, False, False, True])
+    np.testing.assert_array_equal(
+        np.asarray(_denoise(setup, step_mask=jnp.asarray(mask), vcache_order=1)),
+        np.asarray(_denoise(setup, step_mask=jnp.asarray(mask))),
+    )
+
+
+@pytest.mark.parametrize("degree", [1, 2])
+def test_predictive_tracks_smooth_field_exactly(monkeypatch, degree):
+    """The reason `order` exists: where the velocity field IS smooth
+    (polynomial in sigma here; trained flow models empirically — arXiv
+    2503.06923), order-`degree` prediction reproduces the dense trajectory
+    on skipped steps exactly, while order-0 reuse freezes the velocity and
+    drifts. This isolates the extrapolation math from model smoothness,
+    which random tiny weights do NOT have (a trained model's is the
+    calibration harness's job to verify). Shapes are DISTINCT from the
+    `setup` fixture's and the jit cache is cleared afterwards: `denoise`
+    is module-jitted, so a same-shape call would reuse the executable
+    traced with the real model instead of the patched field."""
+    from reflectionflow_tpu.sampler import generate as gen
+
+    B2, L2 = 3, 9
+    shape = (B2, L2, CFG.in_channels)
+    coef = [
+        0.31 * jnp.cos(jnp.arange(np.prod(shape)).reshape(shape) * (0.13 * (d + 1)))
+        for d in range(degree + 1)
+    ]
+
+    def fake_apply(params, cfg, lat, txt, pooled, timestep, *a, **k):
+        s = timestep[:, None, None].astype(jnp.float32)
+        v = jnp.zeros(shape, jnp.float32)
+        for d, c in enumerate(coef):
+            v = v + c * s**d
+        return v.astype(lat.dtype)
+
+    monkeypatch.setattr(gen, "flux_dit_apply", fake_apply)
+
+    def run(**kw):
+        lat0 = jax.random.normal(jax.random.PRNGKey(7), shape, jnp.float32)
+        txt = jnp.zeros((B2, 4, CFG.text_dim))
+        pooled = jnp.zeros((B2, CFG.pooled_dim))
+        sigmas = make_schedule(N_STEPS, L2)
+        return np.asarray(denoise(
+            None, CFG, lat0, txt, pooled, jnp.zeros((L2, 3)), jnp.zeros((4, 3)),
+            sigmas, jnp.asarray(3.5, jnp.float32), N_STEPS, **kw,
+        ), np.float32)
+
+    try:
+        dense = run()
+        mask = jnp.asarray(
+            np.array([True] * (degree + 1) + [False] * (N_STEPS - degree - 2) + [True]))
+        err = {
+            o: float(np.max(np.abs(run(step_mask=mask, vcache_order=o) - dense)))
+            for o in (0, degree)
+        }
+    finally:
+        denoise.clear_cache()  # drop executables traced with the fake field
+    assert err[degree] < 1e-4, err
+    assert err[0] > 100 * err[degree], err
+
+
+def test_predictive_dynamic_mode_composes(setup):
+    out, n_full = _denoise(
+        setup, vcache_threshold=1e9, vcache_warmup=2, vcache_tail=1,
+        vcache_order=1, return_vcache_stats=True,
+    )
+    assert int(n_full) == 3
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    # warmup gives two history points; the gap steps must extrapolate, so
+    # the result differs from the order-0 dynamic run
+    reuse, _ = _denoise(
+        setup, vcache_threshold=1e9, vcache_warmup=2, vcache_tail=1,
+        return_vcache_stats=True,
+    )
+    assert not np.allclose(np.asarray(out), np.asarray(reuse))
+
+
+def test_vcache_order_validation_and_plumbing(setup):
+    from reflectionflow_tpu.sampler.generate import vcache_kwargs
+
+    with pytest.raises(ValueError):
+        _denoise(setup, step_mask=jnp.ones(N_STEPS, bool), vcache_order=3)
+    kw = vcache_kwargs({"interval": 3, "order": 1}, N_STEPS)
+    assert kw["vcache_order"] == 1 and "step_mask" in kw
+    kw = vcache_kwargs({"threshold": 0.3, "order": 2}, N_STEPS)
+    assert kw["vcache_order"] == 2
+    assert "vcache_order" not in vcache_kwargs({"interval": 3}, N_STEPS)
+
+
 def test_pipeline_vcache_plumbing():
     from reflectionflow_tpu.config import CLIPTextConfig, FluxVAEConfig, T5Config
     from reflectionflow_tpu.sampler.pipeline import FluxPipeline
