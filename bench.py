@@ -374,7 +374,11 @@ def _stacked_nf4(key, n, d_in, d_out):
 FLOOR_MODEL = {
     "w8a8_linear_tflops": 316.0,
     "attn_effective_tflops": 186.0,
-    "glue_s": 0.5,
+    # glue is PER FULL FORWARD (norm/rope/concat traffic rides each DiT
+    # launch): the vcache run measured 2.777 s at 9/30 forwards = exactly
+    # 9/30 of the dense 9.268 s, so a per-image constant would overstate
+    # the floor at low forward counts (pct_of_floor > 100)
+    "glue_s_per_step": 0.5 / 30.0,
     "flop_convention": "linears 2*(4H^2+2HM) per token-layer over all streams; attention 4*L^2*H per layer",
     "basis": "docs/BENCH_NOTES.json::floor_arithmetic (v5e)",
 }
@@ -409,7 +413,7 @@ def floor_analysis(cfg: FluxDiTConfig, n_img: int, n_txt: int, steps: int,
     floor_s = (
         fl["linear_flops"] / (FLOOR_MODEL["w8a8_linear_tflops"] * 1e12)
         + fl["attn_flops"] / (FLOOR_MODEL["attn_effective_tflops"] * 1e12)
-        + FLOOR_MODEL["glue_s"]
+        + FLOOR_MODEL["glue_s_per_step"] * steps
     )
     derivation = dict(
         FLOOR_MODEL,
@@ -641,11 +645,13 @@ def bench_bf16_extrapolated(rtt: float) -> dict:
 # (dit_quant="int8_int4mlp") — fits with no swap, slower w4a16 MLPs.
 # e2e_swap_pipe first: phase-swap W8A8 measured in the search loop's
 # dispatch-then-fetch order (branch-2 steady state) — the serving metric.
-# e2e_swap_vcache: the calibrated velocity-cache schedule (the tools/
-# vcache_calibrate.py artifact) — it LEADS the sweep only when the
-# calibration is real-weight-validated (see _vcache_headline_eligible);
-# a synthetic calibration keeps it manual-only (quality-blind speedups
-# don't get to be the headline).
+# e2e_swap_vcache: the velocity-cache schedule — it LEADS the sweep when
+# its quality evidence is at the "real" tier (a real-weight
+# tools/vcache_calibrate.py artifact) or the "literature" tier (a
+# LITERATURE_ANCHORS schedule whose family was quality-evaluated on public
+# FLUX.1-dev in the cited papers; our timing, their quality evaluation —
+# see sampler/vcache_calibrate.py). A synthetic-weight calibration stays
+# manual-only: quality-blind speedups don't get to be the headline.
 STAGES = ("e2e_swap_pipe", "e2e_swap_batch", "e2e_swap", "e2e", "int8", "bf16")
 
 VCACHE_CALIBRATION_PATH = Path(__file__).resolve().parent / "docs" / "VCACHE_CALIBRATION.json"
@@ -663,24 +669,66 @@ def _load_vcache_calibration() -> dict | None:
 
 
 def _vcache_headline_eligible(cal: dict | None) -> bool:
-    """Only a REAL-weight calibration whose selected schedule passed the
-    quality gates may promote the vcache stage to the headline sweep."""
-    return bool(cal) and cal.get("weights_kind") == "real"
+    """Quality tiers that may promote the vcache stage to the headline
+    sweep: "real" (calibrated on the target checkpoint, the definitive
+    gate) and "literature" (schedule family quality-evaluated on public
+    FLUX.1-dev in the cited papers). "synthetic" never qualifies."""
+    return bool(cal) and cal.get("weights_kind") in ("real", "literature")
+
+
+def _headline_vcache_source() -> dict | None:
+    """The evidence dict backing the headline vcache stage: a real-weight
+    calibration artifact if one exists (strongest tier), else the shipped
+    literature anchor. A synthetic artifact is NOT a headline source."""
+    cal = _load_vcache_calibration()
+    if cal is not None and cal.get("weights_kind") == "real":
+        return cal
+    from reflectionflow_tpu.sampler.vcache_calibrate import anchor_calibration
+
+    return anchor_calibration(NUM_STEPS)
 
 
 def _sweep_stages() -> tuple[str, ...]:
-    if _vcache_headline_eligible(_load_vcache_calibration()):
+    if _vcache_headline_eligible(_headline_vcache_source()):
         return ("e2e_swap_vcache",) + STAGES
     return STAGES
 
 
+def _dense_reference() -> dict | None:
+    """The last recorded DENSE e2e measurement, carried inside every vcache
+    headline line so the record is self-auditing (what the skip schedule is
+    being compared against). A vcache line that replaced the record keeps
+    forwarding the dense reference it embedded."""
+    try:
+        rec = json.loads(LAST_BENCH_PATH.read_text())
+    except (OSError, ValueError):
+        return None
+    detail = rec.get("detail") or {}
+    if "vcache_evidence" in detail or "vcache" in str(detail.get("config", "")):
+        return detail.get("vcache_evidence", {}).get("dense_reference")
+    return {"value_imgs_per_sec": rec.get("value"), "vs_baseline": rec.get("vs_baseline"),
+            "t_image_s": detail.get("t_image_s"), "config": detail.get("config")}
+
+
+def _vcache_stage_source() -> dict | None:
+    """What the vcache stage actually runs: an explicitly env-pointed
+    artifact is the experiment the user asked for, whatever its tier (the
+    record gate still applies); otherwise the headline source."""
+    import os
+
+    if os.environ.get("REFLECTIONFLOW_VCACHE_CALIBRATION"):
+        return _load_vcache_calibration()
+    return _headline_vcache_source()
+
+
 def bench_e2e_vcache(rtt: float, batch: int = 1) -> dict | None:
-    """The calibrated skip schedule measured in the same phase-swap e2e
-    harness; detail carries the full selection evidence so the line is
-    self-contained (schedule, gates, score drop, weights_kind)."""
+    """The headline skip schedule measured in the same phase-swap e2e
+    harness; detail carries the full quality evidence so the line is
+    self-contained (schedule, evidence tier, quality basis or gates, and
+    the dense reference measurement it's compared against)."""
     from reflectionflow_tpu.sampler.generate import vcache_kwargs
 
-    cal = _load_vcache_calibration()
+    cal = _vcache_stage_source()
     if cal is None:
         log("# e2e_swap_vcache: no calibration with a selected schedule "
             f"({VCACHE_CALIBRATION_PATH}); run tools/vcache_calibrate.py first")
@@ -690,18 +738,20 @@ def bench_e2e_vcache(rtt: float, batch: int = 1) -> dict | None:
         log(f"# e2e_swap_vcache: calibration ran {steps} steps, bench runs {NUM_STEPS}; "
             "applying the schedule at the bench step count")
     selected = next(r for r in cal["results"] if r["name"] == cal["selected"])
+    kind = cal["weights_kind"]
     out = bench_e2e(
-        rtt, phase_swap=True, batch=batch,
+        rtt, phase_swap=True, batch=batch, pipelined=2,
         denoise_kwargs=vcache_kwargs(cal["selected_vcache"], NUM_STEPS),
-        config_suffix=f", vcache(calibrated:{cal['selected']},{cal['weights_kind']}-weights)",
+        config_suffix=f", vcache({kind}:{cal['selected']})",
     )
     if out is not None:
         out["vcache_evidence"] = {
             "selected": selected, "gates": cal.get("gates"),
             "dense_score": (cal.get("dense") or {}).get("score"),
-            "weights_kind": cal.get("weights_kind"),
+            "weights_kind": kind,
             "verifier": cal.get("verifier"),
             "n_prompts": (cal.get("settings") or {}).get("n_prompts"),
+            "dense_reference": _dense_reference(),
         }
     return out
 
@@ -740,23 +790,27 @@ def run_stage(stage: str, batch: int | None = None) -> None:
     # (docs/BENCH_NOTES.json::floor_arithmetic) — same basis as DEPLOYMENT.md
     detail["vs_baseline_per_dollar"] = round(vs_baseline * 5.0, 2)
     if stage.startswith("e2e") and stage != "e2e_swap_vcache":
-        # carry the opt-in velocity-cache lever in the headline line so the
-        # record is self-auditing: what the calibrated schedule would buy,
-        # and exactly why it is not the number above
-        cal = _load_vcache_calibration()
+        # carry the velocity-cache lever in the dense line so the record is
+        # self-auditing: what the headline schedule buys, and why this line
+        # printed instead of it (the vcache stage leads the sweep when its
+        # evidence tier qualifies — a dense line then means that stage
+        # failed at runtime this run)
+        cal = _headline_vcache_source()
         if cal:
             sel = next((r for r in cal["results"] if r["name"] == cal["selected"]), {})
-            detail["opt_in_vcache"] = {
+            detail["vcache_lever"] = {
                 "selected": cal.get("selected"),
                 "speedup_est": sel.get("speedup_est"),
                 "score_drop": sel.get("score_drop"),
                 "weights_kind": cal.get("weights_kind"),
                 "hw_measured": "2.50x denoise at interval 3 (BENCH_NOTES.vcache_hardware_v5e)",
-                "headline_excluded_because": (
-                    None if _vcache_headline_eligible(cal) else
-                    "calibration is not real-weight-validated (weights_kind != 'real'); "
-                    "quality-blind speedups stay opt-in — run tools/vcache_calibrate.py "
-                    "with FLUX_MODEL_DIR to promote the e2e_swap_vcache stage"
+                "not_this_line_because": (
+                    "the e2e_swap_vcache stage leads the sweep but did not "
+                    "produce a result this run; this is the dense fallback"
+                    if _vcache_headline_eligible(cal) else
+                    "evidence tier is synthetic-only; quality-blind speedups "
+                    "stay opt-in — run tools/vcache_calibrate.py with "
+                    "FLUX_MODEL_DIR to promote the e2e_swap_vcache stage"
                 ),
             }
     line = json.dumps({
@@ -773,7 +827,7 @@ def run_stage(stage: str, batch: int | None = None) -> None:
     # is not real-weight-validated must not replace the stale-fallback
     # record with a different measurement basis.
     headline_quality = stage.startswith("e2e") and (
-        stage != "e2e_swap_vcache" or _vcache_headline_eligible(_load_vcache_calibration())
+        stage != "e2e_swap_vcache" or _vcache_headline_eligible(_vcache_stage_source())
     )
     if not TINY and not explicit_batch and headline_quality:
         _record_last(line)

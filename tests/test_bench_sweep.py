@@ -42,8 +42,9 @@ def test_try_stages_prints_first_success_and_skips_batch_stage(monkeypatch, caps
     # BEST_BATCH == 1 makes e2e_swap_batch redundant — it must be skipped
     assert bench.BEST_BATCH == 1
     assert "e2e_swap_batch" not in tried
-    # best-first order, stopping at the first success
-    assert tried == ["e2e_swap_pipe", "e2e_swap"]
+    # best-first order (literature-anchored vcache leads), stopping at the
+    # first success
+    assert tried == ["e2e_swap_vcache", "e2e_swap_pipe", "e2e_swap"]
 
 
 def test_try_stages_timeout_probes_service_then_continues(monkeypatch, capsys):
@@ -53,7 +54,7 @@ def test_try_stages_timeout_probes_service_then_continues(monkeypatch, capsys):
         if "--stage" in cmd:
             stage = cmd[cmd.index("--stage") + 1]
             seq.append(("stage", stage))
-            if stage == "e2e_swap_pipe":
+            if stage == "e2e_swap_vcache":
                 raise subprocess.TimeoutExpired(cmd, kw.get("timeout"))
             return _Proc(0, stdout='{"metric": "m", "value": 2}\n')
         seq.append(("probe", kw.get("timeout")))
@@ -63,9 +64,9 @@ def test_try_stages_timeout_probes_service_then_continues(monkeypatch, capsys):
     assert bench._try_stages(_args()) is True
     # a hung stage triggers a probe BEFORE the next stage launches, and the
     # probe must use the wedge-safe long timeout (never a sub-3000s kill)
-    assert seq[0] == ("stage", "e2e_swap_pipe")
+    assert seq[0] == ("stage", "e2e_swap_vcache")
     assert seq[1][0] == "probe" and seq[1][1] >= 3000
-    assert seq[2] == ("stage", "e2e_swap")
+    assert seq[2] == ("stage", "e2e_swap_pipe")
     assert capsys.readouterr().out.strip().endswith('{"metric": "m", "value": 2}')
 
 
@@ -83,7 +84,7 @@ def test_try_stages_timeout_with_hung_probe_aborts_sweep(monkeypatch, capsys):
 
     monkeypatch.setattr(subprocess, "run", fake_run)
     assert bench._try_stages(_args()) is False
-    assert seq == ["e2e_swap_pipe"]  # no further stages launched
+    assert seq == ["e2e_swap_vcache"]  # no further stages launched
     capsys.readouterr()
 
 
@@ -212,13 +213,69 @@ def test_tiny_pipe_stage_end_to_end():
             "pct_of_floor"} <= set(d)
     assert d["achieved_tflops"] is None and d["pct_of_floor"] is None
     assert len(d["floor_hash"]) == 12
-    # headline lines carry the opt-in velocity-cache lever so BENCH_r*.json
-    # is self-auditing: what the calibrated schedule buys and exactly why it
-    # is not the headline (synthetic calibration -> excluded with a reason)
-    ov = d["opt_in_vcache"]
+    # dense lines carry the velocity-cache lever so BENCH_r*.json is
+    # self-auditing: what the headline schedule buys and why this dense
+    # line printed instead (the literature-anchored vcache stage leads the
+    # sweep; a dense line means it failed at runtime)
+    ov = d["vcache_lever"]
     assert ov["selected"] and ov["speedup_est"] is not None
-    assert ov["weights_kind"] == "synthetic"
-    assert "not real-weight-validated" in ov["headline_excluded_because"]
+    assert ov["weights_kind"] == "literature"
+    assert "did not produce a result this run" in ov["not_this_line_because"]
+
+
+def test_tiny_vcache_stage_end_to_end():
+    """--tiny runs the headline e2e_swap_vcache stage body on CPU: the
+    literature-anchored schedule resolves (real-weight artifact absent,
+    synthetic artifact ignored), flows through vcache_kwargs into the
+    interpret-mode denoise, and the printed line carries the full quality
+    evidence (tier, basis, dense reference)."""
+    import json
+
+    proc = subprocess.run(
+        [sys.executable, bench.__file__, "--tiny", "--stage", "e2e_swap_vcache"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    d = out["detail"]
+    assert "vcache(literature:taylor_o2_interval6)" in d["config"]
+    ev = d["vcache_evidence"]
+    assert ev["weights_kind"] == "literature"
+    assert "TaylorSeer" in ev["selected"]["quality_basis"]
+    assert ev["selected"]["vcache"] == {"interval": 6, "warmup": 3, "tail": 1, "order": 2}
+
+
+def test_sweep_is_led_by_literature_anchored_vcache(monkeypatch):
+    """With no real-weight calibration artifact, the headline source is the
+    shipped literature anchor and the vcache stage leads the sweep; a
+    synthetic artifact must not change either fact; a real-weight artifact
+    supersedes the anchor."""
+    stages = bench._sweep_stages()
+    assert stages[0] == "e2e_swap_vcache"
+
+    src = bench._headline_vcache_source()
+    assert src["weights_kind"] == "literature"
+    assert src["selected"] == "taylor_o2_interval6"
+    sel = src["results"][0]
+    assert sel["speedup_est"] > 3.0  # 9 full forwards over 30 steps
+    assert sel["n_full"] == 9
+
+    real = {"selected_vcache": {"interval": 2}, "selected": "x", "results": [],
+            "weights_kind": "real"}
+    monkeypatch.setattr(bench, "_load_vcache_calibration", lambda: real)
+    assert bench._headline_vcache_source() is real
+
+    # an env-pointed artifact is the experiment the user asked for — the
+    # stage runs it, but only real/literature tiers may persist the record
+    synth = dict(real, weights_kind="synthetic")
+    monkeypatch.setattr(bench, "_load_vcache_calibration", lambda: synth)
+    monkeypatch.setenv("REFLECTIONFLOW_VCACHE_CALIBRATION", "/tmp/x.json")
+    assert bench._vcache_stage_source() is synth
+    assert not bench._vcache_headline_eligible(synth)
+    monkeypatch.delenv("REFLECTIONFLOW_VCACHE_CALIBRATION")
+    assert bench._vcache_stage_source()["weights_kind"] == "literature"
+    monkeypatch.setattr(bench, "_load_vcache_calibration", lambda: real)
+    assert bench._vcache_stage_source()["weights_kind"] == "real"
 
 
 def test_floor_analysis_reproduces_bench_notes_arithmetic():

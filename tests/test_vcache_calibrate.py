@@ -1,10 +1,11 @@
 """Velocity-cache calibration harness: selection logic, the hermetic
 end-to-end sweep, and bench.py's headline-eligibility gating.
 
-The harness is the quality bound that lets the measured 2.5x skip-schedule
-speedup (BENCH_NOTES vcache_hardware_v5e) graduate past opt-in: headline
-promotion requires a REAL-weight calibration whose selected schedule
-passed the score/latent gates.
+Quality-evidence tiers (strongest first): a REAL-weight calibration whose
+selected schedule passed the score/latent gates; a LITERATURE anchor
+(schedule family quality-evaluated on public FLUX.1-dev in the cited
+papers — bench runs it when no real artifact exists); SYNTHETIC harness
+validation, which never leads the headline sweep.
 """
 
 import json
@@ -100,17 +101,53 @@ def test_default_candidates_cover_both_modes():
     names = [c["name"] for c in default_candidates()]
     assert any(n.startswith("interval") for n in names)
     assert any(n.startswith("threshold") for n in names)
+    # Taylor-predicted variants sweep too (deeper intervals at order > 0)
+    assert any(c["vcache"].get("order") for c in default_candidates())
+
+
+def test_anchor_calibration_shape_and_math():
+    """The literature anchor must be calibration-shaped (bench reads the
+    same keys as a real artifact), carry its citation, and compute the
+    structural n_full from the actual step mask."""
+    from reflectionflow_tpu.sampler.generate import make_step_mask
+    from reflectionflow_tpu.sampler.vcache_calibrate import (
+        HEADLINE_ANCHOR,
+        LITERATURE_ANCHORS,
+        anchor_calibration,
+    )
+
+    cal = anchor_calibration(30)
+    assert cal["weights_kind"] == "literature"
+    assert cal["selected"] == HEADLINE_ANCHOR
+    row = cal["results"][0]
+    vc = row["vcache"]
+    assert row["n_full"] == int(make_step_mask(
+        30, vc["interval"], warmup=vc["warmup"], tail=vc["tail"]).sum()) == 9
+    assert row["speedup_est"] == round(30 / 9, 3)
+    assert "arXiv" in row["quality_basis"]
+    assert cal["selected_vcache"] is vc and cal["settings"]["num_steps"] == 30
+    # every shipped anchor cites its source and parses through the one
+    # schedule grammar
+    from reflectionflow_tpu.sampler.generate import vcache_kwargs
+
+    for name, a in LITERATURE_ANCHORS.items():
+        assert "arXiv" in a["anchor"], name
+        assert vcache_kwargs(a["vcache"], 30)
 
 
 def test_bench_vcache_headline_gating(tmp_path, monkeypatch):
-    """bench promotes e2e_swap_vcache to lead the sweep ONLY for a
-    real-weight calibration; synthetic or missing calibrations keep the
-    dense headline order."""
+    """Evidence-tier policy: with no real-weight artifact the headline
+    source is the shipped literature anchor (vcache stage still leads);
+    a synthetic artifact is IGNORED by the headline source (it only runs
+    via explicit env override, and never persists the record); a
+    real-weight artifact supersedes the anchor; a real artifact whose
+    sweep selected nothing falls back to the anchor."""
     import bench
 
     monkeypatch.delenv("REFLECTIONFLOW_VCACHE_CALIBRATION", raising=False)
     monkeypatch.setattr(bench, "VCACHE_CALIBRATION_PATH", tmp_path / "none.json")
-    assert bench._sweep_stages() == bench.STAGES
+    assert bench._sweep_stages()[0] == "e2e_swap_vcache"
+    assert bench._headline_vcache_source()["weights_kind"] == "literature"
 
     cal = {"selected": "interval3", "selected_vcache": {"interval": 3},
            "results": [{"name": "interval3", "vcache": {"interval": 3},
@@ -119,16 +156,20 @@ def test_bench_vcache_headline_gating(tmp_path, monkeypatch):
     p = tmp_path / "cal.json"
     p.write_text(json.dumps(cal))
     monkeypatch.setattr(bench, "VCACHE_CALIBRATION_PATH", p)
-    assert bench._sweep_stages() == bench.STAGES  # synthetic: never headline
+    src = bench._headline_vcache_source()
+    assert src["weights_kind"] == "literature"  # synthetic: never headline
+    assert not bench._vcache_headline_eligible(cal)
 
     cal["weights_kind"] = "real"
     p.write_text(json.dumps(cal))
+    assert bench._headline_vcache_source()["weights_kind"] == "real"
     assert bench._sweep_stages()[0] == "e2e_swap_vcache"
 
-    # a calibration whose sweep selected nothing never promotes
+    # a real calibration whose sweep selected nothing cannot back the
+    # stage — the anchor takes over rather than running gate-failed skips
     cal["selected_vcache"] = None
     p.write_text(json.dumps(cal))
-    assert bench._sweep_stages() == bench.STAGES
+    assert bench._headline_vcache_source()["weights_kind"] == "literature"
 
 
 def test_vcache_calibrate_tool_and_tiny_bench_stage(tmp_path):
@@ -160,7 +201,7 @@ def test_vcache_calibrate_tool_and_tiny_bench_stage(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     line = json.loads(proc.stdout.strip().splitlines()[-1])
     d = line["detail"]
-    assert "vcache(calibrated:" in d["config"] and "synthetic-weights" in d["config"]
+    assert "vcache(synthetic:" in d["config"]
     assert d["vcache_evidence"]["weights_kind"] == "synthetic"
     assert d["vcache_evidence"]["selected"]["name"] == cal["selected"]
     assert d["n_full_forwards"] >= 1

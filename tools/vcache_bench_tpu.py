@@ -9,9 +9,11 @@ allocation poisons later allocations in the same client (the reason bench.py
 stages are subprocesses too), so one failing config must not skew the rest.
 
 This is a MECHANICAL measurement: with synthetic weights the skip schedule's
-quality impact is meaningless — the number shows what a calibrated real-
-weight schedule would buy in wall-clock (DEPLOYMENT.md "Velocity cache").
-The headline bench (bench.py) never uses the cache.
+quality impact is meaningless — the number shows what a quality-evidenced
+schedule buys in wall-clock (DEPLOYMENT.md "Velocity cache"). The headline
+bench stage (bench.py e2e_swap_vcache) runs the literature-anchored or
+real-weight-calibrated schedule; this tool isolates the denoise phase and
+A/Bs order-0 reuse vs Taylor prediction on identical masks.
 
 Usage: python tools/vcache_bench_tpu.py [tiny]
   tiny — CPU control-flow smoke (tiny config, interpret pallas).
@@ -26,7 +28,14 @@ import sys
 
 sys.path.insert(0, ".")
 
-SUBSTAGES = ("baseline", "interval2", "interval3", "dynamic")
+SUBSTAGES = ("baseline", "interval2", "interval3", "interval6_o2_w3", "dynamic")
+
+# interval substage grammar: interval<K>[_o<order>][_w<warmup>] — e.g.
+# interval6_o2_w3 is the literature-anchored headline schedule
+# (sampler/vcache_calibrate.py LITERATURE_ANCHORS["taylor_o2_interval6"]);
+# order adds Taylor prediction on skipped steps (its elementwise cost on
+# the latent is what this measures vs the same-mask order-0 run)
+_INTERVAL_RE = __import__("re").compile(r"^interval(\d+)(?:_o(\d))?(?:_w(\d+))?$")
 
 
 def run_substage(name: str, tiny: bool) -> None:
@@ -43,9 +52,12 @@ def run_substage(name: str, tiny: bool) -> None:
     params = bench.init_int8_on_device(cfg)
     n = bench.NUM_STEPS
     kwargs, extra = {}, {}
-    if name.startswith("interval"):
-        mask = make_step_mask(n, int(name[len("interval"):]), warmup=2, tail=1)
+    if m := _INTERVAL_RE.match(name):
+        k, order, warmup = int(m[1]), int(m[2] or 0), int(m[3] or 2)
+        mask = make_step_mask(n, k, warmup=warmup, tail=1)
         kwargs = {"step_mask": jnp.asarray(mask)}
+        if order:
+            kwargs["vcache_order"] = order
         extra["full_fwd"] = int(mask.sum())
     elif name == "dynamic":
         # epsilon threshold = every step still runs full; (t - baseline)
@@ -86,8 +98,8 @@ def main():
     if "baseline" in results:
         base = results["baseline"]["t_s"]
         out["baseline_s"] = base
-        for name in ("interval2", "interval3"):
-            if name in results:
+        for name in SUBSTAGES:
+            if name.startswith("interval") and name in results:
                 out[name + "_s"] = results[name]["t_s"]
                 out[name + "_full_fwd"] = results[name]["full_fwd"]
                 out[name + "_speedup"] = round(base / results[name]["t_s"], 3)
