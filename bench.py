@@ -69,6 +69,7 @@ LT = 512
 # stage regression is caught by CI instead of by the round's bench run.
 TINY = False
 ATTN_PALLAS = "pallas"
+IN_SWEEP = False  # set by --in-sweep (passed by _try_stages to its children)
 
 
 def _enable_tiny() -> None:
@@ -699,9 +700,8 @@ def _dense_reference() -> dict | None:
     headline line so the record is self-auditing (what the skip schedule is
     being compared against). A vcache line that replaced the record keeps
     forwarding the dense reference it embedded."""
-    try:
-        rec = json.loads(LAST_BENCH_PATH.read_text())
-    except (OSError, ValueError):
+    rec = _read_last_record()
+    if rec is None:
         return None
     detail = rec.get("detail") or {}
     if "vcache_evidence" in detail or "vcache" in str(detail.get("config", "")):
@@ -737,7 +737,11 @@ def bench_e2e_vcache(rtt: float, batch: int = 1) -> dict | None:
     if steps != NUM_STEPS:
         log(f"# e2e_swap_vcache: calibration ran {steps} steps, bench runs {NUM_STEPS}; "
             "applying the schedule at the bench step count")
-    selected = next(r for r in cal["results"] if r["name"] == cal["selected"])
+    selected = next((r for r in cal["results"] if r["name"] == cal["selected"]), None)
+    if selected is None:  # hand-edited/truncated artifact — skip gracefully
+        log("# e2e_swap_vcache: calibration selects "
+            f"{cal['selected']!r} but its row is missing from results; skipping stage")
+        return None
     kind = cal["weights_kind"]
     out = bench_e2e(
         rtt, phase_swap=True, batch=batch, pipelined=2,
@@ -805,8 +809,14 @@ def run_stage(stage: str, batch: int | None = None) -> None:
                 "weights_kind": cal.get("weights_kind"),
                 "hw_measured": "2.50x denoise at interval 3 (BENCH_NOTES.vcache_hardware_v5e)",
                 "not_this_line_because": (
-                    "the e2e_swap_vcache stage leads the sweep but did not "
-                    "produce a result this run; this is the dense fallback"
+                    # "failed at runtime" is only TRUE inside a sweep (where
+                    # the vcache stage was actually attempted first); a
+                    # standalone --stage run gets the neutral wording
+                    (("the e2e_swap_vcache stage leads the sweep but did not "
+                      "produce a result this run; this is the dense fallback")
+                     if IN_SWEEP else
+                     ("the e2e_swap_vcache stage leads the sweep when run; "
+                      "this dense line is an explicit --stage run"))
                     if _vcache_headline_eligible(cal) else
                     "evidence tier is synthetic-only; quality-blind speedups "
                     "stay opt-in — run tools/vcache_calibrate.py with "
@@ -833,27 +843,43 @@ def run_stage(stage: str, batch: int | None = None) -> None:
         _record_last(line)
 
 
+# Committed snapshot (ships in-repo so the outage fallback works on a fresh
+# clone) vs the RUNTIME record: bench runs write only the gitignored .local
+# file — a bench run must never dirty the tracked tree (VERDICT r4 item 9).
+# `tools/promote_bench_record.py` copies local -> committed explicitly.
 LAST_BENCH_PATH = Path(__file__).resolve().parent / "docs" / "LAST_BENCH.json"
+LAST_BENCH_LOCAL_PATH = Path(__file__).resolve().parent / "docs" / "LAST_BENCH.local.json"
 
 
 def _record_last(line: str) -> None:
-    """Persist the measurement just printed. A later bench run that hits a
-    persistent service outage (the axon backend has been observed hard-down
-    for hours) emits this record marked stale instead of producing no JSON
-    at all — the driver's one-line contract survives the outage honestly."""
+    """Persist the measurement just printed (to the gitignored local record).
+    A later bench run that hits a persistent service outage (the axon backend
+    has been observed hard-down for hours) emits this record marked stale
+    instead of producing no JSON at all — the driver's one-line contract
+    survives the outage honestly."""
     try:
-        LAST_BENCH_PATH.write_text(line + "\n")
+        LAST_BENCH_LOCAL_PATH.write_text(line + "\n")
     except OSError as e:
         log(f"# could not record last bench result: {e}")
+
+
+def _read_last_record() -> dict | None:
+    """The freshest recorded measurement: the runtime-local record if one
+    exists, else the committed snapshot."""
+    for path in (LAST_BENCH_LOCAL_PATH, LAST_BENCH_PATH):
+        try:
+            return json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+    return None
 
 
 def _emit_stale(reason: str) -> bool:
     """Print the last recorded hardware measurement, loudly marked stale.
     Returns False when no record exists (first-ever run) — the caller then
     fails outright rather than inventing a number."""
-    try:
-        rec = json.loads(LAST_BENCH_PATH.read_text())
-    except (OSError, ValueError):
+    rec = _read_last_record()
+    if rec is None:
         return False
     detail = dict(rec.get("detail") or {})
     detail["stale"] = True
@@ -911,7 +937,12 @@ def main():
                    help="hermetic CPU control-flow check (tiny configs, not a measurement)")
     p.add_argument("--attn", choices=("pallas", "pallas_nr"), default=None,
                    help="flash impl for the e2e stages (pallas_nr = QK-norm+RoPE fused in-kernel)")
+    p.add_argument("--in-sweep", action="store_true",
+                   help="internal: this --stage run is a child of the stage sweep")
     args = p.parse_args()
+    if args.in_sweep:
+        global IN_SWEEP
+        IN_SWEEP = True
     if args.tiny:
         _enable_tiny()
     if args.attn:
@@ -972,7 +1003,7 @@ def _try_stages(args) -> bool:
             continue
         try:
             proc = subprocess.run(
-                [sys.executable, __file__, "--stage", stage]
+                [sys.executable, __file__, "--stage", stage, "--in-sweep"]
                 + (["--batch", str(args.batch)] if args.batch else [])
                 + (["--attn", attn] if (attn := getattr(args, "attn", None)) else [])
                 + (["--tiny"] if TINY else []),
