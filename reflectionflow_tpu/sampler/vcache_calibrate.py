@@ -182,7 +182,15 @@ def select_schedule(results: list[dict], eps_score: float = 0.25,
                     max_latent_rel_err: float = 0.35) -> dict | None:
     """Fastest schedule passing both gates; ties break toward lower latent
     error. A result without a score field gates on latent error alone
-    (verifier-free calibration), and a failed sweep selects nothing."""
+    (verifier-free calibration), and a failed sweep selects nothing.
+
+    The latent gate is a sanity BACKSTOP, not a quality gate: the
+    fake-verifier sensitivity sweep (docs/VCACHE_CALIBRATION.json) has
+    rel_err 0.089 carrying a 2.35 score drop (interval2) while rel_err
+    0.090 carries 0.015 (threshold0.35) — latent distance does not rank
+    schedules by verifier quality. That is why a verifier-free selection
+    can never be promoted to the headline tier: `save_calibration`
+    refuses weights_kind="real" without a scored selection."""
     ok = [
         r for r in results
         if r["latent_rel_err"] <= max_latent_rel_err
@@ -198,9 +206,26 @@ def save_calibration(path: str, result: dict, weights_kind: str,
     """Persist the selection + evidence. `weights_kind` is the honesty tag:
     "real" calibrations may promote the schedule into headline serving;
     "synthetic" ones only validate the harness mechanics (random weights
-    say nothing about FLUX quality)."""
+    say nothing about FLUX quality).
+
+    The "real" (headline-eligible) tier REQUIRES a scored selection: a
+    verifier-free sweep gates on latent error alone, and the sensitivity
+    sweep shows latent error does not bound score drop (interval2:
+    rel_err 0.089, drop 2.35 — it would sail through any plausible latent
+    ceiling). Promoting such a selection would let a quality-unmeasured
+    schedule claim the headline, so it is refused here by construction."""
     if weights_kind not in ("real", "synthetic"):
         raise ValueError(f"weights_kind must be real|synthetic, got {weights_kind!r}")
+    if weights_kind == "real" and result.get("selected") is not None:
+        sel = next((r for r in result.get("results", [])
+                    if r.get("name") == result["selected"]), None)
+        if sel is None or "score_drop" not in sel:
+            raise ValueError(
+                "weights_kind='real' (headline-eligible) requires a verifier-scored "
+                "selection: the latent-error gate alone does not bound quality "
+                "(see select_schedule docstring). Re-run calibration with a "
+                "verifier, or save as weights_kind='synthetic'."
+            )
     payload = dict(result, weights_kind=weights_kind, verifier=verifier_name)
     with open(path, "w") as f:
         json.dump(payload, f, indent=1)
