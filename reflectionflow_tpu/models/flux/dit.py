@@ -648,6 +648,27 @@ def flux_mod_signal(params, cfg: FluxDiTConfig, img, pooled, timestep, guidance=
     return _modulate(h, sh1, sc1, fast=False)
 
 
+def flux_residual_decode(params, cfg: FluxDiTConfig, img, resid, pooled, timestep,
+                         guidance=None):
+    """TeaCache skip-step compute graph (arXiv 2411.19108, reference impl
+    `teacache_flux.py` applied to FLUX.1-dev): a fresh input embedding of
+    the CURRENT latents plus the cached transformer residual, then the
+    real final AdaLN + projection. This is exactly what the cited method
+    runs on a skipped step — the cached quantity is the image-stream
+    residual across the transformer blocks (`flux_dit_apply(...,
+    return_img_residual=True)`), NOT the raw output velocity, so the
+    input embedding and the output head stay live every step.
+
+    Cost: two thin matmuls (img_in, final_proj) + the temb MLPs —
+    negligible next to a 19/38-block forward."""
+    dtype = img.dtype
+    h = linear(params["img_in"], img) + resid.astype(dtype)
+    temb = _time_text_embed(params, cfg, pooled, timestep, guidance, dtype)
+    sc, sh = _mod(params["final_mod"], temb, 2)
+    h = layer_norm(h) * (1.0 + sc[:, None, :]) + sh[:, None, :]
+    return linear(params["final_proj"], h)
+
+
 def flux_dit_apply(
     params,
     cfg: FluxDiTConfig,
@@ -670,6 +691,7 @@ def flux_dit_apply(
     rope_layout: str = "pair",
     controlnet_block_samples: jnp.ndarray | None = None,  # (n, B, L_img, hidden)
     controlnet_single_block_samples: jnp.ndarray | None = None,  # (n, B, L_img, hidden)
+    return_img_residual: bool = False,
 ) -> jnp.ndarray:
     """Predict rectified-flow velocity for the packed image tokens.
 
@@ -684,6 +706,11 @@ def flux_dit_apply(
     Expanded to one residual per block OUTSIDE the scan (a static gather)
     so the scan body stays shape-uniform.
 
+    `return_img_residual=True` additionally returns the image-stream
+    residual across the transformer blocks (post-blocks hidden minus the
+    `img_in` embedding, (B, L_img, hidden)) — the quantity TeaCache caches
+    and `flux_residual_decode` consumes on skipped steps.
+
     Returns (B, L_img, in_channels)."""
     from .rope import rope_split_perm, rope_tables
 
@@ -693,6 +720,7 @@ def flux_dit_apply(
     dtype = img.dtype
 
     img = linear(params["img_in"], img)
+    img_embed = img if return_img_residual else None
     txt = linear(params["txt_in"], txt)
     cp = params if cond_params is None else cond_params
     cond_h = linear(cp["img_in"], cond) if use_cond else None
@@ -820,7 +848,9 @@ def flux_dit_apply(
         hidden, _ = jax.lax.scan(body_s, hidden, xs_s)
 
     img = hidden[:, txt.shape[1] :]
+    resid = (img - img_embed) if return_img_residual else None
     # final AdaLN (scale-first chunk order, matching loaded weights)
     sc, sh = _mod(params["final_mod"], temb, 2)
     img = layer_norm(img) * (1.0 + sc[:, None, :]) + sh[:, None, :]
-    return linear(params["final_proj"], img)
+    out = linear(params["final_proj"], img)
+    return (out, resid) if return_img_residual else out

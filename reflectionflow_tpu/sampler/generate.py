@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import FluxDiTConfig
-from ..models.flux.dit import flux_dit_apply, flux_mod_signal
+from ..models.flux.dit import flux_dit_apply, flux_mod_signal, flux_residual_decode
 from .scheduler import FlowMatchSchedule
 
 
@@ -44,6 +44,7 @@ from .scheduler import FlowMatchSchedule
         "vcache_tail",
         "vcache_poly",
         "vcache_order",
+        "vcache_cached",
         "return_vcache_stats",
     ),
 )
@@ -74,6 +75,7 @@ def denoise(
     vcache_tail: int = 1,  # dynamic mode: last T steps always full
     vcache_poly: tuple[float, ...] | None = None,  # optional model-fit rescale
     vcache_order: int = 0,  # 0=reuse cached v; 1/2=Taylor-predict skipped v
+    vcache_cached: str = "velocity",  # what skipped steps consume (or "residual")
     return_vcache_stats: bool = False,  # also return the full-forward count
 ) -> jnp.ndarray:
     """Run the full Euler loop; returns final packed latents (B, L_img, C).
@@ -98,7 +100,23 @@ def denoise(
         those launches). The launch decision lives in one `lax.cond` inside
         the scan — it never leaves the device.
 
-    `vcache_order` upgrades what a SKIPPED step uses (either mode):
+    `vcache_cached` picks WHAT skipped steps consume (either mode):
+      * "velocity" (default) — the raw DiT output velocity;
+      * "residual" — TeaCache's exact cached quantity (arXiv 2411.19108,
+        reference impl `teacache_flux.py`): the image-stream residual
+        across the transformer blocks. A skipped step embeds the CURRENT
+        latents (`img_in`), adds the cached residual, and runs the real
+        final AdaLN + projection (`flux_residual_decode`) — so the input
+        embedding and output head stay live every step, exactly the
+        cited method's skip-step compute graph. Combined with
+        `vcache_threshold` + the published FLUX.1-dev rescale polynomial
+        (`vcache_calibrate.TEACACHE_FLUX_POLY`) this is method-exact
+        TeaCache: their signal, their rescale, their thresholds, their
+        cached quantity — our only deltas are per-candidate accumulators
+        (identical at B=1) and TPU timing. Costs one (B, L_img, hidden)
+        carry buffer + two thin matmuls per skipped step.
+
+    `vcache_order` upgrades what a SKIPPED step uses (velocity mode):
       * 0 (default) — reuse the last computed velocity unchanged;
       * 1 / 2 — TaylorSeer-style prediction (arXiv 2503.06923): keep the
         last `order+1` full-forward velocities with the sigmas they were
@@ -150,6 +168,58 @@ def denoise(
             rope_layout=rope_layout,
         )
 
+    def velocity_resid(lat, t_scalar):
+        """velocity() that also returns the image-stream transformer
+        residual (the TeaCache cached quantity; (2B, ...) rows under
+        image CFG — each CFG branch keeps its own residual)."""
+        timestep = jnp.broadcast_to(t_scalar, (B,)).astype(lat.dtype)
+        if use_image_cfg:
+            lat2 = jnp.concatenate([lat, lat], axis=0)
+            t2 = jnp.concatenate([timestep, timestep], axis=0)
+            g2 = jnp.concatenate([guidance, jnp.ones_like(guidance)], axis=0)
+            cond2 = jnp.concatenate([cond, cond_empty], axis=0)
+            txt2 = jnp.concatenate([txt, txt], axis=0)
+            pooled2 = jnp.concatenate([pooled, pooled], axis=0)
+            v2, r2 = flux_dit_apply(
+                dit_params, cfg, lat2, txt2, pooled2, t2, img_ids, txt_ids,
+                guidance=g2 if cfg.guidance_embeds else None,
+                cond=cond2, cond_ids=cond_ids, c_factor=c_factor,
+                union_cond_attn=union_cond_attn, add_cond_attn=add_cond_attn,
+                attn_impl=attn_impl, cond_params=cond_dit_params,
+                rope_layout=rope_layout, return_img_residual=True,
+            )
+            v_cond, v_unc = v2[:B], v2[B:]
+            return v_unc + jnp.asarray(image_guidance_scale, v2.dtype) * (v_cond - v_unc), r2
+        return flux_dit_apply(
+            dit_params, cfg, lat, txt, pooled, timestep, img_ids, txt_ids,
+            guidance=guidance if cfg.guidance_embeds else None,
+            cond=cond, cond_ids=cond_ids, c_factor=c_factor,
+            union_cond_attn=union_cond_attn, add_cond_attn=add_cond_attn,
+            attn_impl=attn_impl, cond_params=cond_dit_params,
+            rope_layout=rope_layout, return_img_residual=True,
+        )
+
+    def velocity_from_resid(lat, t_scalar, resid):
+        """TeaCache skip step: fresh input embedding + cached residual +
+        real output head (flux_residual_decode), CFG-combined the same
+        way as a full forward."""
+        timestep = jnp.broadcast_to(t_scalar, (B,)).astype(lat.dtype)
+        if use_image_cfg:
+            lat2 = jnp.concatenate([lat, lat], axis=0)
+            t2 = jnp.concatenate([timestep, timestep], axis=0)
+            g2 = jnp.concatenate([guidance, jnp.ones_like(guidance)], axis=0)
+            pooled2 = jnp.concatenate([pooled, pooled], axis=0)
+            v2 = flux_residual_decode(
+                dit_params, cfg, lat2, resid, pooled2, t2,
+                guidance=g2 if cfg.guidance_embeds else None,
+            )
+            v_cond, v_unc = v2[:B], v2[B:]
+            return v_unc + jnp.asarray(image_guidance_scale, v2.dtype) * (v_cond - v_unc)
+        return flux_residual_decode(
+            dit_params, cfg, lat, resid, pooled, timestep,
+            guidance=guidance if cfg.guidance_embeds else None,
+        )
+
     def _advance(lat, v, sigma, sigma_next):
         # fp32 state update to avoid bf16 drift over 30 steps
         return (lat.astype(jnp.float32) + (sigma_next - sigma) * v.astype(jnp.float32)).astype(lat.dtype)
@@ -179,6 +249,14 @@ def denoise(
     order = int(vcache_order)
     if order not in (0, 1, 2):
         raise ValueError(f"vcache_order must be 0, 1, or 2 (got {vcache_order})")
+    if vcache_cached not in ("velocity", "residual"):
+        raise ValueError(f"vcache_cached must be velocity|residual (got {vcache_cached!r})")
+    residual_mode = vcache_cached == "residual"
+    if residual_mode and order != 0:
+        raise ValueError(
+            "vcache_cached='residual' is TeaCache's exact cache (one residual, "
+            "order-0 reuse); Taylor prediction (vcache_order>0) is a velocity-mode lever"
+        )
 
     def decide(lat, sigma, forced_bit, sig_prev, acc):
         """-> (do_full (B,), sig_prev', acc'). PER-CANDIDATE decision state:
@@ -212,6 +290,27 @@ def denoise(
         v = jnp.where(do_full[:, None, None], v_new, v_prev)
         lat = _advance(lat, v, sigma, sigma_next)
         return (lat, v, sig_prev, acc, n_full + any_full.astype(jnp.int32)), None
+
+    def residual_step(carry, step_inputs):
+        """TeaCache-exact body: the carry holds the image-stream
+        transformer residual; skipped candidates re-embed the current
+        latents, add the residual, and run the output head. The (cheap)
+        skip velocity is computed unconditionally to keep the scan body
+        shape-static — only the full forward hides behind the lax.cond."""
+        lat, resid_prev, sig_prev, acc, n_full = carry
+        sigma, sigma_next, forced_bit = step_inputs
+        do_full, sig_prev, acc = decide(lat, sigma, forced_bit, sig_prev, acc)
+        any_full = jnp.any(do_full)
+        v_skip = velocity_from_resid(lat, sigma, resid_prev)
+        v_new, resid_new = jax.lax.cond(
+            any_full, lambda l: velocity_resid(l, sigma),
+            lambda l: (v_skip, resid_prev), lat,
+        )
+        v = jnp.where(do_full[:, None, None], v_new, v_skip)
+        rmask = jnp.concatenate([do_full, do_full]) if use_image_cfg else do_full
+        resid = jnp.where(rmask[:, None, None], resid_new, resid_prev)
+        lat = _advance(lat, v, sigma, sigma_next)
+        return (lat, resid, sig_prev, acc, n_full + any_full.astype(jnp.int32)), None
 
     def predictive_step(carry, step_inputs):
         """order >= 1: `hist`/`sigs` hold the last order+1 full-forward
@@ -259,7 +358,12 @@ def denoise(
     )
     acc0 = jnp.zeros((B,), jnp.float32)
     n0 = jnp.asarray(0, jnp.int32)
-    if order == 0:
+    if residual_mode:
+        rrows = 2 * B if use_image_cfg else B
+        resid0 = jnp.zeros((rrows, latents.shape[1], cfg.hidden_size), latents.dtype)
+        carry0 = (latents, resid0, sig0, acc0, n0)
+        (latents, _, _, _, n_full), _ = jax.lax.scan(residual_step, carry0, steps + (forced,))
+    elif order == 0:
         carry0 = (latents, v0, sig0, acc0, n0)
         (latents, _, _, _, n_full), _ = jax.lax.scan(cached_step, carry0, steps + (forced,))
     else:
@@ -279,19 +383,23 @@ def make_schedule(num_steps: int, image_seq_len: int) -> jnp.ndarray:
 def vcache_kwargs(vcache: dict | None, num_steps: int) -> dict:
     """`pipeline_args.vcache` payload -> `denoise(...)` kwargs (the one
     schedule grammar, shared by FluxPipeline and the calibration harness):
-    {"interval": k[, warmup, tail, order]} static or {"threshold": x[,
-    warmup, tail, poly, order]} dynamic; "order" (0/1/2, default 0) turns
-    skipped-step reuse into Taylor prediction."""
+    {"interval": k[, warmup, tail, order, residual]} static or
+    {"threshold": x[, warmup, tail, poly, order, residual]} dynamic;
+    "order" (0/1/2, default 0) turns skipped-step reuse into Taylor
+    prediction; "residual": true caches TeaCache's exact quantity (the
+    transformer residual) instead of the output velocity."""
     if not vcache:
         return {}
     vc = dict(vcache)
     if "interval" in vc and "threshold" in vc:
         raise ValueError("vcache: interval and threshold are mutually exclusive")
-    order = {"vcache_order": int(vc["order"])} if vc.get("order") else {}
+    extra = {"vcache_order": int(vc["order"])} if vc.get("order") else {}
+    if vc.get("residual"):
+        extra["vcache_cached"] = "residual"
     if "interval" in vc:
         return {"step_mask": jnp.asarray(make_step_mask(
             num_steps, int(vc["interval"]),
-            warmup=int(vc.get("warmup", 1)), tail=int(vc.get("tail", 1)))), **order}
+            warmup=int(vc.get("warmup", 1)), tail=int(vc.get("tail", 1)))), **extra}
     if "threshold" in vc:
         if not float(vc["threshold"]) > 0:
             raise ValueError("vcache threshold must be > 0 (omit vcache to disable)")
@@ -300,7 +408,7 @@ def vcache_kwargs(vcache: dict | None, num_steps: int) -> dict:
             "vcache_warmup": int(vc.get("warmup", 1)),
             "vcache_tail": int(vc.get("tail", 1)),
             "vcache_poly": tuple(vc["poly"]) if vc.get("poly") else None,
-            **order,
+            **extra,
         }
     raise ValueError(f"vcache needs 'interval' or 'threshold': {vc}")
 

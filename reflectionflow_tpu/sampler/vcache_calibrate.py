@@ -252,9 +252,59 @@ def load_calibration(path: str) -> dict | None:
 #
 # The anchors below are the "literature" tier. They are deliberately few
 # and conservative, and each row says exactly what the citation validated
-# versus what our variant changes.
+# versus what our variant changes (the method-exact anchor has no variant
+# clause at all — that is what makes it the headline).
+
+# TeaCache's published FLUX.1-dev rescaling polynomial (reference impl
+# `teacache_flux.py`, ali-vilab/TeaCache; np.poly1d order — highest
+# coefficient first, the same convention jnp.polyval uses). It maps the
+# raw relative-L1 change of the modulated input to the fitted estimate of
+# the model-output change that the threshold accumulates.
+TEACACHE_FLUX_POLY = (
+    4.98651651e02, -2.83781631e02, 5.58554382e01, -3.82021401e00, 2.64230861e-01,
+)
+
+# Published FLUX.1-dev operating points (TeaCache README): threshold ->
+# reported end-to-end speedup. 0.6 (2.0x) is the paper's headline FLUX
+# operating point, reported visually near-lossless.
+TEACACHE_FLUX_THRESHOLDS = {0.25: "1.5x", 0.4: "1.8x", 0.6: "2.0x", 0.8: "2.25x"}
+
+
+def teacache_flux_schedule(threshold: float = 0.6) -> dict:
+    """The method-exact TeaCache configuration for FLUX.1-dev: their
+    signal (`flux_mod_signal` — the first double block's AdaLN-modulated
+    image-stream input), their rescale polynomial, their threshold, their
+    cached quantity (`residual`: the transformer image-stream residual,
+    applied to a fresh input embedding with the live output head on
+    skipped steps), first/last step forced full."""
+    return {
+        "threshold": float(threshold), "warmup": 1, "tail": 1,
+        "poly": list(TEACACHE_FLUX_POLY), "residual": True,
+    }
+
 
 LITERATURE_ANCHORS = {
+    "teacache_flux_t0.6": {
+        "vcache": teacache_flux_schedule(0.6),
+        "speedup_published": 2.0,
+        "anchor": (
+            "TeaCache (arXiv 2411.19108), METHOD-EXACT as published for "
+            "FLUX.1-dev (reference impl teacache_flux.py): signal = the first "
+            "double block's AdaLN-modulated image-stream input "
+            "(models.flux.dit.flux_mod_signal); per-step relative L1 change "
+            "rescaled by the published degree-4 polynomial "
+            "(TEACACHE_FLUX_POLY); accumulate-and-reset against the published "
+            "threshold 0.6 — the paper's 2.0x FLUX operating point, reported "
+            "visually near-lossless; cached quantity = the transformer "
+            "image-stream residual, applied to a fresh input embedding with "
+            "the live final AdaLN + projection on skipped steps "
+            "(flux_residual_decode); first and last steps forced full. The "
+            "decision math and the skip-step compute graph match the citation "
+            "exactly; at B=1 (the measured serving profile) the per-candidate "
+            "accumulator is identical to their per-batch one. Timing is ours "
+            "(TPU v5e), quality evaluation is theirs."
+        ),
+    },
     "taylor_o2_interval6": {
         "vcache": {"interval": 6, "warmup": 3, "tail": 1, "order": 2},
         "anchor": (
@@ -278,30 +328,52 @@ LITERATURE_ANCHORS = {
     },
 }
 
-HEADLINE_ANCHOR = "taylor_o2_interval6"
+# Evidence-ranked: the method-exact anchor leads (no variant clause), the
+# method-variant Taylor schedule stays as a measured alternate the bench
+# reports alongside it (faster, but its quality transfer is a family
+# claim, not the cited configuration).
+ANCHOR_PRECEDENCE = ("teacache_flux_t0.6", "taylor_o2_interval6")
+HEADLINE_ANCHOR = ANCHOR_PRECEDENCE[0]
 
 
 def anchor_calibration(num_steps: int, name: str = HEADLINE_ANCHOR) -> dict:
     """A calibration-SHAPED evidence dict (same keys `bench.py` reads from a
     real artifact) for a literature-anchored schedule, weights_kind
-    "literature". The speedup/n_full math is computed structurally from the
-    schedule; quality is attributed to the cited papers' evaluation of the
-    schedule family on public FLUX.1-dev — NOT measured here. A real-weight
+    "literature". For a static (interval) anchor the speedup/n_full math is
+    computed structurally from the schedule; for a dynamic (threshold)
+    anchor n_full is data-dependent, so speedup_est carries the citation's
+    PUBLISHED number and the bench measures the actual forward count at run
+    time (return_vcache_stats). Quality is attributed to the cited papers'
+    evaluation on public FLUX.1-dev — NOT measured here. A real-weight
     `calibrate` artifact supersedes this (tools/vcache_calibrate.py)."""
     a = LITERATURE_ANCHORS[name]
     vc = a["vcache"]
     from .generate import make_step_mask
 
-    n_full = int(make_step_mask(
-        num_steps, int(vc["interval"]),
-        warmup=int(vc.get("warmup", 1)), tail=int(vc.get("tail", 1))).sum())
-    row = {
-        "name": name,
-        "vcache": vc,
-        "n_full": n_full,
-        "speedup_est": round(num_steps / max(n_full, 1), 3),
-        "quality_basis": a["anchor"],
-    }
+    if "interval" in vc:
+        n_full = int(make_step_mask(
+            num_steps, int(vc["interval"]),
+            warmup=int(vc.get("warmup", 1)), tail=int(vc.get("tail", 1))).sum())
+        row = {
+            "name": name,
+            "vcache": vc,
+            "n_full": n_full,
+            "speedup_est": round(num_steps / max(n_full, 1), 3),
+            "quality_basis": a["anchor"],
+        }
+    else:  # dynamic threshold: the skip count is data-dependent
+        row = {
+            "name": name,
+            "vcache": vc,
+            "n_full": None,
+            "speedup_est": a["speedup_published"],
+            "speedup_basis": (
+                "published operating point (TeaCache, FLUX.1-dev); the actual "
+                "forward count is measured at bench time and reported as "
+                "n_full_forwards"
+            ),
+            "quality_basis": a["anchor"],
+        }
     return {
         "dense": {"n_full": num_steps, "score": None},
         "results": [row],

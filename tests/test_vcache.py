@@ -300,6 +300,120 @@ def test_vcache_order_validation_and_plumbing(setup):
     assert "vcache_order" not in vcache_kwargs({"interval": 3}, N_STEPS)
 
 
+def test_residual_decode_identity(setup):
+    """The TeaCache cache contract: re-embedding the SAME latents and adding
+    the captured transformer residual through the live output head must
+    reproduce the full forward (this is what makes the skipped-step graph
+    `flux_residual_decode` the cited method's, not an approximation of it)."""
+    from reflectionflow_tpu.models.flux.dit import flux_residual_decode
+
+    params, latents, txt, pooled, img_ids, txt_ids, sigmas = setup
+    t = jnp.broadcast_to(sigmas[0], (B,)).astype(jnp.float32)
+    guidance = jnp.full((B,), 3.5, jnp.float32)
+    g = guidance if CFG.guidance_embeds else None
+    v_full, resid = flux_dit_apply(
+        params, CFG, latents, txt, pooled, t, img_ids, txt_ids,
+        guidance=g, return_img_residual=True,
+    )
+    assert resid.shape == (B, TY * TX, CFG.hidden_size)
+    v_dec = flux_residual_decode(params, CFG, latents, resid, pooled, t, guidance=g)
+    np.testing.assert_allclose(
+        np.asarray(v_dec), np.asarray(v_full), rtol=1e-5, atol=1e-5)
+    # and the plain forward is unchanged by the flag
+    v_plain = flux_dit_apply(
+        params, CFG, latents, txt, pooled, t, img_ids, txt_ids, guidance=g)
+    np.testing.assert_allclose(
+        np.asarray(v_full), np.asarray(v_plain), rtol=1e-6, atol=1e-6)
+
+
+def test_residual_mode_static_matches_manual(setup):
+    """vcache_cached='residual' against a hand-rolled loop: full steps run
+    the DiT and capture the residual; skipped steps embed the CURRENT
+    latents, add the cached residual, and run the real output head."""
+    from reflectionflow_tpu.models.flux.dit import flux_residual_decode
+
+    params, latents, txt, pooled, img_ids, txt_ids, sigmas = setup
+    mask = np.array([True, False, True, False, False, True])
+    out = _denoise(setup, step_mask=jnp.asarray(mask), vcache_cached="residual")
+
+    guidance = jnp.full((B,), 3.5, jnp.float32)
+    g = guidance if CFG.guidance_embeds else None
+    lat, resid = latents, None
+    for i in range(N_STEPS):
+        t = jnp.broadcast_to(sigmas[i], (B,)).astype(jnp.float32)
+        if mask[i]:
+            v, resid = flux_dit_apply(
+                params, CFG, lat, txt, pooled, t, img_ids, txt_ids,
+                guidance=g, return_img_residual=True,
+            )
+        else:
+            v = flux_residual_decode(params, CFG, lat, resid, pooled, t, guidance=g)
+        lat = (lat.astype(jnp.float32)
+               + (sigmas[i + 1] - sigmas[i]) * v.astype(jnp.float32)).astype(lat.dtype)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(lat), rtol=3e-5, atol=3e-5)
+    # the residual skip differs from velocity reuse (fresh input embedding
+    # re-reads the advanced latents) and from the dense run
+    reuse = _denoise(setup, step_mask=jnp.asarray(mask))
+    assert not np.allclose(np.asarray(out), np.asarray(reuse))
+    assert not np.allclose(np.asarray(out), np.asarray(_denoise(setup)))
+
+
+def test_residual_mode_all_true_matches_baseline(setup):
+    full = _denoise(setup, step_mask=jnp.ones(N_STEPS, bool), vcache_cached="residual")
+    np.testing.assert_allclose(
+        np.asarray(full), np.asarray(_denoise(setup)), rtol=1e-6, atol=1e-6)
+
+
+def test_residual_dynamic_and_cfg_compose(setup):
+    from reflectionflow_tpu.models.flux.rope import make_image_ids
+
+    out, n_full = _denoise(
+        setup, vcache_threshold=1e9, vcache_warmup=1, vcache_tail=1,
+        vcache_cached="residual", return_vcache_stats=True,
+    )
+    assert int(n_full) == 2
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+    # corrector path: cond stream + image CFG's doubled batch keeps one
+    # residual per CFG branch
+    params, latents, txt, pooled, img_ids, txt_ids, sigmas = setup
+    cond = jax.random.normal(jax.random.PRNGKey(9), (B, 4, CFG.in_channels), jnp.float32)
+    kw = dict(cond=cond, cond_ids=jnp.asarray(make_image_ids(2, 2)),
+              cond_empty=jnp.zeros_like(cond), image_guidance_scale=1.5)
+    mask = np.array([True, True, False, True, False, True])
+    res = _denoise(setup, step_mask=jnp.asarray(mask), vcache_cached="residual", **kw)
+    assert res.shape == latents.shape
+    assert np.isfinite(np.asarray(res, np.float32)).all()
+    assert not np.allclose(np.asarray(res), np.asarray(_denoise(setup, **kw)))
+
+
+def test_residual_validation_and_grammar(setup):
+    from reflectionflow_tpu.sampler.generate import vcache_kwargs
+    from reflectionflow_tpu.sampler.vcache_calibrate import (
+        TEACACHE_FLUX_POLY,
+        teacache_flux_schedule,
+    )
+
+    # residual caches ONE residual — Taylor orders are a velocity-mode lever
+    with pytest.raises(ValueError):
+        _denoise(setup, step_mask=jnp.ones(N_STEPS, bool),
+                 vcache_cached="residual", vcache_order=1)
+    with pytest.raises(ValueError):
+        _denoise(setup, step_mask=jnp.ones(N_STEPS, bool), vcache_cached="bogus")
+
+    kw = vcache_kwargs({"interval": 3, "residual": True}, N_STEPS)
+    assert kw["vcache_cached"] == "residual" and "step_mask" in kw
+    # the method-exact TeaCache preset parses through the one grammar:
+    # their threshold, their poly, their cached quantity
+    kw = vcache_kwargs(teacache_flux_schedule(), N_STEPS)
+    assert kw["vcache_cached"] == "residual"
+    assert kw["vcache_threshold"] == 0.6
+    assert kw["vcache_poly"] == TEACACHE_FLUX_POLY
+    out = _denoise(setup, vcache_threshold=kw["vcache_threshold"],
+                   vcache_poly=kw["vcache_poly"], vcache_cached="residual")
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+
+
 def test_pipeline_vcache_plumbing():
     from reflectionflow_tpu.config import CLIPTextConfig, FluxVAEConfig, T5Config
     from reflectionflow_tpu.sampler.pipeline import FluxPipeline

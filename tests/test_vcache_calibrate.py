@@ -153,11 +153,23 @@ def test_anchor_calibration_shape_and_math():
     assert cal["selected"] == HEADLINE_ANCHOR
     row = cal["results"][0]
     vc = row["vcache"]
-    assert row["n_full"] == int(make_step_mask(
-        30, vc["interval"], warmup=vc["warmup"], tail=vc["tail"]).sum()) == 9
-    assert row["speedup_est"] == round(30 / 9, 3)
+    # The headline anchor is the METHOD-EXACT TeaCache config: dynamic
+    # threshold (data-dependent skip count -> n_full is None, speedup_est
+    # carries the citation's published operating point), residual cache.
+    assert "threshold" in vc and vc["residual"] and vc["poly"]
+    assert row["n_full"] is None
+    assert row["speedup_est"] == 2.0 and "published" in row["speedup_basis"]
     assert "arXiv" in row["quality_basis"]
+    assert "METHOD-EXACT" in row["quality_basis"]
     assert cal["selected_vcache"] is vc and cal["settings"]["num_steps"] == 30
+
+    # static anchors still compute structural n_full from the step mask
+    cal_t = anchor_calibration(30, name="taylor_o2_interval6")
+    row_t = cal_t["results"][0]
+    vc_t = row_t["vcache"]
+    assert row_t["n_full"] == int(make_step_mask(
+        30, vc_t["interval"], warmup=vc_t["warmup"], tail=vc_t["tail"]).sum()) == 9
+    assert row_t["speedup_est"] == round(30 / 9, 3)
     # every shipped anchor cites its source and parses through the one
     # schedule grammar
     from reflectionflow_tpu.sampler.generate import vcache_kwargs
