@@ -743,9 +743,38 @@ def bench_e2e_vcache(rtt: float, batch: int = 1) -> dict | None:
             f"{cal['selected']!r} but its row is missing from results; skipping stage")
         return None
     kind = cal["weights_kind"]
+    dkw = vcache_kwargs(cal["selected_vcache"], NUM_STEPS)
+    pin = None
+    if "vcache_threshold" in dkw:
+        # DYNAMIC schedule: the decision signal's trajectory is a property
+        # of the WEIGHTS, and this bench times a random-init tree (no real
+        # checkpoints in-env) on which the signal never fires — an unpinned
+        # run would skip every unforced step and overclaim. Pin the forward
+        # count to the schedule's known operating point (the calibration's
+        # measured n_full if the artifact has one, else the citation's
+        # published speedup) with evenly spaced forced-full steps; the live
+        # threshold machinery still runs every step and can only ADD
+        # forwards beyond the pin, so the measured time is conservative.
+        from reflectionflow_tpu.sampler.generate import make_pinned_mask
+
+        if selected.get("n_full"):
+            cal_steps = int((cal.get("settings") or {}).get("num_steps") or NUM_STEPS)
+            n_pin = max(2, round(int(selected["n_full"]) * NUM_STEPS / cal_steps))
+            pin_basis = f"calibration-measured n_full ({selected['n_full']}/{cal_steps} steps)"
+        else:
+            sp = float(selected.get("speedup_est") or 1.0)
+            n_pin = max(2, round(NUM_STEPS / max(sp, 1.0)))
+            pin_basis = f"published operating point ({sp}x -> {n_pin}/{NUM_STEPS} forwards)"
+        n_pin = min(n_pin, NUM_STEPS)
+        dkw["vcache_force_mask"] = make_pinned_mask(NUM_STEPS, n_pin)
+        pin = {"n_full_pinned": n_pin, "basis": pin_basis,
+               "why": ("random-init weights: the threshold signal is "
+                       "weight-dependent, so the skip rate is pinned; the "
+                       "per-step signal+decision cost stays live and the "
+                       "threshold can only add full forwards")}
     out = bench_e2e(
         rtt, phase_swap=True, batch=batch, pipelined=2,
-        denoise_kwargs=vcache_kwargs(cal["selected_vcache"], NUM_STEPS),
+        denoise_kwargs=dkw,
         config_suffix=f", vcache({kind}:{cal['selected']})",
     )
     if out is not None:
@@ -757,6 +786,8 @@ def bench_e2e_vcache(rtt: float, batch: int = 1) -> dict | None:
             "n_prompts": (cal.get("settings") or {}).get("n_prompts"),
             "dense_reference": _dense_reference(),
         }
+        if pin:
+            out["vcache_evidence"]["operating_point_pin"] = pin
     return out
 
 

@@ -76,6 +76,7 @@ def denoise(
     vcache_poly: tuple[float, ...] | None = None,  # optional model-fit rescale
     vcache_order: int = 0,  # 0=reuse cached v; 1/2=Taylor-predict skipped v
     vcache_cached: str = "velocity",  # what skipped steps consume (or "residual")
+    vcache_force_mask: jnp.ndarray | None = None,  # dynamic mode: extra forced-full steps
     return_vcache_stats: bool = False,  # also return the full-forward count
 ) -> jnp.ndarray:
     """Run the full Euler loop; returns final packed latents (B, L_img, C).
@@ -243,7 +244,17 @@ def denoise(
         warmup = max(int(vcache_warmup), 1)  # step 0 must run full (no cached v yet)
         idx = jnp.arange(num_steps)
         forced = (idx < warmup) | (idx >= num_steps - max(int(vcache_tail), 0))
+        if vcache_force_mask is not None:
+            # extra forced-full steps OR into the warmup/tail bits — the
+            # live threshold machinery still runs every step and can only
+            # ADD full forwards beyond this floor. The bench uses this to
+            # pin a dynamic schedule's skip pattern to a known operating
+            # point (the signal trajectory is a property of the weights).
+            forced = forced | jnp.asarray(vcache_force_mask, bool)
     else:
+        if vcache_force_mask is not None:
+            raise ValueError("vcache_force_mask is a dynamic-mode lever; "
+                             "fold it into step_mask for static schedules")
         forced = jnp.asarray(step_mask, bool).at[0].set(True)
     v0 = jnp.zeros_like(latents)
     order = int(vcache_order)
@@ -426,4 +437,19 @@ def make_step_mask(num_steps: int, interval: int, warmup: int = 1, tail: int = 1
     if tail > 0:
         mask[num_steps - tail:] = True
     mask[warmup::interval] = True
+    return mask
+
+
+def make_pinned_mask(num_steps: int, n_full: int) -> np.ndarray:
+    """Exactly `n_full` evenly spaced full-forward steps (first and last
+    always included). Used to pin a DYNAMIC schedule's forward count to a
+    known operating point via `vcache_force_mask` — e.g. the bench forcing
+    a threshold schedule to its citation's published skip rate when the
+    weight tree is random-init (the decision signal is weight-dependent)."""
+    n_full = int(n_full)
+    if not 2 <= n_full <= num_steps:
+        raise ValueError(f"n_full must be in [2, {num_steps}] (got {n_full})")
+    mask = np.zeros(num_steps, dtype=bool)
+    mask[np.round(np.linspace(0, num_steps - 1, n_full)).astype(int)] = True
+    assert int(mask.sum()) == n_full  # linspace endpoints are distinct ints
     return mask

@@ -387,6 +387,41 @@ def test_residual_dynamic_and_cfg_compose(setup):
     assert not np.allclose(np.asarray(res), np.asarray(_denoise(setup, **kw)))
 
 
+def test_pinned_mask_and_force_mask(setup):
+    """`make_pinned_mask` + `vcache_force_mask`: the bench's lever for
+    pinning a dynamic schedule's forward count to a known operating point
+    on weight trees whose signal trajectory is meaningless (random init).
+    Forcing can only ADD full forwards; static mode rejects the kwarg."""
+    from reflectionflow_tpu.sampler.generate import make_pinned_mask
+
+    m = make_pinned_mask(30, 15)
+    assert m.sum() == 15 and m[0] and m[-1]
+    assert make_pinned_mask(6, 2).tolist() == [True, False, False, False, False, True]
+    with pytest.raises(ValueError):
+        make_pinned_mask(6, 1)
+    with pytest.raises(ValueError):
+        make_pinned_mask(6, 7)
+
+    # huge threshold -> the signal never fires -> n_full == the pin exactly
+    pin = make_pinned_mask(N_STEPS, 4)
+    out, n_full = _denoise(
+        setup, vcache_threshold=1e9, vcache_warmup=1, vcache_tail=1,
+        vcache_cached="residual", vcache_force_mask=jnp.asarray(pin),
+        return_vcache_stats=True,
+    )
+    assert int(n_full) == 4
+    assert np.isfinite(np.asarray(out, np.float32)).all()
+    # epsilon threshold -> the signal fires on top of the pin (adds, never removes)
+    _, n_all = _denoise(
+        setup, vcache_threshold=1e-9, vcache_force_mask=jnp.asarray(pin),
+        return_vcache_stats=True,
+    )
+    assert int(n_all) == N_STEPS
+    with pytest.raises(ValueError):
+        _denoise(setup, step_mask=jnp.ones(N_STEPS, bool),
+                 vcache_force_mask=jnp.asarray(pin))
+
+
 def test_residual_validation_and_grammar(setup):
     from reflectionflow_tpu.sampler.generate import vcache_kwargs
     from reflectionflow_tpu.sampler.vcache_calibrate import (
