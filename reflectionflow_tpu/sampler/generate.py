@@ -395,10 +395,14 @@ def vcache_kwargs(vcache: dict | None, num_steps: int) -> dict:
     """`pipeline_args.vcache` payload -> `denoise(...)` kwargs (the one
     schedule grammar, shared by FluxPipeline and the calibration harness):
     {"interval": k[, warmup, tail, order, residual]} static or
-    {"threshold": x[, warmup, tail, poly, order, residual]} dynamic;
-    "order" (0/1/2, default 0) turns skipped-step reuse into Taylor
-    prediction; "residual": true caches TeaCache's exact quantity (the
-    transformer residual) instead of the output velocity."""
+    {"threshold": x[, warmup, tail, poly, order, residual, pin_n_full]}
+    dynamic; "order" (0/1/2, default 0) turns skipped-step reuse into
+    Taylor prediction; "residual": true caches TeaCache's exact quantity
+    (the transformer residual) instead of the output velocity;
+    "pin_n_full": k forces k evenly spaced full forwards on top of the
+    dynamic decision (a MEASUREMENT lever: pins the skip rate to a known
+    operating point on weight trees whose signal trajectory is
+    meaningless, e.g. random init — the threshold can only add forwards)."""
     if not vcache:
         return {}
     vc = dict(vcache)
@@ -408,12 +412,17 @@ def vcache_kwargs(vcache: dict | None, num_steps: int) -> dict:
     if vc.get("residual"):
         extra["vcache_cached"] = "residual"
     if "interval" in vc:
+        if "pin_n_full" in vc:
+            raise ValueError("vcache: pin_n_full is a dynamic-mode lever")
         return {"step_mask": jnp.asarray(make_step_mask(
             num_steps, int(vc["interval"]),
             warmup=int(vc.get("warmup", 1)), tail=int(vc.get("tail", 1)))), **extra}
     if "threshold" in vc:
         if not float(vc["threshold"]) > 0:
             raise ValueError("vcache threshold must be > 0 (omit vcache to disable)")
+        if vc.get("pin_n_full"):
+            extra["vcache_force_mask"] = jnp.asarray(make_pinned_mask(
+                num_steps, min(int(vc["pin_n_full"]), num_steps)))
         return {
             "vcache_threshold": float(vc["threshold"]),
             "vcache_warmup": int(vc.get("warmup", 1)),

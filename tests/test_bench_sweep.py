@@ -244,11 +244,48 @@ def test_tiny_vcache_stage_end_to_end():
     assert proc.returncode == 0, proc.stderr[-2000:]
     out = json.loads(proc.stdout.strip().splitlines()[-1])
     d = out["detail"]
-    assert "vcache(literature:taylor_o2_interval6)" in d["config"]
+    assert "vcache(literature:teacache_flux_t0.6)" in d["config"]
     ev = d["vcache_evidence"]
     assert ev["weights_kind"] == "literature"
-    assert "TaylorSeer" in ev["selected"]["quality_basis"]
-    assert ev["selected"]["vcache"] == {"interval": 6, "warmup": 3, "tail": 1, "order": 2}
+    # the headline anchor is METHOD-EXACT TeaCache: no variant clause
+    assert "METHOD-EXACT" in ev["selected"]["quality_basis"]
+    assert "differs" not in ev["selected"]["quality_basis"]
+    vc = ev["selected"]["vcache"]
+    assert vc["threshold"] == 0.6 and vc["residual"] and len(vc["poly"]) == 5
+    # dynamic schedule on a random-init tree: the skip rate must be pinned
+    # to the published operating point (the signal is weight-dependent)
+    pin = ev["operating_point_pin"]
+    assert pin["n_full_pinned"] >= 2 and "published operating point" in pin["basis"]
+    assert d["n_full_forwards"] == pin["n_full_pinned"]
+
+
+def test_tiny_round_stage_end_to_end():
+    """--tiny runs the e2e_round stage body on CPU: the real
+    run_reflectionflow_block loop (2 rounds x branch 2) with the pinned
+    headline vcache schedule, both prompt passes, and a round-latency
+    metric line (BASELINE.json's third metric). TINY must not fake a
+    hardware ratio (vs_baseline null)."""
+    import json
+
+    proc = subprocess.run(
+        [sys.executable, bench.__file__, "--tiny", "--stage", "e2e_round"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert out["metric"] == "p50_reflection_round_latency_s"
+    assert out["unit"] == "s" and out["value"] > 0
+    assert out["vs_baseline"] is None
+    d = out["detail"]
+    assert "vcache(literature:teacache_flux_t0.6)" in d["config"]
+    assert d["round_candidates_per_sec_per_chip"] > 0
+    fixed = d["phases_fixed_prompts"]
+    assert fixed["round"]["count"] == 2 and fixed["generate"]["count"] >= 2
+    # the refined pass exercises reflect+refine (the full loop)
+    refined = d["phases_refined_prompts"]
+    assert refined["reflect"]["count"] == 2 and refined["refine"]["count"] == 2
+    assert d["vcache_operating_point_pin"]["n_full_pinned"] >= 2
+    assert "NO round-latency number" in d["vs_baseline_basis"]
 
 
 def test_sweep_is_led_by_literature_anchored_vcache(monkeypatch):
@@ -261,10 +298,12 @@ def test_sweep_is_led_by_literature_anchored_vcache(monkeypatch):
 
     src = bench._headline_vcache_source()
     assert src["weights_kind"] == "literature"
-    assert src["selected"] == "taylor_o2_interval6"
+    # the method-exact TeaCache anchor leads (no variant clause); the
+    # Taylor family variant stays as a measured alternate
+    assert src["selected"] == "teacache_flux_t0.6"
     sel = src["results"][0]
-    assert sel["speedup_est"] > 3.0  # 9 full forwards over 30 steps
-    assert sel["n_full"] == 9
+    assert sel["speedup_est"] == 2.0  # the citation's published FLUX point
+    assert sel["n_full"] is None  # dynamic: measured at bench time (pinned)
 
     real = {"selected_vcache": {"interval": 2}, "selected": "x", "results": [],
             "weights_kind": "real"}

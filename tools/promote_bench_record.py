@@ -6,8 +6,10 @@ tree). This tool is the ONE way the committed `docs/LAST_BENCH.json`
 snapshot — the outage fallback that ships in-repo — gets updated: an
 explicit, reviewable step rather than a side effect of running the bench.
 
-Usage: python tools/promote_bench_record.py [--check]
+Usage: python tools/promote_bench_record.py [--check] [--round]
   --check  only report whether local and committed records differ (rc 1)
+  --round  promote the e2e_round record (docs/ROUND_BENCH.local.json)
+           instead of the headline images/sec record
 """
 
 import argparse
@@ -18,12 +20,18 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 LOCAL = REPO / "docs" / "LAST_BENCH.local.json"
 COMMITTED = REPO / "docs" / "LAST_BENCH.json"
+ROUND_LOCAL = REPO / "docs" / "ROUND_BENCH.local.json"
+ROUND_COMMITTED = REPO / "docs" / "ROUND_BENCH.json"
 
 
 def main() -> int:
+    global LOCAL, COMMITTED
     p = argparse.ArgumentParser()
     p.add_argument("--check", action="store_true")
+    p.add_argument("--round", action="store_true")
     args = p.parse_args()
+    if args.round:
+        LOCAL, COMMITTED = ROUND_LOCAL, ROUND_COMMITTED
     try:
         local = json.loads(LOCAL.read_text())
     except (OSError, ValueError) as e:

@@ -7,7 +7,11 @@ the actual `run_reflectionflow_block` search loop at 1024px / 512px cond /
 PhaseTimer spans — p50 reflection-round latency measured on hardware, the
 serving metric BASELINE.json tracks.
 
-Usage: python tools/serve_smoke_tpu.py [rounds] [branch] [steps] [profile]
+Usage: python tools/serve_smoke_tpu.py [rounds] [branch] [steps] [profile] [vcache]
+
+A trailing "vcache" arg applies the headline velocity-cache schedule
+(operating-point-pinned, bench._pinned_schedule) to the generate phase —
+the `bench.py --stage e2e_round` serving configuration.
 
 `profile` (default "swap"): "swap" = full-W8A8 DiT + phase-swapped NF4
 T5 (fast denoise; refined-prompt rounds pay a per-round 2.4 GB T5
@@ -64,7 +68,21 @@ def main():
     branch = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 30
     profile = sys.argv[4] if len(sys.argv) > 4 else "swap"
+    # optional 5th arg: "vcache" applies the headline velocity-cache
+    # schedule (operating-point-pinned — bench._pinned_schedule) to the
+    # corrector generate phase, the e2e_round serving configuration
+    vcache = None
+    if len(sys.argv) > 5 and sys.argv[5] == "vcache":
+        import bench as _b
 
+        cal = _b._headline_vcache_source()
+        sel = next(r for r in cal["results"] if r["name"] == cal["selected"])
+        vcache, _pin = _b._pinned_schedule(cal, sel)
+        _log(f"vcache schedule: {vcache}")
+    print(json.dumps(run(rounds, branch, steps, profile, vcache=vcache)))
+
+
+def run(rounds, branch, steps, profile="swap", vcache=None):
     dit_cfg = FluxDiTConfig()
     vae_cfg = FluxVAEConfig()
     t5_cfg = T5Config()
@@ -127,6 +145,7 @@ def main():
         "pipeline_args": {
             "height": 1024, "width": 1024, "condition_size": 512,
             "num_inference_steps": steps, "guidance_scale": 3.5, "max_sequence_length": 512,
+            **({"vcache": vcache} if vcache else {}),
         },
         "search_args": {"search_branch": branch, "search_rounds": rounds},
         "reflection_args": {"run_reflection": True, "name": "fake"},
@@ -146,6 +165,7 @@ def main():
             "FLUX-dev int8 W8A8 DiT + int4 T5 phase-swap (synthetic weights), 1024px, pallas"
         ),
         "profile": profile, "rounds": rounds, "branch": branch, "steps": steps,
+        **({"vcache": vcache} if vcache else {}),
     }
     # pass 1: full loop (reflection rewrites prompts every round, so each
     # round re-encodes -> phase swap re-uploads the 2.7 GB T5 through the
@@ -161,18 +181,23 @@ def main():
                 json.dump(cfg_dict, f)
             cfg = TTSConfig.load(cfg_path)
             timer = PhaseTimer(live=True)
+            t0 = _time.perf_counter()
             run_reflectionflow_block(
                 pipe, verifier or load_verifier("fake"),
                 load_reflector("fake"), load_refiner("fake"),
                 cfg, [{"prompt": "a red cube on a blue sphere", "tag": "colors"}],
                 output_root=f"{tmp}/out", run_seed=0, timer=timer,
             )
+            block_s = _time.perf_counter() - t0
             out[label] = {
-                phase: {"count": st["count"], "p50_s": round(st["p50_s"], 2), "p90_s": round(st["p90_s"], 2)}
+                phase: {"count": st["count"], "p50_s": round(st["p50_s"], 2),
+                        "p90_s": round(st["p90_s"], 2), "total_s": round(st["total_s"], 2)}
                 for phase, st in timer.summary().items()
             }
+            out[label]["block_s"] = round(block_s, 2)
+            out[label]["candidates_per_sec_per_chip"] = round(rounds * branch / block_s, 4)
             _log(f"pass {label} done: {out[label]}")
-    print(json.dumps(out))
+    return out
 
 
 if __name__ == "__main__":
