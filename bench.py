@@ -792,7 +792,23 @@ def bench_e2e_vcache(rtt: float, batch: int = 1) -> dict | None:
         }
         if pin:
             out["vcache_evidence"]["operating_point_pin"] = pin
+        sweep = _anchor_sweep_reference()
+        if sweep:
+            out["vcache_evidence"]["anchor_sweep"] = sweep
     return out
+
+
+def _anchor_sweep_reference() -> dict | None:
+    """The recorded back-to-back hardware measurement of BOTH shipped
+    anchor schedules (method-exact TeaCache vs the faster method-variant
+    Taylor) so every vcache line carries both numbers, whichever leads."""
+    try:
+        notes = json.loads(
+            (Path(__file__).resolve().parent / "docs" / "BENCH_NOTES.json").read_text())
+        entry = notes["vcache_anchor_sweep_r5_v5e"]
+    except (OSError, ValueError, KeyError):
+        return None
+    return {k: v for k, v in entry.items() if k != "what"}
 
 
 def bench_e2e_round(rtt: float) -> dict | None:

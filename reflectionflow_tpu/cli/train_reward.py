@@ -43,6 +43,11 @@ def build_parser() -> argparse.ArgumentParser:
     # PEFTLoraConfig
     p.add_argument("--lora_r", type=int, default=16)
     p.add_argument("--lora_alpha", type=float, default=32.0)
+    p.add_argument("--quantize_base", type=str, default=None, choices=["int8", "nf4"],
+                   help="store the frozen base blocks quantized (weight-only, "
+                        "dequant-in-matmul — the reference's bitsandbytes "
+                        "load_in_8bit/nf4 path, train_reward.py:69-139); "
+                        "fits a 7B RM LoRA step on one 16 GB chip")
     p.add_argument("--vision_lora", action="store_true",
                    help="also LoRA the vision tower (reference train_reward.py:43-63; "
                         "trains on raw patches at one fixed square grid per run)")
@@ -193,7 +198,7 @@ def main(argv=None):
         special_token_id=special_token_id, alpha=args.lora_alpha, r=args.lora_r,
         vision_params=model.vision_params if args.vision_lora else None,
         vis_cfg=model.vis_cfg if args.vision_lora else None,
-        grid_thw=grid_thw, mesh=mesh,
+        grid_thw=grid_thw, mesh=mesh, quantize_base=args.quantize_base,
     )
 
     os.makedirs(args.output_dir, exist_ok=True)

@@ -110,11 +110,18 @@ def qwen_lm_apply(
     attention_mask: jnp.ndarray | None = None,  # (B, L) 1=valid
     kv_cache: dict | None = None,  # {"k": (N,B,S,KV,D), "v":..., "len": int32}
     return_hidden: bool = False,
+    remat: bool = False,  # checkpoint the block scan body (training path)
 ):
     """Returns (logits or hidden, new_kv_cache).
 
     Without cache: full causal self-attention over L.
-    With cache: L = chunk being appended at offset cache["len"]."""
+    With cache: L = chunk being appended at offset cache["len"].
+
+    `remat=True` wraps the (cacheless) scan body in `jax.checkpoint`:
+    under value_and_grad only the per-block carry is saved and the block
+    forward is recomputed in the backward. Essential for quantized-base
+    training — without it the DEQUANTIZED bf16 weights become per-block
+    residuals (~0.5 GB x 28 blocks at 7B: instant OOM on 16 GB)."""
     B, L, H = inputs_embeds.shape
     nH, nKV, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     cos, sin = mrope_tables(position_ids, cfg)
@@ -188,6 +195,8 @@ def qwen_lm_apply(
             out, _ = block(carry, bp)
             return out, None
 
+        if remat:
+            scan_body = jax.checkpoint(scan_body)
         h, _ = jax.lax.scan(scan_body, h, params["blocks"])
     h = rms_norm(h, params["final_ln"]["scale"], cfg.rms_norm_eps)
     if return_hidden:

@@ -136,8 +136,13 @@ def qwen_vision_apply(
     cfg: QwenVLVisionConfig,
     patches: jnp.ndarray,  # (L, 3*tp*ps*ps) flattened patch pixels
     grid_thw: tuple[int, int, int],
+    remat: bool = False,  # checkpoint each block (vision-LoRA training path)
 ) -> jnp.ndarray:
-    """-> (L / merge**2, out_hidden_size) image embeds for the LM."""
+    """-> (L / merge**2, out_hidden_size) image embeds for the LM.
+
+    `remat=True` checkpoints each block so a quantized/frozen tower under
+    value_and_grad recomputes forwards instead of saving dequantized
+    weights and attention intermediates as residuals."""
     t, h, w = grid_thw
     L = t * h * w
     assert patches.shape[0] == L
@@ -181,9 +186,10 @@ def qwen_vision_apply(
         mlp = linear(bp["down"], jax.nn.silu(linear(bp["gate"], hs)) * linear(bp["up"], hs))
         return xx + mlp
 
+    block_fn = jax.checkpoint(block, static_argnums=(2,)) if remat else block
     for i in range(cfg.depth):
         bp = jax.tree.map(lambda a: a[i], params["blocks"])
-        x = block(x, bp, i in fullatt)
+        x = block_fn(x, bp, i in fullatt)
 
     # merger: RMSNorm per token, group merge**2 tokens, MLP
     m = rms_norm(x, params["merger"]["ln_q"]["scale"])

@@ -31,7 +31,7 @@ import numpy as np
 import optax
 
 from ..config import QwenLMConfig
-from ..lora.lora import fold_lora, lora_init
+from ..lora.lora import attach_lora, lora_init
 from ..models.qwen_vl.lm import qwen_lm_apply
 from ..models.qwen_vl.reward import pool_hidden
 from .losses import reward_loss
@@ -73,10 +73,13 @@ def apply_vision_lora_embeds(
     static update instead of a masked scatter."""
     from ..models.qwen_vl.vision import qwen_vision_apply
 
-    folded = fold_lora(
+    # ATTACH, not fold: the low-rank add costs only the rank-r factors per
+    # step (folding copies the full tower per step) and composes with a
+    # quantized frozen base (there is no float `w` leaf to fold into)
+    folded = attach_lora(
         vision_params, {"_alpha": alpha, "_r": r, "adapters": trainable["vision_lora"]}
     )
-    vis = jax.vmap(lambda p: qwen_vision_apply(folded, vis_cfg, p, grid_thw))(
+    vis = jax.vmap(lambda p: qwen_vision_apply(folded, vis_cfg, p, grid_thw, remat=True))(
         patches.astype(embeds.dtype)
     )  # (B, n_img, H)
     n_img = vis.shape[1]
@@ -99,15 +102,48 @@ def rm_forward_rewards(
     r: int,
 ) -> jnp.ndarray:
     """-> (B, out_dim) reward logits."""
-    folded = fold_lora(lm_params, {"_alpha": alpha, "_r": r, "adapters": trainable["lora"]})
+    # attach (low-rank add): per-step cost is the rank-r factors only, and
+    # the base may be a quantized tree (w_q/w_p4p leaves) — see linear()
+    folded = attach_lora(lm_params, {"_alpha": alpha, "_r": r, "adapters": trainable["lora"]})
     if special_token_id is not None:
         is_sp = (input_ids == special_token_id)[:, :, None]
         embeds = jnp.where(is_sp, trainable["special"][None, None, :].astype(embeds.dtype), embeds)
+    # remat: under value_and_grad the per-block carry is the only saved
+    # residual — without it the dequantized bf16 weights of a quantized
+    # base (and every attention intermediate) are saved per block
     hidden, _ = qwen_lm_apply(folded, lm_cfg, embeds, position_ids,
-                              attention_mask=attention_mask, return_hidden=True)
+                              attention_mask=attention_mask, return_hidden=True,
+                              remat=True)
     pooled = pool_hidden(hidden, attention_mask, pooling, input_ids=input_ids,
                          special_token_id=special_token_id)
     return pooled @ trainable["rm_head"].astype(pooled.dtype)
+
+
+def quantize_rm_base(params, mode: str, min_size: int = 1 << 18):
+    """Quantize a frozen RM base tree for LoRA finetuning on a memory-bound
+    chip — the analogue of the reference's bitsandbytes-quantized base
+    (`/root/reference/reward_modeling/train_reward.py:69-139`,
+    `utils.py:16-47`: load_in_8bit / nf4 via BitsAndBytesConfig).
+
+    TRAINING-SAFE recipe: WEIGHT-ONLY quantization of the stacked block
+    leaves (int8 rows or NF4 split-plane int4), dequantized inside the
+    matmul read — the matmul itself stays float, so d(out)/dx is exact and
+    gradients flow through the frozen blocks to upstream adapters and the
+    special-token embedding. (The W8A8 serving path's dynamic activation
+    rounding has zero gradient — it must never be used under value_and_grad.
+    QLoRA trains the same way: quantized storage, float compute —
+    arXiv 2305.14314.) Embeddings, norms, and the patch merger stay bf16."""
+    from ..ops.quant import quantize_dit_params, quantize_params_int4
+
+    if mode == "int8":
+        blocks = quantize_dit_params(
+            {"b": params["blocks"]}, min_size=min_size, act_quant=False)["b"]
+    elif mode == "nf4":
+        blocks = quantize_params_int4(
+            {"b": params["blocks"]}, min_size=min_size, layout="plane")["b"]
+    else:
+        raise ValueError(f"quantize_base must be int8|nf4 (got {mode!r})")
+    return dict(params, blocks=blocks)
 
 
 def make_rm_train_step(
@@ -124,6 +160,8 @@ def make_rm_train_step(
     grid_thw: tuple[int, int, int] | None = None,
     img_token_start: int = 1,
     mesh=None,
+    quantize_base: str | None = None,
+    quantize_min_size: int = 1 << 18,
 ):
     """jitted step(trainable, opt_state, batch, ...) over pairwise batches.
 
@@ -136,10 +174,20 @@ def make_rm_train_step(
     tower runs inside the step with `trainable["vision_lora"]` folded in.
     `mesh` shards the frozen base FSDP-style over "data" and constrains the
     pair batch to the same axis; trainable/optimizer state replicate and
-    the gradient allreduce comes from sharding propagation."""
+    the gradient allreduce comes from sharding propagation.
+
+    `quantize_base` ("int8"|"nf4") stores the frozen LM/vision block
+    weights quantized (see `quantize_rm_base` — the reference's bnb
+    quantized-base finetuning) so a 7B RM LoRA step fits a single 16 GB
+    chip; composes with `mesh` (the quantized leaves shard FSDP-style)."""
     train_vision = vision_params is not None
     if train_vision and (vis_cfg is None or grid_thw is None):
         raise ValueError("vision training needs vis_cfg and grid_thw (one grid per batch)")
+
+    if quantize_base is not None:
+        lm_params = quantize_rm_base(lm_params, quantize_base, quantize_min_size)
+        if train_vision:
+            vision_params = quantize_rm_base(vision_params, quantize_base, quantize_min_size)
 
     if mesh is not None:
         from ..parallel.specs import shard_fsdp_params

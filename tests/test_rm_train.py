@@ -174,6 +174,67 @@ def test_rm_vision_lora_trains_tower_adapters():
     assert max(jax.tree.leaves(l_moved)) > 0
 
 
+@pytest.mark.parametrize("mode", ["int8", "nf4"])
+def test_rm_quantized_base_trains(mode):
+    """Quantized frozen base (the reference's bitsandbytes path,
+    train_reward.py:69-139): weight-only int8/NF4 block storage with
+    dequant-in-matmul keeps gradients flowing to EVERY trainable group —
+    LM LoRA (upstream-of-downstream-blocks, the gradient path that
+    W8A8's activation rounding would sever), vision LoRA, head, special
+    row — and the step still learns."""
+    from reflectionflow_tpu.rm_train.data import vision_train_geometry
+    from reflectionflow_tpu.rm_train.train import quantize_rm_base, rm_vision_lora_init
+
+    model, batch = _tiny_vl_rows_and_batch(train_vision=True)
+    H = model.lm_cfg.hidden_size
+    grid = vision_train_geometry(model.vis_cfg, 256)[1]
+    trainable = {
+        "lora": rm_lora_init(jax.random.PRNGKey(1), model.lm_params, r=2, alpha=2)["adapters"],
+        "rm_head": jax.random.normal(jax.random.PRNGKey(2), (H, 1)) * 0.1,
+        "special": jax.random.normal(jax.random.PRNGKey(3), (H,)) * 0.02,
+        "vision_lora": rm_vision_lora_init(
+            jax.random.PRNGKey(4), model.vision_params, r=2, alpha=2)["adapters"],
+    }
+    opt = make_rm_optimizer(lr=1e-2)
+    opt_state = opt.init(trainable)
+    step = make_rm_train_step(
+        model.lm_params, model.lm_cfg, opt, loss_type="bt", pooling="special",
+        special_token_id=9, r=2, alpha=2,
+        vision_params=model.vision_params, vis_cfg=model.vis_cfg, grid_thw=grid,
+        quantize_base=mode, quantize_min_size=16,
+    )
+    # the base actually got quantized (storage leaves, not a no-op);
+    # tiny dims fall back down the packing chain (plane -> pair -> int8),
+    # so check the no-float-w invariant here and the NF4 plane layout on a
+    # group-sized tree below
+    q = quantize_rm_base(model.lm_params, mode, 16)
+    leaf_keys = set()
+    jax.tree.map_with_path(lambda p, _: leaf_keys.add(str(p[-1])), q["blocks"])
+    keys = str(leaf_keys)
+    assert "'w_q'" in keys or "'w_p4'" in keys or "'w_p4p'" in keys
+    big = {"blocks": {"q": {"w": jnp.zeros((2, 256, 32))}}, "embed": jnp.zeros((4, 8))}
+    bk = set()
+    jax.tree.map_with_path(lambda p, _: bk.add(str(p[-1])),
+                           quantize_rm_base(big, mode, 16)["blocks"])
+    assert ("'w_q'" if mode == "int8" else "'w_p4p'") in str(bk)
+
+    before = jax.tree.map(np.asarray, trainable)
+    losses = []
+    for _ in range(6):
+        trainable, opt_state, aux = step(trainable, opt_state, batch)
+        losses.append(float(aux["loss"]))
+    assert all(np.isfinite(losses)), losses
+    assert losses[-1] < losses[0], losses
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()), trainable, before)
+    # every group moved: head, special, LM lora, vision lora
+    assert min(float(np.max(np.asarray(jax.tree.leaves(moved[g])))) if isinstance(moved[g], dict)
+               else moved[g] for g in ("lora", "vision_lora", "rm_head", "special")) > 0
+
+    with pytest.raises(ValueError):
+        make_rm_train_step(model.lm_params, model.lm_cfg, opt, quantize_base="fp8")
+
+
 def test_rm_train_step_fsdp_mesh_matches_single_device():
     """mesh= shards the frozen base FSDP-style over "data" and the pair
     batch over the same axis; one step must match the unsharded step."""
