@@ -61,6 +61,10 @@ def test_parity_gate_chain_on_snapshot(snapshot, tmp_path):
     assert by["image"]["status"] == "PASS", by["image"]
     assert "sha256=" in by["image"]["detail"]
     assert by["qwen"]["status"] == "SKIP"
+    # all three serving verifier backends are gate-covered: the NVILA
+    # bundle stage is in the chain and SKIPs without NVILA_MODEL_DIR
+    assert by["nvila"]["status"] == "SKIP"
+    assert "NVILA_MODEL_DIR" in by["nvila"]["detail"]
     assert os.path.exists(os.path.join(out_dir, "seeded_512px.png"))
 
     # determinism contract: the same command reproduces the same hash

@@ -22,7 +22,14 @@ one report covers the lot; exit code is nonzero if anything FAILS):
   4. qwen      — convert + load the Image-Verifier if QWEN_MODEL_DIR is
                  set (first-logits finite-ness; full parity lives in
                  tests/test_qwen_parity.py against transformers);
-  5. plan      — prints the GenEval reproduction plan: the 553-prompt
+  5. nvila     — convert + load the NVILA-Lite-2B verifier bundle if
+                 NVILA_MODEL_DIR is set (a VILA dir: llm/ + vision_tower/
+                 + mm_projector/ — the bundle the reference loads at
+                 /root/reference/tts/verifiers/nvila_verifier.py:4-10);
+                 scores one dummy image through the full SigLIP->proj->LM
+                 graph and checks yes/no logits are finite, so ALL THREE
+                 serving verifier backends are gate-covered;
+  6. plan      — prints the GenEval reproduction plan: the 553-prompt
                  runs for BASELINE configs #1-#4 and the NFE curve points
                  {1,2,4,8,16,32} via cli.verifier_filter.
 
@@ -146,6 +153,21 @@ def stage_qwen(qwen_dir: str | None) -> tuple[str, str]:
     return "PASS", f"Qwen2.5-VL converted; first-logits finite (shape {logits.shape})"
 
 
+def stage_nvila(nvila_dir: str | None) -> tuple[str, str]:
+    if not nvila_dir:
+        return "SKIP", "NVILA_MODEL_DIR not set"
+    from reflectionflow_tpu.verifiers.nvila import NvilaJaxVerifier
+
+    v = NvilaJaxVerifier(model_path=nvila_dir)
+    img = np.zeros((384, 384, 3), np.uint8)
+    out = v.score([img], ["a red cube on a white table"])
+    score = out[0]["score"]
+    if not np.isfinite(score):
+        return "FAIL", "non-finite yes/no logit from the converted NVILA bundle"
+    return "PASS", (f"NVILA bundle converted; {out[0]['label']!r} logit finite "
+                    f"({score:.3f}) through SigLIP->projector->LM")
+
+
 def print_plan() -> None:
     print("""
 === GenEval reproduction plan (BASELINE.md curves) ===
@@ -181,6 +203,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model_dir", default=os.environ.get("FLUX_MODEL_DIR"))
     p.add_argument("--qwen_dir", default=os.environ.get("QWEN_MODEL_DIR"))
+    p.add_argument("--nvila_dir", default=os.environ.get("NVILA_MODEL_DIR"))
     p.add_argument("--out_dir", default=os.path.join(REPO, "output", "real_weight_gate"))
     p.add_argument("--image_size", type=int, default=512,
                    help="seeded-image stage resolution (tiny snapshots use 16)")
@@ -200,6 +223,7 @@ def main(argv=None):
         ("goldens", lambda: stage_goldens(args.model_dir)),
         ("image", lambda: stage_image(args.model_dir, args.out_dir, args.image_size)),
         ("qwen", lambda: stage_qwen(args.qwen_dir)),
+        ("nvila", lambda: stage_nvila(args.nvila_dir)),
     ):
         try:
             status, detail = fn()
