@@ -400,12 +400,23 @@ def _rope_qk(q, k, tables):
     return fn(q, cos, sin), fn(k, cos, sin)
 
 
-def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rope_cond, bias, flags, attn_impl, bp_c=None):
+def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rope_cond, bias, flags, attn_impl, bp_c=None, modules=None, return_modules=False):
     bp_c = bp if bp_c is None else bp_c
     use_cond = cond is not None
     # modulation (img-side params are shared with the cond stream)
     i_sh1, i_sc1, i_g1, i_sh2, i_sc2, i_g2 = _mod(bp["img_mod"], temb, 6)
     t_sh1, t_sc1, t_g1, t_sh2, t_sc2, t_g2 = _mod(bp["txt_mod"], temb, 6)
+    if modules is not None:
+        # TaylorSeer skip step (arXiv 2503.06923): the four module outputs
+        # (img/txt attention and MLP, PRE-gate) are forecast from history;
+        # the glue — fresh AdaLN gates from the CURRENT temb and the
+        # residual adds — still runs, so the block structure stays live.
+        assert not use_cond, "module cache does not cover the cond stream"
+        ia, ta, im, tm = modules
+        dt = img.dtype
+        img = img + i_g1[:, None, :] * ia.astype(dt) + i_g2[:, None, :] * im.astype(dt)
+        txt = txt + t_g1[:, None, :] * ta.astype(dt) + t_g2[:, None, :] * tm.astype(dt)
+        return img, txt, cond
     fast = flags.get("fast_qk", False)
     ap = bp["attn"]
     H = cfg.num_heads * cfg.head_dim
@@ -487,12 +498,16 @@ def _double_block_apply(bp, cfg, img, txt, cond, temb, cond_temb, rope_main, rop
             img = img + gated_cond_attn
 
     # feed-forward (img-stream MLP shared with cond)
-    img = img + i_g2[:, None, :] * _mlp_apply(bp["img_mlp"], img, i_sh2, i_sc2, flags, attn_impl, fast)
-    txt = txt + t_g2[:, None, :] * _mlp_apply(bp["txt_mlp"], txt, t_sh2, t_sc2, flags, attn_impl, fast)
+    img_mlp = _mlp_apply(bp["img_mlp"], img, i_sh2, i_sc2, flags, attn_impl, fast)
+    txt_mlp = _mlp_apply(bp["txt_mlp"], txt, t_sh2, t_sc2, flags, attn_impl, fast)
+    img = img + i_g2[:, None, :] * img_mlp
+    txt = txt + t_g2[:, None, :] * txt_mlp
     if use_cond:
         cond = cond + c_g2[:, None, :] * _mlp_apply(
             bp_c["img_mlp"], cond, c_sh2, c_sc2, flags, attn_impl, fast
         )
+    if return_modules:
+        return img, txt, cond, (img_attn, txt_attn, img_mlp, txt_mlp)
     return img, txt, cond
 
 
@@ -567,10 +582,16 @@ def _single_stream_out(bp, flags, attn_impl, attn_out, mlp_ctx):
     return _single_out(bp, attn_out, val)
 
 
-def _single_block_apply(bp, cfg, hidden, cond, temb, cond_temb, rope_main, rope_cond, bias, flags, attn_impl, bp_c=None):
+def _single_block_apply(bp, cfg, hidden, cond, temb, cond_temb, rope_main, rope_cond, bias, flags, attn_impl, bp_c=None, modules=None, return_modules=False):
     bp_c = bp if bp_c is None else bp_c
     use_cond = cond is not None
     sh, sc, gate = _mod(bp["mod"], temb, 3)
+    if modules is not None:
+        # TaylorSeer skip step: the block's (pre-gate) output projection is
+        # forecast; the fresh AdaLN gate and the residual add stay live.
+        assert not use_cond, "module cache does not cover the cond stream"
+        hidden = hidden + gate[:, None, :] * modules.astype(hidden.dtype)
+        return hidden, cond
     H = cfg.num_heads * cfg.head_dim
     interp = attn_impl.endswith("interpret")
     nr_fuse = _nr_attn_gate(
@@ -609,11 +630,14 @@ def _single_block_apply(bp, cfg, hidden, cond, temb, cond_temb, rope_main, rope_
         )
     else:
         outs = joint_attention(streams_q, streams_k, streams_v, impl=attn_impl, **bias)
-    hidden = hidden + gate[:, None, :] * _single_stream_out(bp, flags, attn_impl, _unheads(outs[0]), mctx)
+    s_out = _single_stream_out(bp, flags, attn_impl, _unheads(outs[0]), mctx)
+    hidden = hidden + gate[:, None, :] * s_out
     if use_cond:
         cond = cond + c_gate[:, None, :] * _single_stream_out(
             bp_c, flags, attn_impl, _unheads(outs[1]), c_mctx
         )
+    if return_modules:
+        return hidden, cond, s_out
     return hidden, cond
 
 
@@ -692,6 +716,8 @@ def flux_dit_apply(
     controlnet_block_samples: jnp.ndarray | None = None,  # (n, B, L_img, hidden)
     controlnet_single_block_samples: jnp.ndarray | None = None,  # (n, B, L_img, hidden)
     return_img_residual: bool = False,
+    module_cache: dict | None = None,  # TaylorSeer skip step: forecast module outs
+    return_module_outs: bool = False,  # full step: also return per-module outputs
 ) -> jnp.ndarray:
     """Predict rectified-flow velocity for the packed image tokens.
 
@@ -711,10 +737,28 @@ def flux_dit_apply(
     `img_in` embedding, (B, L_img, hidden)) — the quantity TeaCache caches
     and `flux_residual_decode` consumes on skipped steps.
 
+    `return_module_outs=True` (full step) additionally returns the
+    TaylorSeer cache (arXiv 2503.06923): every block's PRE-gate module
+    outputs, stacked per block —
+      {"double": (img_attn, txt_attn, img_mlp, txt_mlp) each (Nd, B, L, H),
+       "single": (Ns, B, L_txt+L_img, H)}.
+    `module_cache=` (skip step) consumes a forecast of that pytree: each
+    block adds its forecast module outputs through FRESH AdaLN gates (temb
+    recomputed), so only the attention/MLP matmuls are skipped — the
+    per-module granularity the citation validated, vs the output-velocity
+    proxy of `vcache_order`. t2i only (no cond/controlnet streams).
+
     Returns (B, L_img, in_channels)."""
     from .rope import rope_split_perm, rope_tables
 
     use_cond = cond is not None
+    module_mode = return_module_outs or module_cache is not None
+    if module_mode and (use_cond or controlnet_block_samples is not None
+                        or controlnet_single_block_samples is not None
+                        or return_img_residual):
+        raise ValueError("module cache covers the plain t2i path "
+                         "(no cond/controlnet streams, not combinable with "
+                         "return_img_residual)")
     # "split" is the serving layout: fast (storage-dtype) QK-norm + RoPE
     flags = {"add_cond_attn": add_cond_attn, "fast_qk": rope_layout == "split"}
     dtype = img.dtype
@@ -802,6 +846,27 @@ def flux_dit_apply(
     if use_cond:
         xs_d = (params["double_blocks"], cp["double_blocks"]) + ((ctrl_d,) if ctrl_d is not None else ())
         (img, txt, cond_h), _ = jax.lax.scan(body_d, (img, txt, cond_h), xs_d)
+    elif return_module_outs:
+        def double_body_mo(carry, bp):
+            i, t = carry
+            i2, t2, _, mods = _double_block_apply(
+                bp, cfg, i, t, None, temb, None, rope_main, None, bias, flags,
+                attn_impl, return_modules=True,
+            )
+            return (i2, t2), mods
+
+        (img, txt), d_mods = jax.lax.scan(double_body_mo, (img, txt), params["double_blocks"])
+    elif module_cache is not None:
+        def double_body_mc(carry, xs):
+            i, t = carry
+            i2, t2, _ = _double_block_apply(
+                xs[0], cfg, i, t, None, temb, None, rope_main, None, bias, flags,
+                attn_impl, modules=xs[1],
+            )
+            return (i2, t2), None
+
+        (img, txt), _ = jax.lax.scan(
+            double_body_mc, (img, txt), (params["double_blocks"], module_cache["double"]))
     else:
         def double_body_nc(carry, bps):
             i, t = carry
@@ -834,6 +899,25 @@ def flux_dit_apply(
         body_s = jax.checkpoint(single_body) if remat else single_body
         xs_s = (params["single_blocks"], cp["single_blocks"]) + ((ctrl_s,) if ctrl_s is not None else ())
         (hidden, cond_h), _ = jax.lax.scan(body_s, (hidden, cond_h), xs_s)
+    elif return_module_outs:
+        def single_body_mo(h, bp):
+            h, _, s_out = _single_block_apply(
+                bp, cfg, h, None, temb, None, rope_main, None, bias, flags, attn_impl,
+                return_modules=True,
+            )
+            return h, s_out
+
+        hidden, s_mods = jax.lax.scan(single_body_mo, hidden, params["single_blocks"])
+    elif module_cache is not None:
+        def single_body_mc(h, xs):
+            h, _ = _single_block_apply(
+                xs[0], cfg, h, None, temb, None, rope_main, None, bias, flags, attn_impl,
+                modules=xs[1],
+            )
+            return h, None
+
+        hidden, _ = jax.lax.scan(
+            single_body_mc, hidden, (params["single_blocks"], module_cache["single"]))
     else:
         def single_body_nc(h, bps):
             h, _ = _single_block_apply(
@@ -853,4 +937,6 @@ def flux_dit_apply(
     sc, sh = _mod(params["final_mod"], temb, 2)
     img = layer_norm(img) * (1.0 + sc[:, None, :]) + sh[:, None, :]
     out = linear(params["final_proj"], img)
+    if return_module_outs:
+        return out, {"double": d_mods, "single": s_mods}
     return (out, resid) if return_img_residual else out

@@ -200,6 +200,59 @@ def denoise(
             rope_layout=rope_layout, return_img_residual=True,
         )
 
+    def velocity_modules(lat, t_scalar):
+        """velocity() that also returns the TaylorSeer module cache (every
+        block's pre-gate attn/MLP outputs; (2B, ...) rows under image CFG),
+        leaves cast to fp32 — bf16 divided differences would cancel."""
+        timestep = jnp.broadcast_to(t_scalar, (B,)).astype(lat.dtype)
+        f32 = lambda c: jax.tree.map(lambda a: a.astype(jnp.float32), c)  # noqa: E731
+        if use_image_cfg:
+            lat2 = jnp.concatenate([lat, lat], axis=0)
+            t2 = jnp.concatenate([timestep, timestep], axis=0)
+            g2 = jnp.concatenate([guidance, jnp.ones_like(guidance)], axis=0)
+            txt2 = jnp.concatenate([txt, txt], axis=0)
+            pooled2 = jnp.concatenate([pooled, pooled], axis=0)
+            v2, cache = flux_dit_apply(
+                dit_params, cfg, lat2, txt2, pooled2, t2, img_ids, txt_ids,
+                guidance=g2 if cfg.guidance_embeds else None,
+                attn_impl=attn_impl, rope_layout=rope_layout,
+                return_module_outs=True,
+            )
+            v_cond, v_unc = v2[:B], v2[B:]
+            v = v_unc + jnp.asarray(image_guidance_scale, v2.dtype) * (v_cond - v_unc)
+            return v, f32(cache)
+        v, cache = flux_dit_apply(
+            dit_params, cfg, lat, txt, pooled, timestep, img_ids, txt_ids,
+            guidance=guidance if cfg.guidance_embeds else None,
+            attn_impl=attn_impl, rope_layout=rope_layout,
+            return_module_outs=True,
+        )
+        return v, f32(cache)
+
+    def velocity_from_modules(lat, t_scalar, cache):
+        """TaylorSeer skip step: every block adds its FORECAST module
+        outputs through fresh AdaLN gates (temb recomputed) — the glue
+        runs, only the attention/MLP matmuls are skipped."""
+        timestep = jnp.broadcast_to(t_scalar, (B,)).astype(lat.dtype)
+        if use_image_cfg:
+            lat2 = jnp.concatenate([lat, lat], axis=0)
+            t2 = jnp.concatenate([timestep, timestep], axis=0)
+            g2 = jnp.concatenate([guidance, jnp.ones_like(guidance)], axis=0)
+            txt2 = jnp.concatenate([txt, txt], axis=0)
+            pooled2 = jnp.concatenate([pooled, pooled], axis=0)
+            v2 = flux_dit_apply(
+                dit_params, cfg, lat2, txt2, pooled2, t2, img_ids, txt_ids,
+                guidance=g2 if cfg.guidance_embeds else None,
+                attn_impl=attn_impl, rope_layout=rope_layout, module_cache=cache,
+            )
+            v_cond, v_unc = v2[:B], v2[B:]
+            return v_unc + jnp.asarray(image_guidance_scale, v2.dtype) * (v_cond - v_unc)
+        return flux_dit_apply(
+            dit_params, cfg, lat, txt, pooled, timestep, img_ids, txt_ids,
+            guidance=guidance if cfg.guidance_embeds else None,
+            attn_impl=attn_impl, rope_layout=rope_layout, module_cache=cache,
+        )
+
     def velocity_from_resid(lat, t_scalar, resid):
         """TeaCache skip step: fresh input embedding + cached residual +
         real output head (flux_residual_decode), CFG-combined the same
@@ -260,14 +313,22 @@ def denoise(
     order = int(vcache_order)
     if order not in (0, 1, 2):
         raise ValueError(f"vcache_order must be 0, 1, or 2 (got {vcache_order})")
-    if vcache_cached not in ("velocity", "residual"):
-        raise ValueError(f"vcache_cached must be velocity|residual (got {vcache_cached!r})")
+    if vcache_cached not in ("velocity", "residual", "module"):
+        raise ValueError(f"vcache_cached must be velocity|residual|module (got {vcache_cached!r})")
     residual_mode = vcache_cached == "residual"
+    module_mode = vcache_cached == "module"
     if residual_mode and order != 0:
         raise ValueError(
             "vcache_cached='residual' is TeaCache's exact cache (one residual, "
             "order-0 reuse); Taylor prediction (vcache_order>0) is a velocity-mode lever"
         )
+    if module_mode and order != 0:
+        raise ValueError(
+            "vcache_cached='module' has its own order-1 TaylorSeer forecast "
+            "built in; vcache_order is a velocity-mode lever"
+        )
+    if module_mode and cond is not None:
+        raise ValueError("vcache_cached='module' covers the plain t2i path (no cond stream)")
 
     def decide(lat, sigma, forced_bit, sig_prev, acc):
         """-> (do_full (B,), sig_prev', acc'). PER-CANDIDATE decision state:
@@ -323,6 +384,48 @@ def denoise(
         lat = _advance(lat, v, sigma, sigma_next)
         return (lat, resid, sig_prev, acc, n_full + any_full.astype(jnp.int32)), None
 
+    def module_step(carry, step_inputs):
+        """TaylorSeer per-module body (arXiv 2503.06923, m=1): the carry
+        holds the last TWO full-forward module caches with the sigmas they
+        were computed at (per candidate); a skipped step forecasts every
+        module's output by first-order divided difference (single-point
+        histories fall back to reuse) and runs the glue-only forward. The
+        skip velocity is computed unconditionally (shape-static body);
+        only the full forward hides behind the lax.cond."""
+        lat, h0, h1, sigs, kcnt, sig_prev, acc, n_full = carry
+        sigma, sigma_next, forced_bit = step_inputs
+        do_full, sig_prev, acc = decide(lat, sigma, forced_bit, sig_prev, acc)
+        any_full = jnp.any(do_full)
+
+        def col(s):  # (B,) -> broadcast over (n_blocks, rows, L, H)
+            s2 = jnp.concatenate([s, s]) if use_image_cfg else s
+            return s2[None, :, None, None]
+
+        have2 = kcnt >= 2
+        den = jnp.where(have2, sigs[:, 0] - sigs[:, 1], 1.0)
+
+        def forecast(a0, a1):
+            d1 = jnp.where(col(have2), (a0 - a1) / col(den), 0.0)
+            return a0 + d1 * (sigma - col(sigs[:, 0]))
+
+        cache_hat = jax.tree.map(forecast, h0, h1)
+        v_skip = velocity_from_modules(lat, sigma, cache_hat)
+        v_new, cache_new = jax.lax.cond(
+            any_full, lambda l: velocity_modules(l, sigma),
+            lambda l: (v_skip, h0), lat,
+        )
+        v = jnp.where(do_full[:, None, None], v_new, v_skip)
+        full = col(do_full)
+        h1 = jax.tree.map(lambda a0, a1: jnp.where(full, a0, a1), h0, h1)
+        h0 = jax.tree.map(lambda new, a0: jnp.where(full, new, a0), cache_new, h0)
+        sigs = jnp.where(do_full[:, None],
+                         jnp.stack([jnp.full_like(sigs[:, 0], sigma), sigs[:, 0]], axis=1),
+                         sigs)
+        kcnt = kcnt + do_full.astype(jnp.int32)
+        lat = _advance(lat, v, sigma, sigma_next)
+        return (lat, h0, h1, sigs, kcnt, sig_prev, acc,
+                n_full + any_full.astype(jnp.int32)), None
+
     def predictive_step(carry, step_inputs):
         """order >= 1: `hist`/`sigs` hold the last order+1 full-forward
         velocities (fp32 — bf16 divided differences would cancel) and the
@@ -369,7 +472,19 @@ def denoise(
     )
     acc0 = jnp.zeros((B,), jnp.float32)
     n0 = jnp.asarray(0, jnp.int32)
-    if residual_mode:
+    if module_mode:
+        rows = 2 * B if use_image_cfg else B
+        Li, Lt, H = latents.shape[1], txt.shape[1], cfg.hidden_size
+        zi = lambda L: jnp.zeros((cfg.num_double_blocks, rows, L, H), jnp.float32)  # noqa: E731
+        cache0 = {
+            "double": (zi(Li), zi(Lt), zi(Li), zi(Lt)),
+            "single": jnp.zeros((cfg.num_single_blocks, rows, Lt + Li, H), jnp.float32),
+        }
+        carry0 = (latents, cache0, cache0, jnp.full((B, 2), -1.0, jnp.float32),
+                  jnp.zeros((B,), jnp.int32), sig0, acc0, n0)
+        (latents, _, _, _, _, _, _, n_full), _ = jax.lax.scan(
+            module_step, carry0, steps + (forced,))
+    elif residual_mode:
         rrows = 2 * B if use_image_cfg else B
         resid0 = jnp.zeros((rrows, latents.shape[1], cfg.hidden_size), latents.dtype)
         carry0 = (latents, resid0, sig0, acc0, n0)
@@ -409,8 +524,12 @@ def vcache_kwargs(vcache: dict | None, num_steps: int) -> dict:
     if "interval" in vc and "threshold" in vc:
         raise ValueError("vcache: interval and threshold are mutually exclusive")
     extra = {"vcache_order": int(vc["order"])} if vc.get("order") else {}
+    if vc.get("residual") and vc.get("module"):
+        raise ValueError("vcache: residual and module are mutually exclusive")
     if vc.get("residual"):
         extra["vcache_cached"] = "residual"
+    if vc.get("module"):  # TaylorSeer per-module order-1 forecast
+        extra["vcache_cached"] = "module"
     if "interval" in vc:
         if "pin_n_full" in vc:
             raise ValueError("vcache: pin_n_full is a dynamic-mode lever")

@@ -312,9 +312,17 @@ LITERATURE_ANCHORS = {
             "cached quantities (order >= 1 finite-difference extrapolation across "
             "skipped steps) on FLUX.1-dev at acceleration ratios in the 3-5x range "
             "with near-lossless quality, where order-0 reuse degrades. Our variant "
-            "forecasts the DiT OUTPUT velocity (one history buffer per order, "
-            "fp32) rather than per-module features — same principle, lighter "
-            "memory; the real-weight calibration harness is the definitive gate."
+            "forecasts the DiT OUTPUT velocity (one history buffer per order, fp32) "
+            "rather than per-module features. The per-module-faithful variant EXISTS "
+            "in this repo (vcache {'module': true} -> denoise module_step, order-1 "
+            "per-module divided differences, glue recomputed fresh) but CANNOT FIT "
+            "the 1024px serving profile on a 16 GB v5e: the cache is 1.076G values "
+            "per snapshot (19 double blocks x 4 modules x [4096 img | 512 txt] "
+            "tokens + 38 single blocks x 4608 tokens, x3072 hidden), and order-1 "
+            "history needs two snapshots = 4.3 GB bf16 / 8.6 GB fp32 next to the "
+            "11.9 GB W8A8 DiT — over budget before activations. At 512px it fits "
+            "and is hardware-measured (BENCH_NOTES.taylor_module_512px_v5e). The "
+            "real-weight calibration harness is the definitive quality gate."
         ),
     },
     "reuse_interval3": {

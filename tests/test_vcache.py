@@ -387,6 +387,89 @@ def test_residual_dynamic_and_cfg_compose(setup):
     assert not np.allclose(np.asarray(res), np.asarray(_denoise(setup, **kw)))
 
 
+def test_module_cache_identities(setup):
+    """TaylorSeer per-module contract: (a) return_module_outs leaves the
+    forward unchanged; (b) the glue-only predict forward consuming the
+    TRUE module outputs reproduces the full forward exactly (fresh AdaLN
+    gates + residual adds are the only recomputation)."""
+    params, latents, txt, pooled, img_ids, txt_ids, sigmas = setup
+    t = jnp.broadcast_to(sigmas[0], (B,)).astype(jnp.float32)
+    g = jnp.full((B,), 3.5, jnp.float32) if CFG.guidance_embeds else None
+    plain = flux_dit_apply(params, CFG, latents, txt, pooled, t, img_ids, txt_ids, guidance=g)
+    full, cache = flux_dit_apply(params, CFG, latents, txt, pooled, t, img_ids, txt_ids,
+                                 guidance=g, return_module_outs=True)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(plain), rtol=1e-6, atol=1e-6)
+    assert cache["double"][0].shape == (CFG.num_double_blocks, B, TY * TX, CFG.hidden_size)
+    assert cache["single"].shape == (CFG.num_single_blocks, B, LT + TY * TX, CFG.hidden_size)
+    pred = flux_dit_apply(params, CFG, latents, txt, pooled, t, img_ids, txt_ids,
+                          guidance=g, module_cache=cache)
+    np.testing.assert_allclose(np.asarray(pred), np.asarray(full), rtol=1e-6, atol=1e-6)
+    # the mode covers the plain t2i path only
+    cond = jnp.zeros((B, 4, CFG.in_channels))
+    with pytest.raises(ValueError):
+        flux_dit_apply(params, CFG, latents, txt, pooled, t, img_ids, txt_ids,
+                       guidance=g, cond=cond, return_module_outs=True)
+
+
+def test_module_mode_static_matches_manual(setup):
+    """vcache_cached='module' against a hand-rolled TaylorSeer loop: full
+    steps collect every block's module outputs; skipped steps forecast
+    each by first-order divided difference (per-module, the citation's
+    granularity) and run the glue-only forward."""
+    params, latents, txt, pooled, img_ids, txt_ids, sigmas = setup
+    mask = np.array([True, True, False, True, False, True])
+    out = _denoise(setup, step_mask=jnp.asarray(mask), vcache_cached="module")
+
+    g = jnp.full((B,), 3.5, jnp.float32) if CFG.guidance_embeds else None
+    f32 = lambda c: jax.tree.map(lambda a: np.asarray(a, np.float32), c)  # noqa: E731
+    lat = latents
+    hist, sigs = [], []
+    for i in range(N_STEPS):
+        s = float(sigmas[i])
+        t = jnp.broadcast_to(sigmas[i], (B,)).astype(jnp.float32)
+        if mask[i]:
+            v, cache = flux_dit_apply(params, CFG, lat, txt, pooled, t, img_ids, txt_ids,
+                                      guidance=g, return_module_outs=True)
+            hist = [f32(cache)] + hist[:1]
+            sigs = [s] + sigs[:1]
+        else:
+            if len(hist) >= 2:
+                d = (s - sigs[0]) / (sigs[0] - sigs[1])
+                hat = jax.tree.map(lambda a0, a1: a0 + (a0 - a1) * d, hist[0], hist[1])
+            else:
+                hat = hist[0]
+            v = flux_dit_apply(params, CFG, lat, txt, pooled, t, img_ids, txt_ids,
+                               guidance=g, module_cache=hat)
+        lat = (lat.astype(jnp.float32)
+               + (sigmas[i + 1] - sigmas[i]) * v.astype(jnp.float32)).astype(lat.dtype)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(lat), rtol=3e-5, atol=3e-5)
+    # differs from both the dense run and the output-velocity Taylor variant
+    assert not np.allclose(np.asarray(out), np.asarray(_denoise(setup)))
+    vel = _denoise(setup, step_mask=jnp.asarray(mask), vcache_order=1)
+    assert not np.allclose(np.asarray(out), np.asarray(vel))
+
+
+def test_module_mode_cfg_and_validation(setup):
+    from reflectionflow_tpu.models.flux.rope import make_image_ids
+    from reflectionflow_tpu.sampler.generate import vcache_kwargs
+
+    # image CFG doubles the cache rows (one per branch)
+    params, latents, txt, pooled, img_ids, txt_ids, sigmas = setup
+    mask = jnp.asarray(np.array([True, True, False, True, False, True]))
+    # module mode + cond stream is rejected
+    cond = jax.random.normal(jax.random.PRNGKey(9), (B, 4, CFG.in_channels), jnp.float32)
+    with pytest.raises(ValueError):
+        _denoise(setup, step_mask=mask, vcache_cached="module",
+                 cond=cond, cond_ids=jnp.asarray(make_image_ids(2, 2)),
+                 cond_empty=jnp.zeros_like(cond), image_guidance_scale=1.5)
+    with pytest.raises(ValueError):
+        _denoise(setup, step_mask=mask, vcache_cached="module", vcache_order=1)
+    kw = vcache_kwargs({"interval": 3, "module": True}, N_STEPS)
+    assert kw["vcache_cached"] == "module"
+    with pytest.raises(ValueError):
+        vcache_kwargs({"interval": 3, "module": True, "residual": True}, N_STEPS)
+
+
 def test_pinned_mask_and_force_mask(setup):
     """`make_pinned_mask` + `vcache_force_mask`: the bench's lever for
     pinning a dynamic schedule's forward count to a known operating point
