@@ -116,6 +116,15 @@ def denoise(
         cached quantity — our only deltas are per-candidate accumulators
         (identical at B=1) and TPU timing. Costs one (B, L_img, hidden)
         carry buffer + two thin matmuls per skipped step.
+      * "module" — TaylorSeer-faithful PER-MODULE forecasting (arXiv
+        2503.06923): every block's pre-gate attn/MLP outputs are cached
+        (order-1 divided-difference forecast, fp32 history, per
+        candidate) and skipped steps run the glue-only forward — fresh
+        AdaLN gates from the recomputed temb, residual adds, output
+        head. Plain t2i only (no cond stream). Costs TWO cache snapshots
+        in the carry (1.076G values each at 1024px full depth — fits
+        <=512px on 16 GB; the infeasibility arithmetic lives in
+        `vcache_calibrate.LITERATURE_ANCHORS["taylor_o2_interval6"]`).
 
     `vcache_order` upgrades what a SKIPPED step uses (velocity mode):
       * 0 (default) — reuse the last computed velocity unchanged;

@@ -127,6 +127,10 @@ def run(rounds, branch, steps, profile="swap", vcache=None):
         vae_tiling=profile == "nvila",
     )
     _log("pipeline weights resident")
+    # the CLI path applies pipeline_args.vcache via cli/common.py; this
+    # tool builds the pipe directly, so set it here too (r5 lesson: the
+    # cfg_dict copy below does NOT reach a pre-built pipe)
+    pipe.vcache = vcache
     if co and profile != "nvila":
         pipe.enable_prompt_cache()
     else:
