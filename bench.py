@@ -1014,7 +1014,8 @@ def run_stage(stage: str, batch: int | None = None) -> None:
                 "speedup_est": sel.get("speedup_est"),
                 "score_drop": sel.get("score_drop"),
                 "weights_kind": cal.get("weights_kind"),
-                "hw_measured": "2.50x denoise at interval 3 (BENCH_NOTES.vcache_hardware_v5e)",
+                "hw_measured": ("teacache_flux_t0.6 2.02x e2e / taylor_o2_interval6 "
+                                "3.29x e2e (BENCH_NOTES.vcache_anchor_sweep_r5_v5e)"),
                 "not_this_line_because": (
                     # "failed at runtime" is only TRUE inside a sweep (where
                     # the vcache stage was actually attempted first); a

@@ -323,6 +323,26 @@ def test_sweep_is_led_by_literature_anchored_vcache(monkeypatch):
     assert bench._vcache_stage_source()["weights_kind"] == "real"
 
 
+def test_pinned_schedule_unit():
+    """Dynamic schedules get their forward count pinned to the known
+    operating point (random-init signal trajectories are meaningless):
+    a calibration-measured n_full scales to the bench step count, a
+    published speedup converts to a count, static schedules pass through."""
+    cal = {"selected_vcache": {"threshold": 0.6}, "settings": {"num_steps": 15}}
+    sched, pin = bench._pinned_schedule(cal, {"n_full": 5})
+    assert sched["pin_n_full"] == round(5 * bench.NUM_STEPS / 15)
+    assert "calibration-measured" in pin["basis"]
+
+    sched2, pin2 = bench._pinned_schedule(
+        {"selected_vcache": {"threshold": 0.6}}, {"n_full": None, "speedup_est": 2.0})
+    assert sched2["pin_n_full"] == round(bench.NUM_STEPS / 2.0)
+    assert "published operating point" in pin2["basis"]
+
+    sched3, pin3 = bench._pinned_schedule(
+        {"selected_vcache": {"interval": 6}}, {"n_full": 9})
+    assert pin3 is None and "pin_n_full" not in sched3
+
+
 def test_floor_analysis_reproduces_bench_notes_arithmetic():
     """The emitted floor fields must reproduce the audited derivation in
     docs/BENCH_NOTES.json::floor_arithmetic at FLUX-dev scale: ~1.78 PFLOP
