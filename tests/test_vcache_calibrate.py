@@ -179,6 +179,22 @@ def test_anchor_calibration_shape_and_math():
         assert vcache_kwargs(a["vcache"], 30)
 
 
+def test_teacache_preset_matches_method_exact_schedule():
+    """The shipped serving preset carries EXACTLY the method-exact TeaCache
+    schedule (one source of truth: teacache_flux_schedule)."""
+    import os
+
+    from reflectionflow_tpu.config import TTSConfig
+    from reflectionflow_tpu.sampler.vcache_calibrate import teacache_flux_schedule
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = TTSConfig.load(os.path.join(repo, "configs", "flux.1_dev_qwenscore_v5e_teacache.json"))
+    want = teacache_flux_schedule()
+    got = dict(cfg.pipeline_args.vcache)
+    got["residual"] = bool(got["residual"])
+    assert got == want
+
+
 def test_bench_vcache_headline_gating(tmp_path, monkeypatch):
     """Evidence-tier policy: with no real-weight artifact the headline
     source is the shipped literature anchor (vcache stage still leads);
