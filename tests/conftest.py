@@ -23,6 +23,19 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jit_caches_between_modules():
+    """Free compiled executables at each module boundary. The full suite
+    accumulates hundreds of XLA:CPU executables in one process; past
+    ~330 tests the NEXT compile segfaults inside backend_compile_and_load
+    (reproduced twice at the identical test, 2026-08-19) — an XLA-CPU
+    JIT code-cache exhaustion, not a model bug (the crashing module
+    passes standalone). Cross-module executable reuse is minimal, so the
+    recompile cost is noise next to suite stability."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)

@@ -274,6 +274,39 @@ def test_rm_train_step_fsdp_mesh_matches_single_device():
     )
 
 
+def test_rm_quantized_base_composes_with_fsdp_mesh():
+    """quantize_base + mesh: the int8 storage leaves shard FSDP-style and
+    the sharded step matches the unsharded quantized step (same
+    quantization, so results agree to float tolerance)."""
+    from jax.sharding import Mesh
+
+    model, batch = _tiny_vl_rows_and_batch(train_vision=False, B=8)
+    H = model.lm_cfg.hidden_size
+    trainable = {
+        "lora": rm_lora_init(jax.random.PRNGKey(1), model.lm_params, r=2, alpha=2)["adapters"],
+        "rm_head": jax.random.normal(jax.random.PRNGKey(2), (H, 1)) * 0.1,
+        "special": jax.random.normal(jax.random.PRNGKey(3), (H,)) * 0.02,
+    }
+    opt = make_rm_optimizer(lr=1e-2)
+    results = {}
+    for name, mesh in (
+        ("single", None),
+        ("mesh", Mesh(np.asarray(jax.devices()[:8]), ("data",))),
+    ):
+        step = make_rm_train_step(
+            model.lm_params, model.lm_cfg, opt, loss_type="bt", pooling="special",
+            special_token_id=9, r=2, alpha=2, mesh=mesh,
+            quantize_base="int8", quantize_min_size=16,
+        )
+        results[name] = step(trainable, opt.init(trainable), batch)
+    np.testing.assert_allclose(
+        float(results["single"][2]["loss"]), float(results["mesh"][2]["loss"]), atol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5),
+        results["single"][0], results["mesh"][0],
+    )
+
+
 def test_rm_checkpoint_vision_lora_roundtrip(tmp_path):
     from reflectionflow_tpu.models.qwen_vl.vision import qwen_vision_init
     from reflectionflow_tpu.config import QwenVLVisionConfig
