@@ -22,7 +22,8 @@ swap, no upload, slower w4a16 MLP denoise) — the refined-prompt
 mitigation measured for VERDICT round-2 item 4;
 "nvila" = the "co" layout PLUS the real JAX-native NVILA-2B verifier
 (int8, ~2.1 GB) resident on the SAME chip — the whole loop (generate +
-REAL verifier scoring) on one 16 GB v5e, no second chip. DiT + NVILA +
+REAL verifier scoring) on one 16 GB v5e, no second chip
+("nvila_fulldec" = same layout with the UNTILED 1024px VAE decode). DiT + NVILA +
 VAE stay resident (~12.2 GB); the T5 is phase-swapped (full four-model
 residency at ~14.6 GB measured-OOMs at the first T5 encode — see the
 profile branch below). The verify phase is real NVILA batched yes/no
@@ -87,10 +88,11 @@ def run(rounds, branch, steps, profile="swap", vcache=None):
     vae_cfg = FluxVAEConfig()
     t5_cfg = T5Config()
     clip_cfg = CLIPTextConfig()
-    co = profile in ("co", "nvila")
+    nvila = profile.startswith("nvila")  # "nvila" (tiled decode) / "nvila_fulldec"
+    co = profile == "co" or nvila
 
     verifier = None
-    if profile == "nvila":
+    if nvila:
         # build the int8 NVILA FIRST: its bf16->int8 quantization peak
         # (~6 GB transient) must not land next to the 12.5 GB pipeline
         sys.path.insert(0, "tools")
@@ -100,10 +102,10 @@ def run(rounds, branch, steps, profile="swap", vcache=None):
 
         vis_cfg, lm_cfg = nvila_lite_2b_configs()
         _log("building int8 NVILA-2B on device...")
-        nvila = build_synthetic_nvila(vis_cfg, lm_cfg, downsample=3, quantize=True)
+        nvila_model = build_synthetic_nvila(vis_cfg, lm_cfg, downsample=3, quantize=True)
         _log("NVILA built")
-        nvila.tokenizer = _StubTokenizer()
-        verifier = NvilaJaxVerifier(model=nvila)
+        nvila_model.tokenizer = _StubTokenizer()
+        verifier = NvilaJaxVerifier(model=nvila_model)
 
     _log("building pipeline weights on device...")
     params = {
@@ -122,8 +124,10 @@ def run(rounds, branch, steps, profile="swap", vcache=None):
         clip_tokenizer=load_tokenizer(None, "clip", clip_cfg.vocab_size, clip_cfg.eos_token_id),
         dtype=jnp.bfloat16, attn_impl="pallas",
         rope_layout="split",  # synthetic weights: apply-path timing only
-        # with the NVILA verifier resident too (~14.6 GB weights), the full
-        # 1024px decode transients no longer fit — tile the decode
+        # "nvila": tiled decode was the conservative r4 default; with the T5
+        # phase-swapped the resident set (~12.2 GB) is BELOW the swap
+        # profile's 12.3 GB where the full 1024px decode measured fine —
+        # "nvila_fulldec" runs it untiled (hardware-validated r5)
         vae_tiling=profile == "nvila",
     )
     _log("pipeline weights resident")
@@ -131,7 +135,7 @@ def run(rounds, branch, steps, profile="swap", vcache=None):
     # tool builds the pipe directly, so set it here too (r5 lesson: the
     # cfg_dict copy below does NOT reach a pre-built pipe)
     pipe.vcache = vcache
-    if co and profile != "nvila":
+    if co and not nvila:
         pipe.enable_prompt_cache()
     else:
         # nvila: measured 2026-08-18 — ALL FOUR resident (int4MLP DiT
@@ -163,7 +167,8 @@ def run(rounds, branch, steps, profile="swap", vcache=None):
         "scale": (
             "FLUX-dev int8+int4MLP DiT + int8 NVILA-2B verifier + VAE resident on one "
             "chip (~12.2 GB), int4 T5 phase-swapped (synthetic weights), 1024px, pallas"
-            if profile == "nvila" else
+            + ("" if profile == "nvila" else ", untiled decode")
+            if nvila else
             "FLUX-dev int8+int4MLP DiT + int4 T5 CO-RESIDENT (synthetic weights), 1024px, pallas"
             if co else
             "FLUX-dev int8 W8A8 DiT + int4 T5 phase-swap (synthetic weights), 1024px, pallas"
