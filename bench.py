@@ -836,7 +836,9 @@ def bench_e2e_round(rtt: float) -> dict | None:
         sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
         from serve_smoke_tpu import run as serve_run
 
-        passes = serve_run(2, 2, NUM_STEPS, profile="nvila", vcache=schedule)
+        # untiled decode: hardware-validated (no OOM; p50 19.81 vs 21.68 s
+        # tiled, 2026-08-19) — the T5-swapped resident set leaves room
+        passes = serve_run(2, 2, NUM_STEPS, profile="nvila_fulldec", vcache=schedule)
         scale = passes.pop("scale")
     fixed = passes["fixed_prompts"]
     out = {
