@@ -284,6 +284,18 @@ def teacache_flux_schedule(threshold: float = 0.6) -> dict:
 
 
 LITERATURE_ANCHORS = {
+    "teacache_flux_t0.8": {
+        "vcache": teacache_flux_schedule(0.8),
+        "speedup_published": 2.25,
+        "anchor": (
+            "TeaCache (arXiv 2411.19108), method-exact for FLUX.1-dev at the "
+            "published threshold 0.8 — the paper's faster FLUX operating point "
+            "(~2.25x) with slightly more reported degradation than the 0.6 "
+            "headline point. Same signal/poly/cached-residual machinery as "
+            "teacache_flux_t0.6; selectable where throughput outranks the "
+            "conservative quality margin."
+        ),
+    },
     "teacache_flux_t0.6": {
         "vcache": teacache_flux_schedule(0.6),
         "speedup_published": 2.0,
