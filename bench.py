@@ -799,9 +799,10 @@ def bench_e2e_vcache(rtt: float, batch: int = 1) -> dict | None:
 
 
 def _anchor_sweep_reference() -> dict | None:
-    """The recorded back-to-back hardware measurement of BOTH shipped
-    anchor schedules (method-exact TeaCache vs the faster method-variant
-    Taylor) so every vcache line carries both numbers, whichever leads."""
+    """The recorded back-to-back hardware measurement of the shipped
+    anchor schedules (method-exact TeaCache at both published operating
+    points vs the faster method-variant Taylor) so every vcache line
+    carries all the measured numbers, whichever leads."""
     try:
         notes = json.loads(
             (Path(__file__).resolve().parent / "docs" / "BENCH_NOTES.json").read_text())
@@ -1016,8 +1017,9 @@ def run_stage(stage: str, batch: int | None = None) -> None:
                 "speedup_est": sel.get("speedup_est"),
                 "score_drop": sel.get("score_drop"),
                 "weights_kind": cal.get("weights_kind"),
-                "hw_measured": ("teacache_flux_t0.6 2.02x e2e / taylor_o2_interval6 "
-                                "3.29x e2e (BENCH_NOTES.vcache_anchor_sweep_r5_v5e)"),
+                "hw_measured": ("teacache_flux_t0.6 2.02x / t0.8 2.33x / "
+                                "taylor_o2_interval6 3.29x e2e "
+                                "(BENCH_NOTES.vcache_anchor_sweep_r5_v5e)"),
                 "not_this_line_because": (
                     # "failed at runtime" is only TRUE inside a sweep (where
                     # the vcache stage was actually attempted first); a

@@ -343,6 +343,33 @@ def test_pinned_schedule_unit():
     assert pin3 is None and "pin_n_full" not in sched3
 
 
+def test_anchor_sweep_reference_covers_shipped_anchors():
+    """Every TeaCache-threshold anchor we ship (the method-exact published
+    operating points) must have a back-to-back hardware measurement in the
+    recorded sweep note — the self-auditing contract is that a vcache bench
+    line carries the measured number for each selectable anchor, and the
+    measured vs-dense ratio must land near the citation's published speedup
+    (the pin converts published speedup -> forward count, so a big gap means
+    the pin math and the recorded evidence diverged)."""
+    from reflectionflow_tpu.sampler.vcache_calibrate import LITERATURE_ANCHORS
+
+    sweep = bench._anchor_sweep_reference()
+    assert sweep is not None
+    dense_vs = 1.0477  # BENCH_NOTES dense reference (vs_baseline)
+    for name, a in LITERATURE_ANCHORS.items():
+        if "speedup_published" not in a:
+            continue
+        entry = sweep.get(name)
+        assert entry is not None, f"anchor {name} has no recorded hardware sweep entry"
+        assert entry["imgs_per_sec_per_chip"] > 0 and entry["n_full_forwards"] >= 2
+        vs_dense = entry["vs_baseline"] / dense_vs
+        published = a["speedup_published"]
+        assert abs(vs_dense - published) / published < 0.15, (
+            f"{name}: measured {vs_dense:.2f}x vs dense, published {published}x")
+    # the method-variant Taylor alternate ships its measured number too
+    assert "taylor_o2_interval6" in sweep
+
+
 def test_floor_analysis_reproduces_bench_notes_arithmetic():
     """The emitted floor fields must reproduce the audited derivation in
     docs/BENCH_NOTES.json::floor_arithmetic at FLUX-dev scale: ~1.78 PFLOP
