@@ -821,13 +821,20 @@ def bench_e2e_round(rtt: float) -> dict | None:
     layout), fake reflect/refine (the reflector itself is benched by
     tools/qwen_bench_tpu.py), and the HEADLINE vcache schedule
     (operating-point-pinned — `_pinned_schedule`) on the corrector
-    generate. Reference loop being measured:
+    generate. An env-pointed REFLECTIONFLOW_VCACHE_CALIBRATION artifact is
+    an explicit round-level experiment and runs whatever its tier (same
+    semantics as the vcache stage — the committed round record only moves
+    via tools/promote_bench_record.py, so the record gate still holds).
+    Reference loop being measured:
     /root/reference/tts/tts_reflectionflow.py:94-465."""
-    cal = _headline_vcache_source()
+    import os
+
+    cal = _vcache_stage_source()
+    env_pointed = bool(os.environ.get("REFLECTIONFLOW_VCACHE_CALIBRATION"))
     schedule = pin = None
     if cal is not None:
         sel = next((r for r in cal["results"] if r["name"] == cal["selected"]), None)
-        if sel is not None and _vcache_headline_eligible(cal):
+        if sel is not None and (env_pointed or _vcache_headline_eligible(cal)):
             schedule, pin = _pinned_schedule(cal, sel)
     vc_name = (cal or {}).get("selected") if schedule else None
     if TINY:

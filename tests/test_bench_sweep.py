@@ -323,6 +323,37 @@ def test_sweep_is_led_by_literature_anchored_vcache(monkeypatch):
     assert bench._vcache_stage_source()["weights_kind"] == "real"
 
 
+def test_round_stage_env_pointed_schedule(monkeypatch):
+    """The round stage mirrors the vcache stage's env semantics: an
+    env-pointed calibration is an explicit round-level experiment and runs
+    whatever its tier; without the env var, a synthetic source must NOT
+    reach the round's corrector generate (headline eligibility applies)."""
+    captured = []
+
+    def fake_passes(schedule):
+        captured.append(schedule)
+        return {"fixed_prompts": {"round": {"p50_s": 1.0, "p90_s": 1.0},
+                                  "candidates_per_sec_per_chip": 1.0}}
+
+    monkeypatch.setattr(bench, "TINY", True)
+    monkeypatch.setattr(bench, "_tiny_round_passes", fake_passes)
+    synth = {"selected_vcache": {"interval": 4, "warmup": 1, "tail": 1},
+             "selected": "interval4",
+             "results": [{"name": "interval4", "n_full": 8}],
+             "weights_kind": "synthetic"}
+    monkeypatch.setattr(bench, "_load_vcache_calibration", lambda: synth)
+
+    monkeypatch.setenv("REFLECTIONFLOW_VCACHE_CALIBRATION", "/tmp/x.json")
+    out = bench.bench_e2e_round(rtt=0.0)
+    assert captured[-1] is not None and captured[-1]["interval"] == 4
+    assert "vcache(synthetic:interval4)" in out["config"]
+
+    monkeypatch.delenv("REFLECTIONFLOW_VCACHE_CALIBRATION")
+    monkeypatch.setattr(bench, "_headline_vcache_source", lambda: synth)
+    out2 = bench.bench_e2e_round(rtt=0.0)
+    assert captured[-1] is None and "vcache" not in out2["config"]
+
+
 def test_pinned_schedule_unit():
     """Dynamic schedules get their forward count pinned to the known
     operating point (random-init signal trajectories are meaningless):
