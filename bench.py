@@ -1024,8 +1024,8 @@ def run_stage(stage: str, batch: int | None = None) -> None:
                 "speedup_est": sel.get("speedup_est"),
                 "score_drop": sel.get("score_drop"),
                 "weights_kind": cal.get("weights_kind"),
-                "hw_measured": ("teacache_flux_t0.6 2.02x / t0.8 2.33x / "
-                                "taylor_o2_interval6 3.29x e2e "
+                "hw_measured": ("teacache t0.25 1.55x / t0.4 1.81x / t0.6 2.02x "
+                                "/ t0.8 2.33x / taylor_o2_interval6 3.29x e2e "
                                 "(BENCH_NOTES.vcache_anchor_sweep_r5_v5e)"),
                 "not_this_line_because": (
                     # "failed at runtime" is only TRUE inside a sweep (where

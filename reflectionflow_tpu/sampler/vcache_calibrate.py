@@ -317,6 +317,26 @@ LITERATURE_ANCHORS = {
             "(TPU v5e), quality evaluation is theirs."
         ),
     },
+    "teacache_flux_t0.4": {
+        "vcache": teacache_flux_schedule(0.4),
+        "speedup_published": 1.8,
+        "anchor": (
+            "TeaCache (arXiv 2411.19108), method-exact for FLUX.1-dev at the "
+            "published threshold 0.4 — a conservative published operating "
+            "point (~1.8x, less aggressive than the 0.6 headline point). Same "
+            "signal/poly/cached-residual machinery as teacache_flux_t0.6."
+        ),
+    },
+    "teacache_flux_t0.25": {
+        "vcache": teacache_flux_schedule(0.25),
+        "speedup_published": 1.5,
+        "anchor": (
+            "TeaCache (arXiv 2411.19108), method-exact for FLUX.1-dev at the "
+            "published threshold 0.25 — the paper's most conservative FLUX "
+            "operating point (~1.5x, the smallest reported degradation). Same "
+            "signal/poly/cached-residual machinery as teacache_flux_t0.6."
+        ),
+    },
     "taylor_o2_interval6": {
         "vcache": {"interval": 6, "warmup": 3, "tail": 1, "order": 2},
         "anchor": (
