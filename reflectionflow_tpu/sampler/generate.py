@@ -556,7 +556,10 @@ def vcache_kwargs(vcache: dict | None, num_steps: int) -> dict:
     if "threshold" in vc:
         if not float(vc["threshold"]) > 0:
             raise ValueError("vcache threshold must be > 0 (omit vcache to disable)")
-        if vc.get("pin_n_full"):
+        # presence check, not truthiness: an explicit invalid pin (0, the
+        # exact overclaim the pin exists to prevent) must ERROR in
+        # make_pinned_mask, never silently leave the schedule unpinned
+        if vc.get("pin_n_full") is not None:
             extra["vcache_force_mask"] = jnp.asarray(make_pinned_mask(
                 num_steps, min(int(vc["pin_n_full"]), num_steps)))
         return {

@@ -25,17 +25,18 @@ ROUND_COMMITTED = REPO / "docs" / "ROUND_BENCH.json"
 
 
 def main() -> int:
-    global LOCAL, COMMITTED
     p = argparse.ArgumentParser()
     p.add_argument("--check", action="store_true")
     p.add_argument("--round", action="store_true")
     args = p.parse_args()
-    if args.round:
-        LOCAL, COMMITTED = ROUND_LOCAL, ROUND_COMMITTED
+    # locals, not rebound globals: a second in-process call without
+    # --round must not keep operating on the round paths
+    local_path, committed_path = (
+        (ROUND_LOCAL, ROUND_COMMITTED) if args.round else (LOCAL, COMMITTED))
     try:
-        local = json.loads(LOCAL.read_text())
+        local = json.loads(local_path.read_text())
     except (OSError, ValueError) as e:
-        print(f"no promotable local record ({LOCAL}): {e}", file=sys.stderr)
+        print(f"no promotable local record ({local_path}): {e}", file=sys.stderr)
         return 1
     # the committed record is a driver-facing contract — validate before promoting
     missing = {"metric", "value", "unit", "vs_baseline", "detail"} - set(local)
@@ -43,7 +44,7 @@ def main() -> int:
         print(f"local record is missing contract fields: {sorted(missing)}", file=sys.stderr)
         return 1
     try:
-        committed = json.loads(COMMITTED.read_text())
+        committed = json.loads(committed_path.read_text())
     except (OSError, ValueError):
         committed = None
     if local == committed:
@@ -54,9 +55,9 @@ def main() -> int:
               f"(local value={local.get('value')}, committed="
               f"{(committed or {}).get('value')}); run without --check to promote")
         return 1
-    COMMITTED.write_text(json.dumps(local) + "\n")
-    print(f"promoted {LOCAL.name} -> {COMMITTED} (value={local['value']}, "
-          f"vs_baseline={local['vs_baseline']}); commit docs/LAST_BENCH.json")
+    committed_path.write_text(json.dumps(local) + "\n")
+    print(f"promoted {local_path.name} -> {committed_path} (value={local['value']}, "
+          f"vs_baseline={local['vs_baseline']}); commit {committed_path.name}")
     return 0
 
 

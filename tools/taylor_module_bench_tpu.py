@@ -4,11 +4,13 @@ VERDICT r4 item 2: the per-module variant (vcache {"module": true} —
 order-1 divided-difference forecast of EVERY block's pre-gate attn/MLP
 outputs, glue recomputed fresh; `models.flux.dit.flux_dit_apply`
 return_module_outs/module_cache) cannot fit 1024px serving on a 16 GB
-v5e: two fp32 history snapshots of 1.076G values each = 8.6 GB next to
-the 11.9 GB W8A8 DiT (arithmetic in
+v5e: two history snapshots of 1.076G values each = 4.3 GB even in bf16
+(8.6 GB fp32) next to the 11.9 GB W8A8 DiT (arithmetic in
 `sampler/vcache_calibrate.LITERATURE_ANCHORS["taylor_o2_interval6"]`).
-At 512px (1024 img + 512 txt tokens) the history is 2 x 1.43 GB fp32 and
-fits — this tool measures the denoise there, against the dense loop and
+At 512px (1024 img + 512 txt tokens) the history is stored in the model
+compute dtype — bf16, 2 x 0.72 GB — and fits; the fp32 variant
+measured-OOMs by 69 MB there (`sampler/generate.py` module_mode comment).
+This tool measures the denoise there, against the dense loop and
 the output-velocity Taylor variant at the SAME schedule, so the
 per-module fidelity cost is a number instead of a claim.
 
